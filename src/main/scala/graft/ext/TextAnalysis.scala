@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID (stopword heuristic),
+  * and document fingerprinting. All pure `Column` expressions built
+  * from codegen'd builtins — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly per-partition (no shuffle,
+  * no state; at 100 TB these run map-side only).
+  *
+  * Counterpart of the reference's scalar-expression surface
+  * (SURVEY.md §2.4) generalized to documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count. */
+  def tokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("bigint")
+
+  /** Count of punctuation characters (fixed portable set). */
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("bigint")
+
+  /** Occurrences of a literal substring (replace-count trick: exact,
+    * portable, codegen'd — no regex engine differences).
+    */
+  def occurrences(c: Column, word: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(word), lit(""))))
+      / lit(word.length)).cast("bigint")
+
+  /** Normalization fingerprint: md5 of whitespace-collapsed lowercase
+    * text. Detects near-exact duplicates that differ only in casing /
+    * whitespace. Deterministic and identical to DuckDB's md5().
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Heuristic quality score in [0,1]:
+    *   length factor  × punctuation sanity × stopword presence.
+    * Deterministic double arithmetic (identical in the SQL oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopHits = (occurrences(text, " the ") + occurrences(text, " and ")
+      + occurrences(text, " a ")).cast("double")
+    val stopRatio = stopHits / greatest(nTok, lit(1.0))
+    round(
+      least(nTok, lit(200.0)) / lit(200.0)
+        * (lit(1.0) - least(punctRatio * 5.0, lit(1.0)))
+        * (lit(0.5) + lit(0.5) * least(stopRatio * 10.0, lit(1.0))),
+      4)
+  }
+
+  /** Stopword/char-class language heuristic over {en,fr,es,de,zh}.
+    * Precedence chain is deterministic: CJK chars win, then the
+    * highest stopword hit count in fixed order fr → es → de → en.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val en = occurrences(padded, " the ") + occurrences(padded, " and ")
+    val fr = occurrences(padded, " le ") + occurrences(padded, " la ") +
+      occurrences(padded, " et ")
+    val es = occurrences(padded, " el ") + occurrences(padded, " los ") +
+      occurrences(padded, " y ")
+    val de = occurrences(padded, " der ") + occurrences(padded, " und ") +
+      occurrences(padded, " die ")
+    val hasCjk = length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")) < length(text)
+    when(hasCjk, lit("zh"))
+      .when(fr > en && fr >= es && fr >= de, lit("fr"))
+      .when(es > en && es >= de, lit("es"))
+      .when(de > en, lit("de"))
+      .otherwise(lit("en"))
+  }
+}

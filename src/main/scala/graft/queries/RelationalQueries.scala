@@ -1,0 +1,446 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory over the TPC-H-ish corpus, mapping the
+  * reference's operator surface (SURVEY.md §2) onto driver testdata:
+  *
+  *  - q01/q02/q03: scans + filter/projection pushdown (§2.1 S2/S6, §2.3)
+  *  - q04: scalar expression surface (§2.4 F3-F8, F11-F12)
+  *  - q10: daily sales aggregate — A1/A2 of
+  *    `/root/reference/pipeline/ml/anomaly_detection.py:25-33`
+  *  - q11: fct_purchases-shaped projection — F5-F7 arithmetic of
+  *    `/root/reference/pipeline/dbt/.../gold/fct_purchases.sql:30-47`
+  *  - q12: incremental high-watermark scalar subquery — W1 of
+  *    `fct_purchases.sql:24-27`
+  *  - q13: robust z-score anomaly flags — M1/M2 contract of
+  *    `anomaly_detection.py:46-52` (deterministic median/MAD stand-in)
+  *  - q20-q24: the join family the reference needs implicitly (§2.7)
+  *  - q30-q32: window functions (§2.8 dedup-by-latest / running state)
+  *  - q40-q42: sort/limit/set-ops/distinct (§2.8)
+  *
+  * Scale notes (100 TB posture): every aggregate is a hash aggregate
+  * with map-side partial combine; dimension joins broadcast the small
+  * side explicitly; fact-fact work shuffles only on join/group keys;
+  * filters and projections are plain Catalyst expressions so they push
+  * into the parquet scan (verified via .explain in BenchSpec).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── scans / filters / projections ────────────────────────────────
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    QueryDef(
+      "q02_revenue_filter",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")),
+
+    QueryDef(
+      "q03_scan_project",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            // raw double (no ROUND): a*(1-b) in IEEE binary64 is
+            // bit-identical across engines, while ROUND ties are not.
+            // (l_orderkey, l_linenumber) is NOT unique in the corpus →
+            // net_price joins the sort key for a total order.
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("net_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        ORDER BY l_orderkey, l_linenumber, net_price""")),
+
+    QueryDef(
+      "q04_scalar_functions",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_type"), 1, 6).as("type_pfx"),
+            length(col("p_name")).as("name_len"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            when(col("p_size") > 25, lit("large")).otherwise(lit("small"))
+              .as("size_class"),
+            round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+            coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("OTHER"))
+              .as("brand_or_other"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_u,
+               SUBSTRING(p_type, 1, 6) AS type_pfx,
+               LENGTH(p_name) AS name_len,
+               p_brand || '#' || p_type AS brand_type,
+               CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+               ROUND(p_retailprice * 1.1, 2) AS marked_up,
+               COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ── reference-parity pipeline semantics on testdata ─────────────
+    QueryDef(
+      "q10_daily_sales",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("purchase_date"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("daily_total_sales"),
+            count(col("o_orderkey")).as("daily_transaction_count"))
+          .orderBy(col("purchase_date")),
+      Some("""
+        SELECT CAST(o_orderdate AS DATE) AS purchase_date,
+               ROUND(SUM(o_totalprice), 2) AS daily_total_sales,
+               COUNT(o_orderkey) AS daily_transaction_count
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+        ORDER BY purchase_date"""),
+      headline = true),
+
+    QueryDef(
+      "q11_fct_projection",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")
+              .as("transaction_id"),
+            col("l_partkey").as("product_id"),
+            to_date(col("l_shipdate")).as("purchase_date"),
+            // raw double; transaction_id collides in this corpus
+            // ((orderkey, linenumber) dupes) → total-order sort over
+            // every output column keeps both engines row-aligned.
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))
+              + col("l_tax")).as("final_amount"),
+            (col("l_returnflag") === "R").as("is_member"))
+          .orderBy(col("transaction_id"), col("product_id"),
+            col("purchase_date"), col("final_amount"), col("is_member")),
+      Some("""
+        SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS transaction_id,
+               l_partkey AS product_id,
+               CAST(l_shipdate AS DATE) AS purchase_date,
+               l_extendedprice * (1 - l_discount) + l_tax AS final_amount,
+               l_returnflag = 'R' AS is_member
+        FROM lineitem
+        ORDER BY transaction_id, product_id, purchase_date, final_amount, is_member""")),
+
+    QueryDef(
+      "q12_incremental_watermark",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT event_id, user_id, event_type, value
+          FROM events
+          WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')
+          ORDER BY event_id""")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')
+        ORDER BY event_id""")),
+
+    QueryDef(
+      "q13_anomaly_robust_z",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("purchase_date"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("daily_total_sales"),
+            count(lit(1)).as("daily_transaction_count"))
+        val med = daily.agg(
+          expr("percentile(daily_total_sales, 0.5)").as("med"))
+        val withMed = daily.crossJoin(med)
+        val mad = withMed.agg(
+          expr("percentile(abs(daily_total_sales - med), 0.5)").as("mad_v"))
+        withMed.crossJoin(mad)
+          .withColumn("anomaly_score",
+            round(lit(0.6745) * (col("daily_total_sales") - col("med"))
+              / nullif(col("mad_v"), lit(0.0)), 4))
+          .withColumn("is_anomaly", abs(col("anomaly_score")) > 3.5)
+          .select("purchase_date", "daily_total_sales",
+            "daily_transaction_count", "anomaly_score", "is_anomaly")
+          .orderBy(col("purchase_date"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS purchase_date,
+                 ROUND(SUM(o_totalprice), 2) AS daily_total_sales,
+                 COUNT(*) AS daily_transaction_count
+          FROM orders GROUP BY 1),
+        s AS (SELECT quantile_cont(daily_total_sales, 0.5) AS med FROM daily),
+        m AS (SELECT quantile_cont(ABS(d.daily_total_sales - s.med), 0.5) AS mad_v
+              FROM daily d, s)
+        SELECT d.purchase_date, d.daily_total_sales, d.daily_transaction_count,
+               ROUND(0.6745 * (d.daily_total_sales - s.med) / NULLIF(m.mad_v, 0), 4)
+                 AS anomaly_score,
+               ABS(ROUND(0.6745 * (d.daily_total_sales - s.med) / NULLIF(m.mad_v, 0), 4))
+                 > 3.5 AS is_anomaly
+        FROM daily d, s, m
+        ORDER BY d.purchase_date""")),
+
+    // ── joins ───────────────────────────────────────────────────────
+    QueryDef(
+      "q20_join_broadcast",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand")),
+      Some("""
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand"""),
+      headline = true),
+
+    QueryDef(
+      "q21_join_multi",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val customer = t(s, dir, "customer")
+        val nation = broadcast(t(s, dir, "nation"))
+        val region = broadcast(t(s, dir, "region"))
+        orders
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name"))
+      },
+      Some("""
+        SELECT r_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name"""),
+      headline = true),
+
+    QueryDef(
+      "q22_semi_join",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q23_anti_join",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q24_outer_join_agg",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(round(sum(col("o_totalprice")), 2), lit(0.0))
+              .as("total_spent"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(ROUND(SUM(o_totalprice), 2), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey""")),
+
+    // ── window functions ────────────────────────────────────────────
+    QueryDef(
+      "q30_topn_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, dir, "part")
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""
+        SELECT p_brand, p_partkey, p_retailprice, rn
+        FROM (SELECT p_brand, p_partkey, p_retailprice,
+                     ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part)
+        WHERE rn <= 3
+        ORDER BY p_brand, rn"""),
+      headline = true),
+
+    QueryDef(
+      "q31_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      headline = true),
+
+    QueryDef(
+      "q32_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id
+                 ORDER BY event_id), 4) AS delta
+        FROM events
+        ORDER BY user_id, event_id""")),
+
+    // ── sort / limit / set ops / distinct ───────────────────────────
+    QueryDef(
+      "q40_global_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10""")),
+
+    QueryDef(
+      "q41_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .union(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+          .distinct()
+          .except(c.filter(col("c_nationkey") < 5).select(col("c_custkey")))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q42_distinct",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderpriority"))
+          .distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders
+        ORDER BY o_orderstatus, o_orderpriority"""))
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** ANN / similarity search over `embeddings` (graft.ext.Similarity).
+  * Brute-force cosine top-k is the oracle-checked baseline; the
+  * hyperplane-LSH variant is the 100 TB scale path (rows-only check;
+  * recall vs the brute-force baseline is asserted in ScalaTest).
+  */
+object SimilarityQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q70_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy(col("q_vec"), col("rn"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_vec, v AS qv FROM e WHERE vec_id < 10),
+        n AS (SELECT vec_id AS n_vec, v AS nv FROM e),
+        p AS (
+          SELECT q_vec, n_vec,
+            ROUND(list_dot_product(qv, nv)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)
+              AS sim_r
+          FROM q, n WHERE q_vec <> n_vec),
+        r AS (
+          SELECT q_vec, n_vec, sim_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec
+                   ORDER BY sim_r DESC, n_vec) AS rn
+          FROM p)
+        SELECT q_vec, n_vec, sim_r, rn
+        FROM r WHERE rn <= 5
+        ORDER BY q_vec, rn"""),
+      headline = true),
+
+    QueryDef(
+      "q71_neardup_cosine",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        a.crossJoin(b)
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim_r",
+            round(Similarity.cosine(col("va"), col("vb")), 6))
+          .filter(col("sim_r") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("sim_r"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+              AS sim_r
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, sim_r
+        FROM p WHERE sim_r >= 0.4
+        ORDER BY vec_a, vec_b""")),
+
+    QueryDef(
+      "q72_ann_lsh",
+      (s, dir) =>
+        Similarity.lshNeighborPairs(
+          Tables.load(s, dir, "embeddings"), dim = 64,
+          threshold = 0.3, nPlanes = 8)
+          .orderBy(col("vec_a"), col("vec_b")),
+      None,
+      headline = true)
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis._
+
+/** Text-analysis + exact-dedup operators over the `documents` table
+  * (training-data pipeline surface; see graft.ext.TextAnalysis).
+  * Every oracle mirrors the Spark expression tree op-for-op so double
+  * arithmetic is bit-identical before ROUND().
+  */
+object TextQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q60_dedup_exact",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .groupBy(col("text_hash"))
+          .agg(
+            min(col("doc_id")).as("keep_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("text_hash")),
+      Some("""
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY text_hash"""),
+      headline = true),
+
+    QueryDef(
+      "q61_doc_stats",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            punctCount(col("text")).as("n_punct"),
+            fingerprint(col("text")).as("fp"),
+            qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens, n_punct, fp,
+            CAST(n_tokens AS DOUBLE) AS ntok,
+            CAST(length(text) AS DOUBLE) AS nchars,
+            CAST(n_punct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+            CAST( CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+                + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+                + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT)
+              AS DOUBLE) AS stop_hits
+          FROM f)
+        SELECT doc_id, n_tokens, n_punct, fp,
+          ROUND(LEAST(ntok, 200.0) / 200.0
+            * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+            * (0.5 + 0.5 * LEAST(stop_hits / GREATEST(ntok, 1.0) * 10.0, 1.0)), 4)
+            AS quality
+        FROM r
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q62_lang_id",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            langId(col("text")).as("pred_lang"))
+          .withColumn("correct", col("pred_lang") === col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p, text
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang,
+            CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT) AS en,
+            CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' la ', ''))) / 4 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS BIGINT) AS fr,
+            CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS BIGINT) AS es,
+            CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS BIGINT)
+              + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS BIGINT) AS de,
+            length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) < length(text) AS has_cjk
+          FROM f)
+        SELECT doc_id, lang,
+          CASE WHEN has_cjk THEN 'zh'
+               WHEN fr > en AND fr >= es AND fr >= de THEN 'fr'
+               WHEN es > en AND es >= de THEN 'es'
+               WHEN de > en THEN 'de'
+               ELSE 'en' END AS pred_lang,
+          (CASE WHEN has_cjk THEN 'zh'
+               WHEN fr > en AND fr >= es AND fr >= de THEN 'fr'
+               WHEN es > en AND es >= de THEN 'es'
+               WHEN de > en THEN 'de'
+               ELSE 'en' END) = lang AS correct
+        FROM c
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q63_lang_quality_agg",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            tokenCount(col("text")).as("n_tokens"),
+            col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)), 4)
+                 AS avg_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang"""))
+  )
+}
