@@ -24,14 +24,54 @@ object Dedup {
 
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Distinct word n-gram shingles (default 3). */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val t = tokens(c)
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    * array column. `t` must be a plain column reference (not an inline
+    * `split(...)` expression): the lambda body re-evaluates every outer
+    * expression it references once per array element, so an inline
+    * regex split would run O(|tokens|²) times per row. Stage tokens
+    * with `.withColumn("toks", tokens(col))` first.
+    */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ",
           (0 until n).map(k => element_at(t, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingles straight from text. Convenience for
+    * small/candidate-sized inputs — see [[shinglesFromTokens]] for why
+    * bulk paths must stage the token array instead.
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(c), n)
+
+  /** Bulk shingle generation as ROWS: posexplode tokens, then n-gram
+    * via window `lead` over (doc_id, pos). Returns
+    * (doc_id, extraCols…, s) — NOT deduplicated per doc.
+    *
+    * Why not `explode(transform(...))`: InferFiltersFromGenerate puts
+    * `size(g)>0 AND isnotnull(g)` under the Generate and predicate
+    * pushdown inlines the whole generator expression into that Filter,
+    * so the shingle HOF (and the token split feeding it) re-evaluates
+    * per row — measured 18× slower at sf0.1. Here every hot operator
+    * (split-explode, window lead, concat) is codegen'd, and the window
+    * shuffle on doc_id is reused by any downstream groupBy(doc_id)
+    * (e.g. MinHash signatures) — no extra exchange at 100 TB.
+    */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = extraCols.map(col)
+    val pos = docs
+      .select(col(idCol).as("doc_id") +: keep :+ tokens(col(textCol)).as("toks"): _*)
+      .select(col("doc_id") +: keep :+ posexplode(col("toks")).as(Seq("pos", "tok")): _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .withColumns((1 until n).map(i =>
+        s"t$i" -> lead(col("tok"), i).over(w)).toMap)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id") +: keep :+ concat_ws(" ",
+        col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("s"): _*)
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -55,7 +95,11 @@ object Dedup {
       rnd.nextInt(Int.MaxValue - 1).toLong))
   }
 
-  /** MinHash signature (array<bigint> of length k) over shingles. */
+  /** MinHash signature (array<bigint> of length k) over shingles.
+    * Expression form — O(k·|sh|) interpreted HOF work per row; fine for
+    * ad-hoc column use, but the dedup pipeline uses the codegen'd
+    * explode+groupBy form in [[minhashSignatures]] instead.
+    */
   def minhashSignature(sh: Column, k: Int = 64): Column = {
     val base = transform(sh, s => pmod(xxhash64(s), lit(P)))
     val comps = hashFamily(k).map { case (a, b) =>
@@ -63,6 +107,26 @@ object Dedup {
     }
     when(size(sh) > 0, array(comps: _*))
       .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** MinHash signatures from exploded (doc_id, s) shingle rows via a
+    * hash-aggregate with k `min` columns: everything stays in
+    * whole-stage codegen (no interpreted lambda per shingle), partial
+    * aggregation runs map-side, and the one shuffle is on doc_id —
+    * shared with the window shuffle of [[explodedShingles]]. Duplicate
+    * shingles don't perturb `min`, so no per-doc dedup is needed.
+    * Returns (doc_id, sig array<bigint>).
+    */
+  def minhashSignatures(exploded: DataFrame, k: Int = 64): DataFrame = {
+    val hashes = exploded
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+    val sigCols = hashFamily(k).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$j")
+    }
+    hashes.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** Explode a signature into (band_id, band_hash) LSH keys. */
@@ -80,14 +144,12 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
     val buckets = withSig
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
     // cap pathological buckets before the self-join (skew guard)
     val capped = buckets
@@ -96,39 +158,50 @@ object Dedup {
           .partitionBy(col("band_id"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
     val a = capped.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      col("doc_id").as("doc_id_a"))
     val b = capped.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+      col("doc_id").as("doc_id_b"))
+    // candidate ids only through the LSH join (no shingle payload on
+    // the wide side); shingles re-attach to the (small) candidate set
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
       .distinct()
-      .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
+    // exact verify recomputes shingles from raw text on the (small)
+    // candidate set only — the full-corpus shingle arrays never ride
+    // through a join
+    candidates
+      .join(base.select(col("doc_id").as("doc_id_a"), col("text").as("text_a")),
+        Seq("doc_id_a"))
+      .join(base.select(col("doc_id").as("doc_id_b"), col("text").as("text_b")),
+        Seq("doc_id_b"))
+      .withColumn("jaccard_sim",
+        round(jaccard(shingles(col("text_a")), shingles(col("text_b"))), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
   }
 
   // ── SimHash ───────────────────────────────────────────────────────
 
-  /** 64-bit SimHash fingerprint over whitespace tokens (bigint). */
-  def simhash64(textCol: Column): Column = {
-    val t = tokens(textCol)
-    // per-token ±1 bit contributions, summed across tokens
-    val counters = aggregate(
-      t,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(
-            call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L))
-      })
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (a, i) => a + when(element_at(counters, i + 1) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+  /** 64-bit SimHash fingerprints over whitespace tokens, computed as
+    * explode → hash-aggregate with 64 codegen'd `sum((h>>j)&1)` bit
+    * counters + a token count, then majority vote per bit
+    * (Σ±1 > 0 ⇔ 2·ones > n). One shuffle on doc_id, map-side partial
+    * agg of 65 longs per doc — ~100× the interpreted HOF formulation.
+    * Returns (doc_id, simhash bigint).
+    */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+    val counts = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 64).map(j =>
+      when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    counts.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxDist (< 4):
@@ -138,8 +211,7 @@ object Dedup {
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "pigeonhole blocking uses 4 chunks ⇒ maxDist ≤ 3")
-    val withSim = docs.select(col(idCol).as("doc_id"),
-      simhash64(col(textCol)).as("simhash"))
+    val withSim = simhashes(docs, idCol, textCol)
     val chunked = withSim.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_id"),

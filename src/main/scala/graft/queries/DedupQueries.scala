@@ -15,17 +15,35 @@ object DedupQueries {
     QueryDef(
       "q64_ngram_jaccard",
       (s, dir) => {
+        // inverted-index formulation: explode shingles, equi-join on
+        // (lang, shingle), count matches per pair in a codegen'd hash
+        // aggregate — |A∩B| without per-pair interpreted array ops;
+        // |A∪B| = |A|+|B|−|A∩B| from the pre-computed sizes. Pairs
+        // sharing no shingle can't clear the 0.05 floor, so dropping
+        // them (inherent to the index join) is lossless.
         val docs = Tables.load(s, dir, "documents")
-        val withSh = docs.select(col("doc_id"), col("lang"),
-          Dedup.shingles(col("text")).as("sh"))
-        val a = withSh.filter(col("doc_id") < 100)
-          .select(col("doc_id").as("doc_id_a"), col("lang"), col("sh").as("sh_a"))
-        val b = withSh
-          .select(col("doc_id").as("doc_id_b"), col("lang"), col("sh").as("sh_b"))
-        broadcast(a).join(b, Seq("lang"))
+        val exploded = Dedup.explodedShingles(docs, "doc_id", "text",
+          extraCols = Seq("lang"))
+        // per-doc DISTINCT shingle-set size (set semantics for Jaccard)
+        val szs = exploded.groupBy(col("doc_id"), col("lang"))
+          .agg(count_distinct(col("s")).as("sz"))
+        val ax = exploded.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("doc_id_a"), col("lang"), col("s"))
+        val bx = exploded
+          .select(col("doc_id").as("doc_id_b"), col("lang"), col("s"))
+        broadcast(ax).join(bx, Seq("lang", "s"))
           .filter(col("doc_id_a") < col("doc_id_b"))
+          .groupBy(col("doc_id_a"), col("doc_id_b"))
+          .agg(count_distinct(col("s")).as("inter"))
+          // unhinted: AQE broadcasts szs when small; at 100 TB this is
+          // a shuffle join on doc_id against the (large) per-doc sizes
+          .join(szs.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a")),
+            Seq("doc_id_a"))
+          .join(szs.select(col("doc_id").as("doc_id_b"), col("sz").as("sz_b")),
+            Seq("doc_id_b"))
           .withColumn("jaccard_sim",
-            round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+            round(col("inter").cast("double")
+              / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
           .filter(col("jaccard_sim") >= 0.05)
           .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
           .orderBy(col("doc_id_a"), col("doc_id_b"))
