@@ -1,0 +1,84 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold-layer semantics: Silver→Gold promotion
+  * (`pipeline/spark/delta_to_iceberg.py:23-52`) and the fct_purchases
+  * incremental fact build
+  * (`pipeline/dbt/.../models/gold/fct_purchases.sql`).
+  */
+object Gold {
+
+  /** Silver → Gold promotion: stamp the partition key
+    * (`delta_to_iceberg.py:33`). */
+  def promote(silver: DataFrame): DataFrame =
+    silver.withColumn("purchase_date", to_date(col("transaction_time")))
+
+  /** Create-or-append a partitioned catalog table via the V2 writer —
+    * the `tableExists`-guarded Iceberg write of `delta_to_iceberg.py:36-52`
+    * (parquet provider here; table format is a deployment option).
+    */
+  def writeTable(spark: SparkSession, df: DataFrame, table: String,
+      partitionCol: String): Unit =
+    if (spark.catalog.tableExists(table)) df.writeTo(table).append()
+    else df.writeTo(table).using("parquet")
+      .partitionedBy(col(partitionCol)).create()
+
+  /** The fct_purchases transformation (`fct_purchases.sql:10-47`):
+    * CTE pipeline as plain projections — Catalyst inlines them.
+    * final_amount = price·qty·(1−discount) + supplement (supplement
+    * once per transaction, post-discount — the canonical formula;
+    * see Money.goldFinalAmount for the producer's conflicting one).
+    */
+  def fctPurchases(purchases: DataFrame): DataFrame =
+    purchases
+      .withColumn("total_item_price", col("price") * col("quantity"))
+      .withColumn("total_discount",
+        col("price") * col("quantity") * col("member_discount"))
+      .withColumn("final_amount",
+        col("price") * col("quantity") * (lit(1) - col("member_discount"))
+          + col("supplement_price"))
+      .withColumn("purchase_date", to_date(col("transaction_time")))
+      .select(
+        col("transaction_id").cast("string").as("transaction_id"),
+        col("product_id"), col("purchase_date"), col("final_amount"),
+        col("is_member"), col("ingestion_timestamp"))
+
+  /** Incremental append with HONEST unique_key semantics. The
+    * reference declares `unique_key='transaction_id'` but its append
+    * strategy never enforces it (`fct_purchases.sql:5-7`), and its ids
+    * collide by construction (hash of a second-resolution timestamp,
+    * `producer.py:127,146`). Here:
+    *  1. high-watermark filter on the target's max ingestion_timestamp
+    *     (`fct_purchases.sql:24-27`) — computed as a scalar aggregate,
+    *     the same single-row exchange Catalyst plans for the SQL
+    *     scalar subquery;
+    *  2. first-writer-wins within the batch (row_number over the
+    *     unique key, deterministic tiebreak);
+    *  3. left-anti join against target keys — at scale this shuffles
+    *     only the (narrow) key column of the target.
+    * Returns the rows to append.
+    */
+  def incrementalRows(source: DataFrame, target: Option[DataFrame]): DataFrame = {
+    val fresh = target match {
+      case Some(t) =>
+        val wm = t.agg(max(col("ingestion_timestamp"))).head().getTimestamp(0)
+        if (wm == null) source
+        else source.filter(col("ingestion_timestamp") > lit(wm))
+      case None => source
+    }
+    val w = Window.partitionBy(col("transaction_id"))
+      .orderBy(col("ingestion_timestamp"), col("product_id"), col("final_amount"))
+    val deduped = fresh
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    target match {
+      case Some(t) =>
+        deduped.join(t.select(col("transaction_id")), Seq("transaction_id"),
+          "left_anti")
+      case None => deduped
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** The Silver ingest transform — the parse→flatten→stamp pipeline of
+  * `pipeline/spark/streaming_consumer.py:69-72`, as a pure
+  * `DataFrame => DataFrame` usable identically in batch and
+  * Structured Streaming (the reference's is streaming-only).
+  */
+object Silver {
+
+  /** `value` (binary or string Kafka envelope) → typed purchase rows.
+    * from_json is permissive: nonconforming JSON → NULL columns, like
+    * the reference's "schema enforcement" (SURVEY.md §1.3). The
+    * ingestion stamp is injectable so tests are deterministic; the
+    * default matches `current_timestamp()` (streaming_consumer.py:72).
+    */
+  def parsePurchases(raw: DataFrame,
+      ingestionTs: Column = current_timestamp()): DataFrame =
+    raw
+      .select(col("value").cast("string").as("json_str"))
+      .withColumn("data", from_json(col("json_str"), Schemas.purchase))
+      .select(col("data.*"))
+      .withColumn("ingestion_timestamp", ingestionTs)
+
+  /** Batch Silver write: append-only, partitioned by product_id like
+    * the Delta sink (`streaming_consumer.py:81-88`). Partitioning by
+    * the low-cardinality dimension key keeps per-product scans pruned;
+    * at 100 TB the same layout holds (26 dirs × date-sized files) —
+    * time-based sub-bucketing would be the next knob, not a rewrite.
+    */
+  def writeSilver(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy("product_id").parquet(path)
+
+  def readSilver(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

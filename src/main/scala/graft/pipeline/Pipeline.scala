@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.Anomaly
+import graft.generator.EventGenerator
+import graft.gold.Gold
+import graft.ingest.Silver
+
+/** End-to-end local pipeline mirroring the Airflow DAG's barrier
+  * structure (`pipeline/dags/sales_pipeline_dag.py:101-110`:
+  * produce ∥ ingest → join_streams → promote → fact → score) as
+  * sequential Scala with step-level atomicity — a later step failing
+  * leaves earlier tables untouched ("Gold never updated if Silver
+  * fails", reference README.md:64).
+  */
+object Pipeline {
+
+  final case class Config(
+      lakeDir: String,
+      nEvents: Int = 500,
+      seed: Long = 42L,
+      factTable: String = "fct_purchases")
+
+  final case class Result(
+      silverRows: Long,
+      factRowsAppended: Long,
+      daily: DataFrame,
+      anomalies: DataFrame)
+
+  /** One full run: generate → parse (batch twin of the stream) →
+    * Silver parquet → fct incremental append → daily + anomaly. Safe
+    * to call repeatedly: the incremental step's watermark + anti-join
+    * make re-runs idempotent (second run appends zero).
+    */
+  def run(spark: SparkSession, cfg: Config): Result = {
+    import spark.implicits._
+    val silverPath = s"${cfg.lakeDir}/silver/purchases"
+    val factPath = s"${cfg.lakeDir}/gold/fct_purchases"
+
+    // produce (the generator stands in for Kafka; SURVEY.md §2.2 K7)
+    val gen = EventGenerator.generate(
+      EventGenerator.defaultProducts, cfg.nEvents, cfg.seed)
+    val raw = gen.purchases.map(EventGenerator.toJson).toDF("value")
+
+    // ingest → Silver (deterministic ingestion stamp = event time here;
+    // streaming path covered by StreamingSilver + tests)
+    val parsed = Silver.parsePurchases(raw, ingestionTs = col("transaction_time"))
+    Silver.writeSilver(parsed, silverPath)
+    val silver = Silver.readSilver(spark, silverPath)
+
+    // promote → fact (incremental, honest dedup)
+    val target =
+      if (Files.exists(Paths.get(factPath)))
+        Some(spark.read.parquet(factPath))
+      else None
+    val fct = Gold.fctPurchases(silver)
+    val toAppend = Gold.incrementalRows(fct, target)
+    val appended = toAppend.count()
+    toAppend.write.mode(SaveMode.Append)
+      .partitionBy("purchase_date").parquet(factPath)
+
+    // analytics
+    val daily = Anomaly.dailySales(spark.read.parquet(factPath))
+    val anomalies = Anomaly.RobustZScorer().score(daily)
+    Result(silver.count(), appended, daily, anomalies)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming face of the Silver pipeline — the engine twin
+  * of `pipeline/spark/streaming_consumer.py` with the format/broker
+  * specifics behind a source seam (SURVEY.md §2.1 S1, §2.9).
+  */
+object StreamingSilver {
+
+  /** Source seam: every variant yields a streaming DataFrame with a
+    * `value` column carrying the JSON envelope.
+    */
+  object Sources {
+    /** File-drop source for offline/local runs and tests. */
+    def fileJsonLines(spark: SparkSession, dir: String): DataFrame =
+      spark.readStream.text(dir).withColumnRenamed("value", "value")
+
+    /** Kafka source with the reference's options
+      * (`streaming_consumer.py:55-66`); needs the kafka connector jar
+      * at deploy time — a config concern, not a semantic one.
+      */
+    def kafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("failOnDataLoss", "false")
+        .load()
+  }
+
+  /** Streaming Silver sink: append mode, partitioned by product_id,
+    * checkpointed — `streaming_consumer.py:81-88` with parquet in
+    * place of Delta (table format is a deployment knob). Tests pass
+    * `Trigger.AvailableNow` instead of the reference's 1-minute
+    * processing-time trigger + wall-clock awaitTermination (the
+    * anti-pattern SURVEY.md §7.4 flags).
+    */
+  def startSilverSink(parsed: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .partitionBy("product_id")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .start()
+
+  /** Console fan-out (second concurrent query on the same parsed
+    * stream, `streaming_consumer.py:75-78`).
+    */
+  def startConsoleSink(parsed: DataFrame): StreamingQuery =
+    parsed.writeStream.format("console").option("truncate", value = false)
+      .start()
+
+  /** Streaming twin of the daily rollup: 1-day tumbling window on
+    * event time with a watermark (the reference computes this rollup
+    * offline as a batch GROUP BY — SURVEY.md §2.9). Emits one row per
+    * closed window in append mode.
+    */
+  def dailySalesWindowed(parsed: DataFrame, watermark: String = "1 day"): DataFrame =
+    parsed
+      .withColumn("final_amount",
+        col("price") * col("quantity") * (lit(1) - col("member_discount"))
+          + col("supplement_price"))
+      .withWatermark("transaction_time", watermark)
+      .groupBy(window(col("transaction_time"), "1 day").as("purchase_window"))
+      .agg(
+        sum(col("final_amount")).as("daily_total_sales"),
+        count(col("transaction_id")).as("daily_transaction_count"))
+      .select(to_date(col("purchase_window.start")).as("purchase_date"),
+        col("daily_total_sales"), col("daily_transaction_count"))
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different text about distributed query engines and spark"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "tiny"),                                                            // < 3 tokens
+    (6L, "spark engines distributed about text different completely and query") // same words as 3, diff order
+  ).toDF("doc_id", "text")
+
+  test("explodedShingles = set of word 3-grams (matches the Column-expression form)") {
+    val viaRows = Dedup.explodedShingles(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("s"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaExpr = docs.withColumn("toks", Dedup.tokens(col("text")))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(viaRows(1L) === viaExpr(1L))
+    assert(viaRows(3L) === viaExpr(3L))
+    assert(!viaRows.contains(5L) && viaExpr(5L).isEmpty) // <3 tokens → no shingles
+    assert(viaRows(1L).contains("the quick brown"))
+  }
+
+  test("minhash LSH finds exact + near dups, skips unrelated docs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (a,b) cols are (doc_id_b, doc_id_a) after joins
+    assert(pairs.contains((1L, 4L)) || pairs.contains((4L, 1L))) // exact dup
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L ||
+      (p._1 == 6L && p._2 != 3L && p._2 != 6L)))
+  }
+
+  test("exact-dup pair gets jaccard 1.0") {
+    val sims = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    val key = sims.keys.find(k => Set(k._1, k._2) == Set(1L, 4L)).get
+    assert(sims(key) === 1.0)
+  }
+
+  test("simhash: dup/permutation invariances + blocking join ≡ brute-force hamming ≤ 3") {
+    val hashes = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(4L)) // exact dup
+    // word-order permutation → same token multiset → same simhash (doc 3 vs 6)
+    assert(hashes(3L) === hashes(6L))
+    // pigeonhole blocking must reproduce the brute-force pair set
+    val ids = hashes.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.contains((1L, 4L)) && got.contains((3L, 6L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: 3 tight clusters in 8-d
+  private val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(5)
+    (0 until 60).map { i =>
+      val center = Array.fill(8)(0.0f)
+      center(i % 3) = 1.0f
+      (i.toLong, center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+  }
+  private val emb = vecs.toDF("vec_id", "embedding")
+
+  test("cosine expression matches scala-side computation") {
+    val got = emb.filter(col("vec_id") < 2)
+      .crossJoin(emb.filter(col("vec_id") === 2)
+        .select(col("embedding").as("e2")))
+      .select(Similarity.cosine(
+        Similarity.asDouble(col("embedding")),
+        Similarity.asDouble(col("e2"))).as("c"))
+      .collect().map(_.getDouble(0))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = (a.zip(b).map { case (x, y) => x.toDouble * y }.sum,
+        math.sqrt(a.map(x => x.toDouble * x).sum), math.sqrt(b.map(x => x.toDouble * x).sum))
+      d / (na * nb)
+    }
+    assert(math.abs(got(0) - cos(vecs(0)._2, vecs(2)._2)) < 1e-12)
+    assert(math.abs(got(1) - cos(vecs(1)._2, vecs(2)._2)) < 1e-12)
+  }
+
+  test("brute-force kNN returns k in-cluster neighbors, ranked by similarity") {
+    val res = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") === 0), k = 5)
+      .collect()
+    assert(res.length === 5)
+    // all neighbors from the same cluster (ids ≡ 0 mod 3)
+    assert(res.forall(_.getAs[Long]("n_vec") % 3 === 0))
+    val sims = res.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim_r"))
+    assert(sims.toSeq === sims.sorted.reverse.toSeq)
+  }
+
+  test("hyperplane LSH recall ≥ 0.8 vs brute-force at threshold 0.9") {
+    val truth = {
+      val e = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .withColumn("s", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("s") >= 0.9)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Similarity.lshNeighborPairs(emb, dim = 8, threshold = 0.9, nPlanes = 6)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth)) // exact re-rank: no false positives
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall (${got.size}/${truth.size})")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/punct counts and fingerprint normalization") {
+    val df = Seq(
+      (1L, "Hello, world! This is   a test."),
+      (2L, "hello world this is a test"),
+      (3L, "HELLO,    world! This is a TEST.")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L)._1 === 6L) // "Hello," "world!" "This" "is" "a" "test."
+    assert(rows(1L)._2 === 3L) // comma, bang, period
+    // fingerprint: case+whitespace-insensitive, but punctuation-sensitive
+    assert(rows(1L)._3 === rows(3L)._3)
+    assert(rows(1L)._3 !== rows(2L)._3)
+  }
+
+  test("langId picks the dominant stopword language; CJK wins outright") {
+    val df = Seq(
+      (1L, "the cat and the dog walked over the hill and then some"),
+      (2L, "le chat et la maison et le jardin sont beaux"),
+      (3L, "el perro y los gatos y el sol son bonitos"),
+      (4L, "der Hund und die Katze und der Vogel sind hier"),
+      (5L, "今天天气很好 we went outside")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog ran a fine race through the park and the meadow"),
+      (2L, ";;;,,,!!!...;;;,,,!!!...;;;,,,")).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+}
