@@ -14,8 +14,9 @@ object SparkEntry {
 
   /** Full registry, one QueryDef per implemented operator. */
   def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region — the purchases⋈dims star join the reference's BI

@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support for training-data
+  * pipelines: media ride through the engine as opaque `binary` columns
+  * plus typed metadata; decode / feature-extraction / resize /
+  * frame-sampling run partition-wise so one codec instance serves a
+  * whole partition (the JVM-side analogue of a batched Pandas UDF).
+  *
+  * Scale design (100 TB posture):
+  *  - bytes never enter a shuffle: every operator here is map-side
+  *    (`mapPartitions`), so media moves at most once (scan → derive);
+  *  - derived features are small typed columns — downstream joins and
+  *    aggregations shuffle features/metadata, not payloads;
+  *  - partition sizing is byte-driven: media tables should be written
+  *    with row-group-sized files and read with
+  *    `spark.sql.files.maxPartitionBytes` tuned so a partition of
+  *    decoded frames fits executor memory.
+  *
+  * The actual codecs (JPEG/PNG/PCM/MP4) are NOT in this offline
+  * container, so [[StubCodec]] fakes the decode step with a
+  * deterministic byte-hash synthesis — the Spark-side plumbing
+  * (schemas, batch shape, partition-wise lifecycle, typed output) is
+  * real and tested; swap [[MediaCodec]] for a JNI/JavaCV-backed
+  * implementation at deploy time.
+  */
+object Multimodal {
+
+  // ── typed media model ─────────────────────────────────────────────
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,     // image | audio | video
+      format: String,   // e.g. jpeg, png, pcm16, mp4
+      bytes: Array[Byte])
+
+  final case class DecodedImage(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  final case class AudioClip(
+      media_id: Long, sample_rate: Int, n_samples: Int,
+      samples: Array[Float])
+
+  final case class Frame(
+      media_id: Long, frame_no: Int, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  final case class MediaFeature(
+      media_id: Long, kind: String, embedding: Array[Float])
+
+  // ── codec seam ────────────────────────────────────────────────────
+
+  /** One instance is created per partition (not per row): real codecs
+    * hold native buffers/handles worth reusing across a batch.
+    */
+  trait MediaCodec extends Serializable {
+    def decodeImage(id: Long, format: String, bytes: Array[Byte]): DecodedImage
+    def decodeAudio(id: Long, format: String, bytes: Array[Byte]): AudioClip
+    def frames(id: Long, format: String, bytes: Array[Byte],
+        everyNth: Int): Iterator[Frame]
+  }
+
+  /** STUB — deterministic fake decode (no media libs in this
+    * container). Dimensions and payloads are synthesized from a
+    * rolling hash of the input bytes, so outputs are reproducible,
+    * size-plausible, and content-sensitive (different bytes → different
+    * "pixels"), which is exactly what the plumbing tests need.
+    */
+  object StubCodec extends MediaCodec {
+    private def h64(bytes: Array[Byte], seed: Long): Long = {
+      var h = seed ^ 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+    def decodeImage(id: Long, format: String, bytes: Array[Byte]): DecodedImage = {
+      val h = h64(bytes, 1)
+      val w = 16 + (math.abs(h) % 49).toInt          // 16..64
+      val ht = 16 + (math.abs(h >> 8) % 49).toInt
+      val px = Array.tabulate[Byte](w * ht * 3)(i =>
+        ((h >> (i % 56)) ^ i).toByte)
+      DecodedImage(id, w, ht, 3, px)
+    }
+    def decodeAudio(id: Long, format: String, bytes: Array[Byte]): AudioClip = {
+      val h = h64(bytes, 2)
+      val n = 256 + (math.abs(h) % 769).toInt
+      val s = Array.tabulate(n)(i =>
+        (((h >> (i % 56)) & 0xff) / 127.5f) - 1.0f)
+      AudioClip(id, 16000, n, s)
+    }
+    def frames(id: Long, format: String, bytes: Array[Byte],
+        everyNth: Int): Iterator[Frame] = {
+      val h = h64(bytes, 3)
+      val nFrames = 8 + (math.abs(h) % 25).toInt
+      (0 until nFrames by everyNth).iterator.map { f =>
+        val img = decodeImage(id, format, bytes ++ Array(f.toByte))
+        Frame(id, f, img.width, img.height, img.pixels)
+      }
+    }
+  }
+
+  // ── partition-wise operators ──────────────────────────────────────
+
+  private def asMedia(df: DataFrame): Dataset[MediaRow] =
+    df.select(col("media_id").cast("long"), col("kind"), col("format"),
+        col("bytes"))
+      .as[MediaRow](Encoders.product[MediaRow])
+
+  /** binary → decoded image rows (map-side; codec reused per partition). */
+  def decodeImages(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[DecodedImage] =
+    asMedia(media.filter(col("kind") === "image")).mapPartitions { it =>
+      it.map(m => codec.decodeImage(m.media_id, m.format, m.bytes))
+    }(Encoders.product[DecodedImage])
+
+  /** Nearest-neighbor resize on decoded pixel buffers. */
+  def resize(images: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] =
+    images.mapPartitions { it =>
+      it.map { img =>
+        val px = Array.tabulate[Byte](w * h * img.channels) { i =>
+          val c = i % img.channels
+          val x = (i / img.channels) % w
+          val y = i / (img.channels * w)
+          val sx = x * img.width / w
+          val sy = y * img.height / h
+          img.pixels((sy * img.width + sx) * img.channels + c)
+        }
+        DecodedImage(img.media_id, w, h, img.channels, px)
+      }
+    }(Encoders.product[DecodedImage])
+
+  /** Fixed-dim feature vector per media item: images mean-pool pixel
+    * blocks, audio mean-pools sample windows — derived column is tiny,
+    * so everything downstream (ANN join, dedup) shuffles floats, never
+    * payload bytes.
+    */
+  def features(media: DataFrame, dim: Int = 16,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeature] =
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        val raw: Array[Float] = m.kind match {
+          case "audio" => codec.decodeAudio(m.media_id, m.format, m.bytes).samples
+          case _ =>
+            val img = codec.decodeImage(m.media_id, m.format, m.bytes)
+            img.pixels.map(b => (b & 0xff) / 255.0f)
+        }
+        val emb = Array.tabulate(dim) { j =>
+          val lo = j * raw.length / dim
+          val hi = math.max(lo + 1, (j + 1) * raw.length / dim)
+          var s = 0.0f; var i = lo
+          while (i < hi) { s += raw(i); i += 1 }
+          s / (hi - lo)
+        }
+        MediaFeature(m.media_id, m.kind, emb)
+      }
+    }(Encoders.product[MediaFeature])
+
+  /** Video → sampled frames (1:N flatMap, still map-side). */
+  def sampleFrames(media: DataFrame, everyNth: Int = 5,
+      codec: MediaCodec = StubCodec): Dataset[Frame] =
+    asMedia(media.filter(col("kind") === "video")).mapPartitions { it =>
+      it.flatMap(m => codec.frames(m.media_id, m.format, m.bytes, everyNth))
+    }(Encoders.product[Frame])
+
+  /** Synthesize a media table from any (id, text) corpus — UTF-8 bytes
+    * as stand-in payloads; kind/format assigned round-robin. Lets the
+    * multimodal path run against the driver's `documents` testdata.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      element_at(lit(Array("jpeg", "pcm16", "mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("bytes"))
+}

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second tranche of the operator inventory: multi-dimensional
+  * aggregation (rollup/cube/pivot), statistical aggregates,
+  * percentiles, array/string aggregation, date/time functions,
+  * ranking windows, range + as-of joins, lateral explode, and
+  * approximate aggregates. Each carries a DuckDB oracle except the
+  * approximate ones (error bounds asserted in ScalaTest instead).
+  */
+object AdvancedQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q05_rollup",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val n = broadcast(Tables.load(s, dir, "nation"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderstatus"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""
+        SELECT n_name, o_orderstatus,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderstatus)
+        ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""),
+      headline = true),
+
+    QueryDef(
+      "q06_cube",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(avg(col("o_totalprice")), 4).as("avg_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    QueryDef(
+      "q07_pivot",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum(col("o_totalprice")), 2))
+          .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q08_stat_aggs",
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("covar_qp"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qp,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "q09_percentiles",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q14_array_agg",
+      (s, dir) =>
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 50)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            array_join(sort_array(collect_list(col("c_custkey"))), ",")
+              .as("custkeys"),
+            count(lit(1)).as("n"))
+          .orderBy(col("c_nationkey")),
+      Some("""
+        SELECT c_nationkey,
+               array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+               COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey <= 50
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    QueryDef(
+      "q15_date_functions",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+            date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+            datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+              .cast("bigint").as("days_to_y2k"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    QueryDef(
+      "q16_conditional_agg",
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+            count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+            round(sum(when(col("l_returnflag") === "R",
+              col("l_extendedprice")).otherwise(0.0)), 2).as("returned_value"))
+          .orderBy(col("l_linestatus")),
+      Some("""
+        SELECT l_linestatus,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2)
+                 AS returned_value
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    QueryDef(
+      "q33_ranking_windows",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"),
+            ntile(4).over(w).cast("bigint").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+      },
+      Some("""
+        SELECT c_nationkey, c_custkey, rnk, drnk, quartile, pct_rank
+        FROM (
+          SELECT c_nationkey, c_custkey,
+                 RANK() OVER w AS rnk,
+                 DENSE_RANK() OVER w AS drnk,
+                 NTILE(4) OVER w AS quartile,
+                 ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey))
+        WHERE rnk <= 5
+        ORDER BY c_nationkey, rnk, c_custkey""")),
+
+    QueryDef(
+      "q34_frame_windows",
+      (s, dir) => {
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first_value(col("o_orderkey")).over(
+              byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("first_order"),
+            round(avg(col("o_totalprice")).over(
+              byCust.rowsBetween(-2, Window.currentRow)), 4)
+              .as("moving_avg3"),
+            lead(col("o_orderkey"), 1).over(byCust).as("next_order"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+               ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+               LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_order
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef(
+      "q25_range_join",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        // equi on the key + range on the date: planned as a hash join
+        // with the range as residual — never a cartesian
+        l.join(o, col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") < date_add(to_date(col("o_orderdate")), 60)
+              .cast("timestamp"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("shipped_in_60d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, COUNT(*) AS shipped_in_60d
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate < CAST(CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS TIMESTAMP)
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey"""),
+      headline = true),
+
+    QueryDef(
+      "q26_asof_join",
+      (s, dir) => {
+        // as-of: for each event, the latest signup ts of the same user
+        // at-or-before it — expressed as a conditional running max, so
+        // it's ONE window pass over the user partition (no self-join,
+        // no per-row subquery; scales as a sort within user groups).
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            max(when(col("event_type") === "signup", col("ts")))
+              .over(w).as("asof_signup_ts"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("asof_signup_ts")).as("asof_signup_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_ms((SELECT MAX(e2.ts) FROM events e2
+                         WHERE e2.user_id = e.user_id
+                           AND e2.event_type = 'signup'
+                           AND e2.ts <= e.ts)) AS asof_signup_ms
+        FROM events e
+        ORDER BY e.event_id""")),
+
+    QueryDef(
+      "q46_lateral_explode",
+      (s, dir) =>
+        Tables.load(s, dir, "part")
+          .select(col("p_partkey"),
+            explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p_partkey")).as("first_part"))
+          .filter(col("n") >= 5)
+          .orderBy(col("word")),
+      Some("""
+        SELECT word, COUNT(*) AS n, MIN(p_partkey) AS first_part
+        FROM (SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
+              FROM part)
+        GROUP BY word
+        HAVING COUNT(*) >= 5
+        ORDER BY word""")),
+
+    QueryDef(
+      "q47_correlated_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // above-average-for-their-nation customers via correlated scalar
+        // subquery; Catalyst decorrelates to an aggregate + join
+        s.sql("""
+          SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+          FROM customer c
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")),
+
+    // approximate aggregates: engine-specific sketches can't hash-match
+    // an oracle; error bounds vs exact counts asserted in ScalaTest
+    QueryDef(
+      "q48_approx_aggs",
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count_distinct(col("l_partkey")).as("exact_parts"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+              .as("approx_median"))
+          .orderBy(col("l_returnflag")),
+      None)
+  )
+}
