@@ -23,12 +23,25 @@ object Similarity {
 
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Lambda-builtin formulations: dependency-free but interpreted per
+    * element. The pipelines below use the codegen'd native twins from
+    * graft.functions (identical sequential-double semantics).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd twins (register [[graft.functions.GraftFunctions]]
+    * on the session first; all entry points here do).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 
   /** Brute-force top-k cosine neighbors for the query vectors.
     * Queries are broadcast; neighbors never shuffle until the
@@ -37,13 +50,16 @@ object Similarity {
   def bruteForceKnn(embeddings: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // embeddings stay array<float>: the native expression reads floats
+    // directly (no per-row double-array materialization)
     val n = embeddings.select(col("vec_id").as("n_vec"),
-      asDouble(col("embedding")).as("nv"))
+      col("embedding").as("nv"))
     val q = queries.select(col("vec_id").as("q_vec"),
-      asDouble(col("embedding")).as("qv"))
+      col("embedding").as("qv"))
     val pairs = n.crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("sim_r", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("sim_r").desc, col("n_vec"))
     pairs
@@ -62,7 +78,7 @@ object Similarity {
   /** 16-bit random-hyperplane bucket signature for LSH-based ANN. */
   def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int = 16): Column =
     (0 until nPlanes).map { j =>
-      when(dot(v, planes(nPlanes, dim)(j)) >= 0,
+      when(dotNative(v, planes(nPlanes, dim)(j)) >= 0,
         shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -71,14 +87,14 @@ object Similarity {
     */
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim_r", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim_r", round(cosineNative(col("va"), col("vb")), 6))
       .filter(col("sim_r") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim_r"))
       .distinct()

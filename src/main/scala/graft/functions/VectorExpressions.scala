@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native vector expressions for the similarity-search hot path.
+  *
+  * Spark's lambda builtins (`aggregate`/`zip_with`) can express a dot
+  * product but evaluate interpreted — per element: a lambda-variable
+  * bind + boxed dispatch. For ANN over millions of vectors that inner
+  * loop IS the query, so this is the textbook case for a custom
+  * Catalyst `Expression` with `doGenCode` (SURVEY.md §2.12): the
+  * generated Java is a tight primitive loop inside whole-stage
+  * codegen — no boxing, no virtual calls, and `array<float>` embeddings
+  * are read natively (no up-cast materialization of the array).
+  *
+  * Semantics match the lambda formulation bit-for-bit for double
+  * inputs: sequential left-to-right double accumulation in element
+  * order (so results hash-compare equal against the DuckDB oracle's
+  * list_dot_product). Array elements must be non-null.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case org.apache.spark.sql.types.NullType => Some(DoubleType) // NULL literal
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  /** Interpreted accessor for one side's element type. */
+  protected def getD(e: Expression): (ArrayData, Int) => Double =
+    e.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case _ => (a, i) => a.getDouble(i)
+    }
+
+  /** Codegen accessor snippet for one side's element type. */
+  protected def getCode(e: Expression, arr: String, i: String): String =
+    e.dataType match {
+      case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+}
+
+/** cosine(a, b) = a·b / (‖a‖·‖b‖) in one fused pass. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_cosine"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val gx = getD(left); val gy = getD(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = gx(x, i); val yi = gy(y, i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $xi = ${getCode(left, a, i)};
+          final double $yi = ${getCode(right, b, i)};
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) — same fused primitive loop, no normalization. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val gx = getD(left); val gy = getD(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += gx(x, i) * gy(y, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (${getCode(left, a, i)}) * (${getCode(right, b, i)});
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: per-session (`GraftFunctions.register(spark)`, which
+  * queries call idempotently) or config-time via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two vectors"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions`-style injector. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

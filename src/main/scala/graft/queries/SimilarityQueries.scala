@@ -42,14 +42,15 @@ object SimilarityQueries {
     QueryDef(
       "q71_neardup_cosine",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
         a.crossJoin(b)
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("sim_r",
-            round(Similarity.cosine(col("va"), col("vb")), 6))
+            round(Similarity.cosineNative(col("va"), col("vb")), 6))
           .filter(col("sim_r") >= 0.4)
           .select(col("vec_a"), col("vec_b"), col("sim_r"))
           .orderBy(col("vec_a"), col("vec_b"))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  test("native codegen cosine/dot ≡ lambda-builtin formulation, bit-for-bit") {
+    val rows = df.select(
+      Similarity.cosineNative(col("a"), col("b")).as("nc"),
+      Similarity.cosine(col("a"), col("b")).as("hc"),
+      Similarity.dotNative(col("a"), col("b")).as("nd"),
+      Similarity.dot(col("a"), col("b")).as("hd")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact: same eval order
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("registered in SQL; float arrays arrive via implicit cast") {
+    val f = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "x", "y")
+    f.createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT graft_cosine(x, y) AS c, graft_dot(x, y) AS d FROM vecs").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 14.0)
+    // null input → null out (BinaryExpression default null handling)
+    assert(spark.sql("SELECT graft_dot(NULL, array(1.0d)) IS NULL AS n")
+      .head().getBoolean(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // repartition prevents ConvertToLocalRelation from pre-evaluating
+    // the projection driver-side; AQE finalizes the plan only after
+    // execution, so run it before inspecting
+    val q = df.repartition(2)
+      .select(Similarity.cosineNative(col("a"), col("b")))
+    q.collect()
+    // AQE renders codegen stages as "*(n) Project" — the star is the
+    // WholeStageCodegen marker
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
