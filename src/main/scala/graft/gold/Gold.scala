@@ -16,15 +16,21 @@ object Gold {
   def promote(silver: DataFrame): DataFrame =
     silver.withColumn("purchase_date", to_date(col("transaction_time")))
 
-  /** Create-or-append a partitioned catalog table via the V2 writer —
-    * the `tableExists`-guarded Iceberg write of `delta_to_iceberg.py:36-52`
-    * (parquet provider here; table format is a deployment option).
+  /** Create-or-append a partitioned catalog table — the
+    * `tableExists`-guarded Iceberg write of `delta_to_iceberg.py:36-52`.
+    * The session (v1) catalog used offline rejects
+    * `DataFrameWriterV2.append()` ("Cannot write into v1 table"), so
+    * both branches go through the by-name `saveAsTable` path; against
+    * a real v2 catalog (Iceberg/Delta at deploy time) swap to
+    * `writeTo(table).partitionedBy(...).create()` / `.append()`.
     */
   def writeTable(spark: SparkSession, df: DataFrame, table: String,
       partitionCol: String): Unit =
-    if (spark.catalog.tableExists(table)) df.writeTo(table).append()
-    else df.writeTo(table).using("parquet")
-      .partitionedBy(col(partitionCol)).create()
+    if (spark.catalog.tableExists(table))
+      df.write.mode("append").format("parquet").partitionBy(partitionCol)
+        .saveAsTable(table)
+    else df.write.format("parquet").partitionBy(partitionCol)
+      .saveAsTable(table)
 
   /** The fct_purchases transformation (`fct_purchases.sql:10-47`):
     * CTE pipeline as plain projections — Catalyst inlines them.

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.gold.Gold
+import graft.model.Purchase
+import graft.sources.ProductCsv
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeTable: tableExists-guarded create-partitioned / append (delta_to_iceberg.py:36-52)") {
+    val ts = Timestamp.valueOf("2025-06-01 10:00:00")
+    val fct = Gold.fctPurchases(
+      Seq(Purchase(ts, "1", "CS01", 4.99, 1, false, 0.0, false, 0.0)).toDS()
+        .toDF().withColumn("ingestion_timestamp", col("transaction_time")))
+    spark.sql("CREATE DATABASE IF NOT EXISTS ecommerce_data_lake")
+    val table = "ecommerce_data_lake.fct_purchases_cat_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    assert(!spark.catalog.tableExists(table))
+    Gold.writeTable(spark, fct, table, "purchase_date")
+    assert(spark.catalog.tableExists(table))
+    assert(spark.table(table).count() === 1)
+    Gold.writeTable(spark, fct, table, "purchase_date") // append branch
+    assert(spark.table(table).count() === 2)
+    // partitioned layout survived the v2 create
+    val part = spark.sql(s"DESCRIBE TABLE $table").collect()
+      .map(_.getString(0))
+    assert(part.contains("# Partition Information"))
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("catalog introspection builtins (debug_catalog.sql:1-3)") {
+    val r = spark.sql(
+      "SELECT current_catalog() AS cat, current_schema() AS sch").head()
+    assert(r.getString(0) === "spark_catalog")
+    assert(r.getString(1) !== null)
+  }
+
+  test("product CSV seed: header read, typed cast, lower(x)=='true' bools") {
+    val dir = tmpDir("products-csv")
+    val csv =
+      """ID,Category,Item,Size,COGS,Price,Inventory,ContainsFruit,ContainsVeggies,ContainsNuts,ContainsCaffeine,_CatWeight,_ItemWeight,_TotalWeight,_RangeWeight
+        |CS01,Classic Smoothies,Sunrise Sunset,24 oz.,1.50,4.99,75,TRUE,FALSE,FALSE,FALSE,3,1,3,3
+        |SC02,Supercharged Smoothies,Triple Berry,24 oz.,2.00,6.99,75,true,false,TRUE,tRuE,2,1,2,5""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/products.csv"), csv)
+    val products = ProductCsv.load(spark, s"$dir/products.csv").collect()
+      .map(p => p.product_id -> p).toMap
+    assert(products.size === 2)
+    assert(products("CS01").price === 4.99)
+    assert(products("CS01").contains_fruit && !products("CS01").contains_veggies)
+    assert(products("SC02").contains_caffeine) // mixed-case "tRuE"
+    assert(products("SC02").propensity_to_buy === 5)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the properties that decide whether
+  * a query survives a 100× scale-up: filters/projections reaching the
+  * parquet scan, dimension joins broadcasting, range joins never
+  * degenerating to cartesian products, window pipelines sharing one
+  * exchange. Run at sf0.001 (plan shape is scale-invariant; AQE may
+  * re-pick join strategies at runtime, so these check the static plan).
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q01: ship-date filter pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q03: column pruning — scan reads only the 4 needed columns") {
+    val p = plan("q03_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+      "l_shipdate").forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q20/q21: dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q20_join_broadcast").contains("BroadcastHashJoin"))
+    val p = plan("q21_join_multi")
+    assert(count(p, "BroadcastHashJoin") >= 2, p) // nation & region at least
+  }
+
+  test("q22/q23: semi/anti joins plan as real join operators") {
+    assert(plan("q22_semi_join").contains("LeftSemi"))
+    assert(plan("q23_anti_join").contains("LeftAnti"))
+  }
+
+  test("q25: equi+range join is a hash/merge join, never cartesian") {
+    val p = plan("q25_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("q26: as-of via running max — one window pass, zero joins") {
+    val p = plan("q26_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") === 1, p)
+  }
+
+  test("q51: sessionize — both window passes + final agg share ONE data shuffle") {
+    // the only hash exchange is on user_id; the rangepartitioning one
+    // is the presentation ORDER BY, not data movement between operators
+    val p = plan("q51_sessionize")
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q30: top-n per group — one data shuffle + WindowGroupLimit pushdown") {
+    val p = plan("q30_topn_per_group")
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    // rank<=3 filter pushed below the shuffle as a partial group limit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q60: exact dedup is one hash-agg pair with map-side partial") {
+    val p = plan("q60_dedup_exact")
+    assert(count(p, "HashAggregate") >= 2, p) // partial + final
+    assert(count(p, "Exchange") <= 2, p)      // agg shuffle (+ sort for output order)
+  }
+}

@@ -7,13 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * the test run fast; UTC + small shuffle width everywhere).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-tests")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    System.setProperty("derby.system.home", scratch.toString)
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {
