@@ -82,6 +82,101 @@ object Similarity {
         shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
+    * learned from a deterministic sample, each vector assigned to its
+    * nearest centroid map-side; a query probes the `nProbe` nearest
+    * cells and re-ranks exactly inside them. At 100 TB the cell
+    * assignment is a map-side pass, candidate generation an equi-join
+    * on cell_id — the scan never goes N², and recall is tunable via
+    * nProbe without re-indexing.
+    *
+    * Centroid "training" is one k-means-style refinement pass over the
+    * sample (seeded initial pick → mean of assigned) — deterministic,
+    * driver-side on ≤ `sampleN` vectors only.
+    */
+  def ivfIndex(embeddings: DataFrame, nCells: Int, sampleN: Int = 2048)
+      : (DataFrame, Array[Array[Double]]) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val sample = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(997)), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val k = math.min(nCells, sample.length)
+    var centroids = sample.take(k)
+    // one refinement pass (driver-side, sample only)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = sample.groupBy(v => nearest(v, centroids))
+    centroids = centroids.indices.map { c =>
+      assigned.get(c) match {
+        case Some(vs) =>
+          val m = new Array[Double](vs.head.length)
+          vs.foreach(v => (0 until m.length).foreach(i => m(i) += v(i)))
+          m.map(_ / vs.length)
+        case None => centroids(c)
+      }
+    }.toArray
+    // map-side cell assignment: best cell by dot − ½‖c‖² (∝ −½·euclid²)
+    val withCell = embeddings
+      .withColumn("__cents", centroidsLit(centroids))
+      .withColumn("cell_id",
+        probeCellsExpr("embedding", centroids.length, 1).getItem(0))
+      .drop("__cents")
+    (withCell, centroids)
+  }
+
+  private def centroidsLit(cs: Array[Array[Double]]): Column =
+    array(cs.map(c => array(c.map(lit): _*)): _*)
+
+  /** array<int> of the `nProbe` best cell ids for vector column `v`
+    * (expects a bound `__cents` column of centroid literals). Sorting
+    * structs of (−score, idx) gives a deterministic argmax chain.
+    */
+  private def probeCellsExpr(v: String, nCents: Int, nProbe: Int): Column =
+    expr(
+      s"""transform(slice(array_sort(
+            transform(sequence(0, ${nCents - 1}), i ->
+              struct(-(graft_dot($v, element_at(__cents, i + 1))
+                - 0.5 * graft_dot(element_at(__cents, i + 1),
+                    element_at(__cents, i + 1))) AS negs,
+                i AS idx))), 1, $nProbe), s -> s.idx)""")
+
+  /** IVF query: probe the nProbe best cells per query vector, exact
+    * cosine re-rank inside them.
+    */
+  def ivfKnn(indexed: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(indexed.sparkSession)
+    // per-query top-nProbe cells by the same maximized score used for
+    // assignment (dot − ½‖c‖² ∝ −½·euclidean²)
+    val q2 = queries
+      .select(col("vec_id").as("q_vec"), col("embedding").as("qv"))
+      .withColumn("__cents", centroidsLit(centroids))
+      .withColumn("cell_id",
+        explode(probeCellsExpr("qv", centroids.length, nProbe)))
+      .select(col("q_vec"), col("qv"), col("cell_id").cast("int").as("cell_id"))
+    val cands = q2.join(indexed.select(col("cell_id"),
+        col("vec_id").as("n_vec"), col("embedding").as("nv")),
+      Seq("cell_id"))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("sim_r").desc, col("n_vec"))
+    cands.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
+  }
+
   /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
     * cosine filters at `threshold`. Recall trades off with nPlanes.
     */

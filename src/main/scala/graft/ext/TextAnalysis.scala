@@ -19,6 +19,18 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     size(split(trim(c), "\\s+")).cast("bigint")
 
+  /** BPE-ish pre-tokenizer count (GPT-2-style boundary regex:
+    * contraction suffixes, letter runs, digit runs, punctuation runs —
+    * each optionally space-prefixed). Counts the segments a byte-pair
+    * tokenizer would start from; ~proportional to LLM token counts,
+    * deterministic, codegen'd.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpePattern)).cast("bigint")
+
   /** Count of punctuation characters (fixed portable set). */
   def punctCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("bigint")

@@ -61,9 +61,12 @@ object Pipeline {
     toAppend.write.mode(SaveMode.Append)
       .partitionBy("purchase_date").parquet(factPath)
 
-    // analytics
+    // analytics (+ CSV result sink, K6 of anomaly_detection.py:56-60)
     val daily = Anomaly.dailySales(spark.read.parquet(factPath))
     val anomalies = Anomaly.RobustZScorer().score(daily)
+    anomalies.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")
     Result(silver.count(), appended, daily, anomalies)
   }
 }

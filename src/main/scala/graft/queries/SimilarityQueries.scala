@@ -68,6 +68,18 @@ object SimilarityQueries {
         ORDER BY vec_a, vec_b""")),
 
     QueryDef(
+      "q73_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 16)
+        Similarity.ivfKnn(indexed, cents,
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+          .orderBy(col("q_vec"), col("rn"))
+      },
+      None,
+      headline = true),
+
+    QueryDef(
       "q72_ann_lsh",
       (s, dir) =>
         Similarity.lshNeighborPairs(

@@ -110,6 +110,24 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     QueryDef(
+      "q67_bpe_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("ws_tokens"),
+            bpeTokenCount(col("text")).as("bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                 AS BIGINT) AS bpe_tokens
+        FROM documents
+        ORDER BY doc_id""")),
+
+    QueryDef(
       "q63_lang_quality_agg",
       (s, dir) =>
         Tables.load(s, dir, "documents")

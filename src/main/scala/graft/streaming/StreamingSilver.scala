@@ -57,6 +57,25 @@ object StreamingSilver {
     parsed.writeStream.format("console").option("truncate", value = false)
       .start()
 
+  /** Kafka producer envelope (K7, `producer.py:187-193`): every column
+    * JSON-serialized into a single `value` string. Batch or streaming;
+    * `.writeStream.format("kafka")` (plus broker options) publishes it
+    * when the connector jar is present — in-engine tests round-trip it
+    * through `Silver.parsePurchases` instead.
+    */
+  def toKafkaEnvelope(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Streaming dedup on the declared unique key with a watermark-bound
+    * state (the honest streaming face of the reference's unenforced
+    * `unique_key`, SURVEY.md §2.8): duplicates arriving within the
+    * watermark horizon are dropped exactly once.
+    */
+  def dedupedStream(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withWatermark("transaction_time", watermark)
+      .dropDuplicates("transaction_id", "transaction_time")
+
   /** Streaming twin of the daily rollup: 1-day tumbling window on
     * event time with a watermark (the reference computes this rollup
     * offline as a batch GROUP BY — SURVEY.md §2.9). Emits one row per
