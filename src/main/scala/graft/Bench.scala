@@ -30,7 +30,22 @@ object Bench {
     // JVM/codegen/reader warmup outside the timed loop
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     SparkEntry.headlines.headOption.foreach(runOne)
-    val results = SparkEntry.headlines.map(n => n -> runOne(n))
+    // streaming-ingest throughput: parse+flatten+stamp+partitioned write
+    // of 100k generated purchase events (the reference producer tops out
+    // at ~2 events/s; this measures the engine's single-node ceiling)
+    val ingestSec = {
+      import spark.implicits._
+      val gen = graft.generator.EventGenerator.generate(
+        graft.generator.EventGenerator.defaultProducts, 100000)
+      val raw = gen.purchases.map(graft.generator.EventGenerator.toJson).toDF("value")
+      val out = java.nio.file.Files.createTempDirectory("bench-silver").toString
+      val t0 = System.nanoTime()
+      graft.ingest.Silver.writeSilver(
+        graft.ingest.Silver.parsePurchases(raw), out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.headlines.map(n => n -> runOne(n)) :+
+      ("ingest_parse_write_100k" -> ingestSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
