@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.GraftFunctions
+
+/** The library's session entry point: a SparkSession preconfigured the
+  * way every graft operator expects — UTC, AQE on (runtime coalescing
+  * + skew-join splitting), shuffle width sized to the machine rather
+  * than Spark's default 200, and the graft native functions installed.
+  *
+  * On a real cluster the same knobs apply; only `master` and the
+  * shuffle width change (set `spark.sql.shuffle.partitions` ≈ 2–3× the
+  * executor-core count, and `spark.sql.files.maxPartitionBytes` so a
+  * scan task's partition fits comfortably in executor memory).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+
+  /** Build (or reuse) the session and ensure graft functions are
+    * registered even when the session pre-existed without the
+    * extensions config.
+    */
+  def create(master: String = "local[*]",
+      shufflePartitions: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -13,12 +13,8 @@ object RunLocal {
     val lakeDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-lake").toString)
     val nEvents = args.lift(1).map(_.toInt).getOrElse(500)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_MASTER", "local[4]"), "4")
     spark.sparkContext.setLogLevel("WARN")
     val res = Pipeline.run(spark, Pipeline.Config(lakeDir, nEvents))
     println(s"[pipeline] lake=$lakeDir silverRows=${res.silverRows} " +

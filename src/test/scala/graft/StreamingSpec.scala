@@ -33,6 +33,37 @@ class StreamingSilverSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 200)
   }
 
+  test("multi-sink fan-out: two concurrent queries on one parsed stream (streaming_consumer.py:75-88)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 150)
+    val stream = MemoryStream[String]
+    stream.addData(gen.purchases.map(EventGenerator.toJson))
+    val parsed = Silver.parsePurchases(stream.toDF())
+    val out = tmpDir("fanout-parquet")
+    val ckpt = tmpDir("fanout-ckpt")
+    val q1 = StreamingSilver.startSilverSink(parsed, out, ckpt,
+      trigger = Trigger.AvailableNow())
+    val q2 = parsed.writeStream.format("memory").queryName("fanout_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(); q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 150)
+    assert(spark.table("fanout_mem").count() === 150)
+  }
+
+  test("watermarked streaming dropDuplicates emits each transaction_id once") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 100)
+    val json = gen.purchases.map(EventGenerator.toJson)
+    val stream = MemoryStream[String]
+    stream.addData(json ++ json.take(40)) // 40 duplicates
+    val q = StreamingSilver.dedupedStream(
+        Silver.parsePurchases(stream.toDF()))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_stream").count() === 100)
+  }
+
   test("watermarked 1-day tumbling window equals the batch daily rollup") {
     implicit val sqlCtx = spark.sqlContext
     val gen = EventGenerator.generate(EventGenerator.defaultProducts, 500,
