@@ -44,8 +44,8 @@ object Gold {
       .withColumn("total_discount",
         col("price") * col("quantity") * col("member_discount"))
       .withColumn("final_amount",
-        col("price") * col("quantity") * (lit(1) - col("member_discount"))
-          + col("supplement_price"))
+        graft.model.Money.goldFinalAmountCol(col("price"), col("quantity"),
+          col("member_discount"), col("supplement_price")))
       .withColumn("purchase_date", to_date(col("transaction_time")))
       .select(
         col("transaction_id").cast("string").as("transaction_id"),

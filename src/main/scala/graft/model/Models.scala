@@ -87,12 +87,22 @@ object Schemas {
   * SURVEY.md §2.4 F7. Gold's is canonical downstream.
   */
 object Money {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+
   /** `fct_purchases.sql:35`: supplement added once per transaction,
     * after the discount.
     */
   def goldFinalAmount(price: Double, quantity: Int, memberDiscount: Double,
       supplementPrice: Double): Double =
     price * quantity * (1 - memberDiscount) + supplementPrice
+
+  /** Column form of the same formula — the ONE place it is spelled for
+    * DataFrame pipelines (Gold.fctPurchases, streaming windowed sales).
+    */
+  def goldFinalAmountCol(price: Column, quantity: Column,
+      memberDiscount: Column, supplementPrice: Column): Column =
+    price * quantity * (lit(1) - memberDiscount) + supplementPrice
 
   /** `purchase.py:23-25`: supplement per unit, inside the discount,
     * rounded to cents.

@@ -335,6 +335,70 @@ object AdvancedQueries {
                            WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")),
 
+    QueryDef(
+      "q17_minby_maxby",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            // struct-valued ordering key makes ties deterministic
+            min_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest"),
+            max_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey"))).as("priciest"),
+            round(min(col("o_totalprice")), 2).as("min_price"),
+            round(max(col("o_totalprice")), 2).as("max_price"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn_min,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+          FROM orders)
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest,
+               MIN(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM r
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q49_null_aggregates",
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .withColumn("v", when(col("o_orderstatus") === "P", lit(null))
+            .otherwise(col("o_totalprice")))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_all"),
+            count(col("v")).as("n_nonnull"),
+            round(sum(col("v")), 2).as("sum_v"),
+            round(avg(col("v")), 4).as("avg_v"),
+            count(when(col("v").isNull, 1)).as("n_null"),
+            count(when(col("v") <=> lit(null), 1)).as("n_null_safe_eq"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        WITH t AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_totalprice END AS v
+          FROM orders)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(v) AS n_nonnull,
+               ROUND(SUM(v), 2) AS sum_v,
+               ROUND(AVG(v), 4) AS avg_v,
+               COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+               COUNT(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 END)
+                 AS n_null_safe_eq
+        FROM t
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // approximate aggregates: engine-specific sketches can't hash-match
     // an oracle; error bounds vs exact counts asserted in ScalaTest
     QueryDef(

@@ -84,8 +84,8 @@ object StreamingSilver {
   def dailySalesWindowed(parsed: DataFrame, watermark: String = "1 day"): DataFrame =
     parsed
       .withColumn("final_amount",
-        col("price") * col("quantity") * (lit(1) - col("member_discount"))
-          + col("supplement_price"))
+        graft.model.Money.goldFinalAmountCol(col("price"), col("quantity"),
+          col("member_discount"), col("supplement_price")))
       .withWatermark("transaction_time", watermark)
       .groupBy(window(col("transaction_time"), "1 day").as("purchase_window"))
       .agg(
