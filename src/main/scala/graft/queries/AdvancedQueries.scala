@@ -336,6 +336,71 @@ object AdvancedQueries {
         ORDER BY c_custkey""")),
 
     QueryDef(
+      "q18_array_functions",
+      (s, dir) =>
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 100)
+          .groupBy(col("c_nationkey"))
+          .agg(sort_array(collect_list(col("c_custkey"))).as("keys"))
+          .select(
+            col("c_nationkey"),
+            size(col("keys")).cast("bigint").as("n"),
+            element_at(col("keys"), 1).as("first_key"),
+            element_at(col("keys"), -1).as("last_key"),
+            array_contains(col("keys"), 7L).as("has_7"),
+            array_join(transform(slice(col("keys"), 1, 3), _ * 2), ",")
+              .as("doubled_head"),
+            round(aggregate(col("keys"), lit(0L), (a, x) => a + x)
+              .cast("double") / size(col("keys")), 4).as("mean_key"))
+          .orderBy(col("c_nationkey")),
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, list_sort(list(c_custkey)) AS keys
+          FROM customer WHERE c_custkey <= 100
+          GROUP BY c_nationkey)
+        SELECT c_nationkey,
+               CAST(len(keys) AS BIGINT) AS n,
+               keys[1] AS first_key,
+               keys[-1] AS last_key,
+               list_contains(keys, 7) AS has_7,
+               array_to_string(list_transform(keys[1:3], x -> x * 2), ',')
+                 AS doubled_head,
+               ROUND(CAST(list_sum(keys) AS DOUBLE) / len(keys), 4) AS mean_key
+        FROM g
+        ORDER BY c_nationkey""")),
+
+    QueryDef(
+      "q19_string_functions",
+      (s, dir) =>
+        Tables.load(s, dir, "nation")
+          .select(
+            col("n_nationkey"),
+            initcap(lower(col("n_name"))).as("pretty"),
+            lpad(col("n_name"), 12, ".").as("padded"),
+            translate(col("n_name"), "AEIOU", "aeiou").as("devoweled"),
+            regexp_replace(col("n_name"), "[AEIOU]", "_").as("masked"),
+            split(col("n_name"), "A").getItem(0).as("first_seg"),
+            instr(col("n_name"), "AN").cast("bigint").as("an_pos"),
+            reverse(col("n_name")).as("rev"),
+            repeat(substring(col("n_name"), 1, 2), 2).as("rep2"))
+          .orderBy(col("n_nationkey")),
+      Some("""
+        SELECT n_nationkey,
+               -- DuckDB initcap keeps other chars; emulate Spark's
+               -- word-wise titlecase over the lowercased name
+               list_aggregate(list_transform(string_split(lower(n_name), ' '),
+                 w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS pretty,
+               lpad(n_name, 12, '.') AS padded,
+               translate(n_name, 'AEIOU', 'aeiou') AS devoweled,
+               regexp_replace(n_name, '[AEIOU]', '_', 'g') AS masked,
+               string_split(n_name, 'A')[1] AS first_seg,
+               CAST(instr(n_name, 'AN') AS BIGINT) AS an_pos,
+               reverse(n_name) AS rev,
+               repeat(n_name[1:2], 2) AS rep2
+        FROM nation
+        ORDER BY n_nationkey""")),
+
+    QueryDef(
       "q17_minby_maxby",
       (s, dir) =>
         Tables.load(s, dir, "orders")

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.gold.Gold
+
+/** Streaming → Gold with the honest unique_key semantics: per
+  * micro-batch, `foreachBatch` runs the SAME incremental logic the
+  * batch pipeline uses (watermark filter + first-writer-wins dedup +
+  * anti-join against the target) and appends the survivors — i.e. the
+  * reference's dbt incremental model as a continuously-running query,
+  * with the dedup its `unique_key` promises but never enforces.
+  *
+  * foreachBatch (not a plain parquet sink) because the dedup needs to
+  * read the current target state; each batch is a small batch job with
+  * full access to the existing table. At scale the anti-join shuffles
+  * only the target's key column.
+  */
+object StreamingGold {
+
+  def startIncrementalFact(parsed: DataFrame, factPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    Gold.fctPurchases(parsed).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(factPath)))
+            Some(spark.read.parquet(factPath))
+          else None
+        Gold.incrementalRows(batch, target)
+          .write.mode(SaveMode.Append)
+          .partitionBy("purchase_date").parquet(factPath)
+      }
+      .start()
+}
