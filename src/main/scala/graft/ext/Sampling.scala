@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines.
+  *
+  * `weightedSample` distributes the reference producer's weighted
+  * product draw (`producer.py:131-134,203-204`: cumulative-weight
+  * ladder + uniform draw + nearest match) as a DataFrame op: the
+  * dimension's cumulative ranges are computed with one window pass,
+  * draws range-join into them. For a dimension table that fits in a
+  * broadcast (the usual case) the join is broadcast + residual range
+  * predicate — no shuffle of the draws.
+  *
+  * `hashSplit` is THE reproducible train/val/test idiom at 100 TB:
+  * bucket by a hash of a stable id — no shuffle, no state, stable
+  * across runs/machines/engine versions, and rows never migrate
+  * between splits when the dataset grows.
+  */
+object Sampling {
+
+  /** Draw `n` rows (with replacement) from `dim`, each row weighted by
+    * `weightCol`. Deterministic for a fixed seed.
+    */
+  def weightedSample(dim: DataFrame, weightCol: String, n: Int,
+      seed: Long = 42L): DataFrame = {
+    // content-hash tiebreak keeps the cumulative ranges deterministic
+    // regardless of partition layout
+    val w = Window.orderBy(col(weightCol),
+      xxhash64(struct(dim.columns.map(col): _*)))
+    val cum = dim
+      .withColumn("__hi", sum(col(weightCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col(weightCol))
+    val total = cum.agg(max(col("__hi"))).head().get(0).toString.toDouble
+    val draws = dim.sparkSession.range(n.toLong)
+      .withColumn("__r", rand(seed) * total)
+    draws.join(broadcast(cum),
+        col("__r") >= col("__lo") && col("__r") < col("__hi"))
+      .drop("__r", "__lo", "__hi")
+      .withColumnRenamed("id", "draw_id")
+  }
+
+  /** Deterministic hash split: assigns each row to the first named
+    * split whose cumulative fraction covers `xxhash64(idCol) mod 10^6`.
+    * Returns the input plus a `split` column. Map-side only.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val buckets = 1000000L
+    val h = pmod(xxhash64(col(idCol)), lit(buckets))
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr0: Column = lit(fractions.last._1)
+    val split = fractions.map(_._1).zip(cuts).init.reverse
+      .foldLeft(expr0) { case (acc, (name, cut)) =>
+        when(h < (cut * buckets).toLong, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Stratified sample: per-stratum fractions, seeded (builtin
+    * sampleBy exposed at the engine surface for discoverability).
+    */
+  def stratified(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

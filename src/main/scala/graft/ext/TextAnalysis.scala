@@ -67,6 +67,24 @@ object TextAnalysis {
       4)
   }
 
+  /** Rule-based document filter for training-data curation: composes
+    * the analysis columns into a keep/drop decision plus the FIRST
+    * failing rule as a reason (deterministic precedence, so drop
+    * reasons are stable for pipeline debugging). All codegen'd column
+    * arithmetic — at 100 TB this is a map-side pass over the corpus.
+    */
+  def qualityFilter(text: Column,
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.2): Column = {
+    val nTok = tokenCount(text)
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    when(nTok < minTokens, lit("too_short"))
+      .when(nTok > maxTokens, lit("too_long"))
+      .when(punctRatio > maxPunctRatio, lit("punct_soup"))
+      .otherwise(lit("keep"))
+  }
+
   /** Stopword/char-class language heuristic over {en,fr,es,de,zh}.
     * Precedence chain is deterministic: CJK chars win, then the
     * highest stopword hit count in fixed order fr → es → de → en.

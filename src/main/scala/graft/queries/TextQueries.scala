@@ -128,6 +128,35 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     QueryDef(
+      "q68_quality_filter",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            qualityFilter(col("text"), minTokens = 20, maxTokens = 150,
+              maxPunctRatio = 0.05).as("verdict"))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("verdict")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
+          FROM documents),
+        v AS (
+          SELECT doc_id,
+            CASE WHEN n_tok < 20 THEN 'too_short'
+                 WHEN n_tok > 150 THEN 'too_long'
+                 WHEN pr > 0.05 THEN 'punct_soup'
+                 ELSE 'keep' END AS verdict
+          FROM f)
+        SELECT verdict, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        FROM v
+        GROUP BY verdict
+        ORDER BY verdict""")),
+
+    QueryDef(
       "q63_lang_quality_agg",
       (s, dir) =>
         Tables.load(s, dir, "documents")
