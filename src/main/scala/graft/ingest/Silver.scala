@@ -30,9 +30,16 @@ object Silver {
     * the low-cardinality dimension key keeps per-product scans pruned;
     * at 100 TB the same layout holds (26 dirs × date-sized files) —
     * time-based sub-bucketing would be the next knob, not a rewrite.
+    *
+    * The pre-write repartition on the partition column is the
+    * small-file guard (the reference reaches for Iceberg's
+    * `fanout-enabled` for the same reason, `delta_to_iceberg.py:50`):
+    * without it every task writes a file into every partition dir —
+    * tasks × partitions files per batch.
     */
   def writeSilver(df: DataFrame, path: String): Unit =
-    df.write.mode("append").partitionBy("product_id").parquet(path)
+    df.repartition(col("product_id"))
+      .write.mode("append").partitionBy("product_id").parquet(path)
 
   def readSilver(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -338,6 +338,39 @@ object RelationalQueries {
         GROUP BY c_custkey
         ORDER BY c_custkey""")),
 
+    QueryDef(
+      "q27_full_outer",
+      (s, dir) => {
+        // symmetric difference view over two filtered order sets
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_recent"))
+        val big = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_big"))
+        recent.join(big, Seq("k"), "full_outer")
+          .select(col("k"),
+            coalesce(col("n_recent"), lit(0L)).as("n_recent"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH recent AS (
+          SELECT o_custkey AS k, COUNT(*) AS n_recent
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY o_custkey),
+        big AS (
+          SELECT o_custkey AS k, COUNT(*) AS n_big
+          FROM orders WHERE o_totalprice > 100000
+          GROUP BY o_custkey)
+        SELECT COALESCE(recent.k, big.k) AS k,
+               COALESCE(n_recent, 0) AS n_recent,
+               COALESCE(n_big, 0) AS n_big
+        FROM recent FULL OUTER JOIN big ON recent.k = big.k
+        ORDER BY k""")),
+
     // ── window functions ────────────────────────────────────────────
     QueryDef(
       "q30_topn_per_group",
