@@ -151,12 +151,18 @@ object Dedup {
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    // cap pathological buckets before the self-join (skew guard)
+    // cap pathological buckets before the self-join (skew guard);
+    // persisted because the self-join consumes it twice — Catalyst
+    // does not reuse the exchange across the two branches, so without
+    // this the whole signature pipeline runs twice. The bucket table
+    // is tiny relative to the corpus (ids + two longs per band), so
+    // MEMORY_AND_DISK is safe at scale.
     val capped = buckets
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_id"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_id_a"))
     val b = capped.select(col("band_id"), col("band_hash"),
@@ -212,6 +218,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "pigeonhole blocking uses 4 chunks ⇒ maxDist ≤ 3")
     val withSim = simhashes(docs, idCol, textCol)
+    // persisted: the blocking self-join reads it twice (see minhash)
     val chunked = withSim.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_id"),
@@ -219,6 +226,7 @@ object Dedup {
             .bitwiseAND(0xFFFFL).as("chunk_value")))).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_id").as("chunk_id"), col("ch.chunk_value").as("chunk_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("chunk_id"), col("chunk_value"),
       col("doc_id").as("doc_id_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk_id"), col("chunk_value"),
