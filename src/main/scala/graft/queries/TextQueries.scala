@@ -128,6 +128,24 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     QueryDef(
+      "q69_winnow_fingerprints",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          // each HOF layer staged so nothing re-evaluates per element
+          .withColumn("toks", graft.ext.Dedup.tokens(col("text")))
+          .withColumn("grams", ngramSeq(col("toks")))
+          .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
+          .select(col("doc_id"),
+            winnowFromHashes(col("hashes")).as("fp"))
+          .select(col("doc_id"),
+            size(col("fp")).cast("bigint").as("n_fingerprints"),
+            // deterministic digest of the fingerprint set
+            xxhash64(concat_ws(",", transform(array_sort(col("fp")),
+              _.cast("string")))).as("fp_digest"))
+          .orderBy(col("doc_id")),
+      None),
+
+    QueryDef(
       "q68_quality_filter",
       (s, dir) =>
         Tables.load(s, dir, "documents")

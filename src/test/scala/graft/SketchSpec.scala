@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+import graft.ext.TextAnalysis
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV estimate within 15% of exact distinct; exact below k") {
+    val df = spark.range(200000)
+      .select((col("id") % 50000).as("v")) // 50k distinct, 4x repeated
+    val r = df.agg(
+      KmvSketch.kmvDistinct(256)(col("v")).as("est"),
+      count_distinct(col("v")).as("exact")).head()
+    val (est, exact) = (r.getDouble(0), r.getLong(1))
+    assert(math.abs(est - exact) / exact < 0.15, s"est=$est exact=$exact")
+    // exact mode below k
+    val small = spark.range(100).select(col("id").as("v"))
+      .agg(KmvSketch.kmvDistinct(256)(col("v"))).head().getDouble(0)
+    assert(small === 100.0)
+  }
+
+  test("KMV is deterministic under repartitioning (order/merge invariant)") {
+    val base = spark.range(100000).select((col("id") % 7919).as("v"))
+    val a = base.repartition(3).agg(KmvSketch.kmvDistinct(64)(col("v")))
+      .head().getDouble(0)
+    val b = base.repartition(17).orderBy(rand(1))
+      .agg(KmvSketch.kmvDistinct(64)(col("v"))).head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("KMV groups: per-group estimates track per-group cardinalities") {
+    val df = spark.range(60000).select(
+      (col("id") % 3).as("g"), (col("id") % 20000).as("v"))
+    // group 0: ids 0,3,6,… mod 20000 → ~6667 distinct… compute exact per group
+    val rows = df.groupBy("g").agg(
+      KmvSketch.kmvDistinct(128)(col("v")).as("est"),
+      count_distinct(col("v")).as("exact")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getLong(2)) / r.getLong(2) < 0.2,
+        r.toString)
+    }
+  }
+}
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala winnowing over token 3-grams with xxhash64 — needs
+    * Spark's exact hash, so compute gram hashes via a tiny DataFrame.
+    */
+  private def hashGrams(grams: Seq[String]): Seq[Long] =
+    if (grams.isEmpty) Seq.empty
+    else grams.toDF("g").select(xxhash64(col("g"))).collect().map(_.getLong(0)).toSeq
+
+  private def scalaWinnow(text: String, n: Int = 3, w: Int = 4): Set[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val grams = if (toks.size < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val hs = hashGrams(grams)
+    if (hs.isEmpty) Set.empty
+    else if (hs.size < w) Set(hs.min)
+    else hs.sliding(w).map(_.min).toSet
+  }
+
+  test("winnowing ≡ plain-Scala reference; co-derived docs share fingerprints") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "INTRO words the quick brown fox jumps over the lazy dog by the river AND MORE"),
+      (3L, "completely unrelated content with nothing shared at all here"),
+      (4L, "shorty"))
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("toks", graft.ext.Dedup.tokens(col("text")))
+      .withColumn("grams", TextAnalysis.ngramSeq(col("toks")))
+      .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
+      .select(col("doc_id"), TextAnalysis.winnowFromHashes(col("hashes")).as("fp"))
+    val got = df.as[(Long, Seq[Long])].collect()
+      .map { case (id, fp) => id -> fp.toSet }.toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === scalaWinnow(t), s"doc $id")
+    }
+    // doc 2 contains doc 1's full text → winnowing guarantees overlap
+    assert((got(1L) & got(2L)).nonEmpty)
+    assert((got(1L) & got(3L)).isEmpty)
+    assert(got(4L).isEmpty) // < 3 tokens
+  }
+}
