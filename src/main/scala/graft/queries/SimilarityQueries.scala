@@ -80,6 +80,45 @@ object SimilarityQueries {
       headline = true),
 
     QueryDef(
+      "q74_dedup_embedding_join",
+      (s, dir) => {
+        // integration: exact-dup text pairs (digest equi-join) scored
+        // by their embedding cosine — dedup and similarity surfaces
+        // composing through a documents⋈embeddings join
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("hsh"))
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val a = docs.select(col("doc_id").as("doc_id_a"), col("hsh"))
+        val b = docs.select(col("doc_id").as("doc_id_b"), col("hsh"))
+        a.join(b, Seq("hsh"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .join(emb.select(col("vec_id").as("doc_id_a"),
+            col("embedding").as("ea")), Seq("doc_id_a"))
+          .join(emb.select(col("vec_id").as("doc_id_b"),
+            col("embedding").as("eb")), Seq("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b"),
+            round(Similarity.cosineNative(col("ea"), col("eb")), 6)
+              .as("emb_sim"))
+          .orderBy(col("doc_id_a"), col("doc_id_b"))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id, md5(text) AS hsh FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+          FROM h a JOIN h b ON a.hsh = b.hsh AND a.doc_id < b.doc_id),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT doc_id_a, doc_id_b,
+               ROUND(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS emb_sim
+        FROM p
+        JOIN e ea ON ea.vec_id = doc_id_a
+        JOIN e eb ON eb.vec_id = doc_id_b
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    QueryDef(
       "q72_ann_lsh",
       (s, dir) =>
         Similarity.lshNeighborPairs(

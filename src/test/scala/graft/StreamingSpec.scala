@@ -50,6 +50,27 @@ class StreamingSilverSpec extends SparkSpec {
     assert(spark.table("fanout_mem").count() === 150)
   }
 
+  test("complete-mode aggregation: running totals replace the sink each batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 120)
+    val json = gen.purchases.map(EventGenerator.toJson)
+    val stream = MemoryStream[String]
+    val q = Silver.parsePurchases(stream.toDF())
+      .groupBy(col("product_id"))
+      .agg(sum(col("quantity")).as("total_qty"))
+      .writeStream.format("memory").queryName("complete_totals")
+      .outputMode("complete").start()
+    stream.addData(json.take(60)); q.processAllAvailable()
+    val mid = spark.table("complete_totals")
+      .agg(sum("total_qty")).head().getLong(0)
+    stream.addData(json.drop(60)); q.processAllAvailable()
+    val fin = spark.table("complete_totals")
+      .agg(sum("total_qty")).head().getLong(0)
+    q.stop()
+    assert(mid === gen.purchases.take(60).map(_.quantity.toLong).sum)
+    assert(fin === gen.purchases.map(_.quantity.toLong).sum)
+  }
+
   test("watermarked streaming dropDuplicates emits each transaction_id once") {
     implicit val sqlCtx = spark.sqlContext
     val gen = EventGenerator.generate(EventGenerator.defaultProducts, 100)
