@@ -57,6 +57,27 @@ object StreamingSilver {
     parsed.writeStream.format("console").option("truncate", value = false)
       .start()
 
+  /** Stream-stream interval join: each purchase matched to restock
+    * events for the same product within the trailing `tolerance`. Both
+    * sides carry watermarks so Spark can bound the join state — the
+    * canonical "enrich a stream with a correlated stream" shape (the
+    * reference publishes both topics but never joins them;
+    * SURVEY.md §2.7 makes the join first-class).
+    */
+  def purchasesWithRecentRestocks(purchases: DataFrame, restocks: DataFrame,
+      tolerance: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("transaction_time", watermark)
+    val r = restocks.withWatermark("event_time", watermark)
+      .withColumnRenamed("product_id", "r_product_id")
+    p.join(r,
+      col("product_id") === col("r_product_id")
+        && col("event_time") >= col("transaction_time") - expr(s"INTERVAL $tolerance")
+        && col("event_time") <= col("transaction_time"))
+      .select(col("transaction_id"), col("product_id"),
+        col("transaction_time"), col("event_time").as("restock_time"),
+        col("new_level"))
+  }
+
   /** Kafka producer envelope (K7, `producer.py:187-193`): every column
     * JSON-serialized into a single `value` string. Batch or streaming;
     * `.writeStream.format("kafka")` (plus broker options) publishes it

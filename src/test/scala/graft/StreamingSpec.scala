@@ -121,6 +121,44 @@ class StreamingSilverSpec extends SparkSpec {
   }
 }
 
+class StreamStreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.model.InventoryEvent
+
+  test("watermarked interval join of purchase and restock streams == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // enough volume that popular products cross the restock threshold
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 2500,
+      cfg = EventGenerator.Config(tickMillis = 30000)) // spread over ~21h
+    val pStream = MemoryStream[String]
+    val rStream = MemoryStream[InventoryEvent]
+    val joined = StreamingSilver.purchasesWithRecentRestocks(
+      Silver.parsePurchases(pStream.toDF(),
+        ingestionTs = col("transaction_time")),
+      rStream.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    pStream.addData(gen.purchases.map(EventGenerator.toJson))
+    rStream.addData(gen.inventoryEvents)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join")
+      .select("transaction_id", "product_id", "restock_time")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime)).toSet
+    // batch twin over the same data
+    val expected = (for {
+      p <- gen.purchases
+      r <- gen.inventoryEvents
+      if r.product_id == p.product_id
+      if r.event_time.getTime <= p.transaction_time.getTime
+      if r.event_time.getTime >= p.transaction_time.getTime - 600000L
+    } yield (p.transaction_id, p.product_id, r.event_time.getTime)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
+
 class StreamingGoldSpec extends SparkSpec {
   import spark.implicits._
   import graft.streaming.StreamingGold
