@@ -80,6 +80,31 @@ object SimilarityQueries {
       headline = true),
 
     QueryDef(
+      "q75_label_centroids",
+      (s, dir) =>
+        // element-wise vector mean per label in long form: posexplode →
+        // one hash aggregate on (label, pos). At scale this is the
+        // map-side-combinable way to average embeddings (no driver
+        // collect, no array-length assumptions).
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
+          .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+            count(lit(1)).as("n_vecs"))
+          .orderBy(col("label"), col("dim")),
+      Some("""
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT label, UNNEST(v) AS val,
+                     UNNEST(range(1, len(v) + 1)) AS dim
+              FROM e)
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               ROUND(AVG(val), 6) AS mean_v,
+               COUNT(*) AS n_vecs
+        FROM x
+        GROUP BY label, dim
+        ORDER BY label, dim""")),
+
+    QueryDef(
       "q74_dedup_embedding_join",
       (s, dir) => {
         // integration: exact-dup text pairs (digest equi-join) scored
