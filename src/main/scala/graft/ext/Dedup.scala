@@ -187,6 +187,99 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
   }
 
+  // ── clustering / canonical selection ──────────────────────────────
+
+  /** Connected components over near-duplicate pairs by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until a fixpoint. Converges
+    * in O(diameter) rounds (near-dup clusters are shallow — typically
+    * 2-4 rounds); each round is one join + one aggregate, all on the
+    * (small relative to the corpus) pair set. Deterministic: labels
+    * are doc ids, min is order-free.
+    *
+    * Returns (doc_id, cluster_id) for every doc that appears in a
+    * pair; singletons are absent (they're their own cluster).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverLimit: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LSH + threshold leave a SPARSE pair set (pairs ≪ docs); below
+    // the cutoff a driver-side union-find replaces ~diameter Spark
+    // jobs with one collect — the standard hybrid in production dedup
+    // pipelines. The iterative path below remains the unbounded-scale
+    // fallback.
+    if (p.count() <= driverLimit) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val keys = parent.keySet ++ parent.values
+      val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
+      import spark.implicits._
+      return assignments.toDF("doc_id", "cluster_id")
+    }
+    // undirected edge list, both directions
+    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end dedup: MinHash-LSH pairs → connected components →
+    * per-cluster summary with the canonical (minimum-id) survivor.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashDupPairs(docs, idCol, textCol, threshold = threshold)
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("keep_doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(col("cluster_id"), col("cluster_size"), col("keep_doc_id"),
+        concat_ws(",", transform(col("members"), _.cast("string")))
+          .as("member_ids"))
+  }
+
   // ── SimHash ───────────────────────────────────────────────────────
 
   /** 64-bit SimHash fingerprints over whitespace tokens, computed as

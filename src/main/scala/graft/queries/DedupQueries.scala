@@ -81,6 +81,14 @@ object DedupQueries {
       headline = true),
 
     QueryDef(
+      "q76_dedup_clusters",
+      (s, dir) =>
+        Dedup.dedupClusters(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.3)
+          .orderBy(col("cluster_id")),
+      None),
+
+    QueryDef(
       "q66_simhash_dedup",
       (s, dir) =>
         Dedup.simhashDupPairs(

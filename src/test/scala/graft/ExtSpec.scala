@@ -38,6 +38,31 @@ class DedupSpec extends SparkSpec {
       (p._1 == 6L && p._2 != 3L && p._2 != 6L)))
   }
 
+  test("connected components: chains merge into one cluster, islands stay apart") {
+    import org.apache.spark.sql.functions.col
+    // edges: 1-2, 2-7, 7-9 (one chain) ; 4-5 (island)
+    val pairs = Seq((1L, 2L), (2L, 7L), (7L, 9L), (4L, 5L))
+      .toDF("doc_id_a", "doc_id_b")
+    // both execution paths: driver union-find and iterative propagation
+    for (limit <- Seq(1L << 22, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, driverLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc(1L) === 1L && cc(2L) === 1L && cc(7L) === 1L && cc(9L) === 1L,
+        s"limit=$limit")
+      assert(cc(4L) === 4L && cc(5L) === 4L, s"limit=$limit")
+    }
+  }
+
+  test("dedupClusters: exact + near dups collapse to one cluster with min-id survivor") {
+    val clusters = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.3)
+      .collect()
+    assert(clusters.length === 1)
+    val c = clusters.head
+    assert(c.getAs[Long]("keep_doc_id") === 1L)
+    assert(c.getAs[Long]("cluster_size") === 3L)
+    assert(c.getAs[String]("member_ids") === "1,2,4")
+  }
+
   test("exact-dup pair gets jaccard 1.0") {
     val sims = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
