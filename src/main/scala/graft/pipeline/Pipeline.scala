@@ -45,9 +45,17 @@ object Pipeline {
     val raw = gen.purchases.map(EventGenerator.toJson).toDF("value")
 
     // ingest → Silver (deterministic ingestion stamp = event time here;
-    // streaming path covered by StreamingSilver + tests)
-    val parsed = Silver.parsePurchases(raw, ingestionTs = col("transaction_time"))
+    // streaming path covered by StreamingSilver + tests). Row/parse
+    // metrics ride the write job via observe() — no second pass.
+    val obs = new org.apache.spark.sql.Observation("silver_ingest")
+    val parsed = Silver
+      .parsePurchases(raw, ingestionTs = col("transaction_time"))
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("transaction_id").isNull, 1).otherwise(0)).as("n_unparsed"))
     Silver.writeSilver(parsed, silverPath)
+    val ingestedRows = obs.get("n_rows").asInstanceOf[Long]
+    require(obs.get("n_unparsed").asInstanceOf[Long] == 0L,
+      "malformed events reached Silver")
     val silver = Silver.readSilver(spark, silverPath)
 
     // promote → fact (incremental, honest dedup)
@@ -67,6 +75,6 @@ object Pipeline {
     anomalies.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")
-    Result(silver.count(), appended, daily, anomalies)
+    Result(ingestedRows, appended, daily, anomalies)
   }
 }

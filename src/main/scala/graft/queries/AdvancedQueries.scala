@@ -336,6 +336,34 @@ object AdvancedQueries {
         ORDER BY c_custkey""")),
 
     QueryDef(
+      "q28_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT c_mktsegment, o_orderstatus,
+                 CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 ROUND(SUM(o_totalprice), 2) AS revenue,
+                 COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                  (c_mktsegment), ())
+          ORDER BY c_mktsegment ASC NULLS FIRST,
+                   o_orderstatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST""")),
+
+    QueryDef(
       "q18_array_functions",
       (s, dir) =>
         Tables.load(s, dir, "customer")

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time-timeout sessionization with `flatMapGroupsWithState` —
+  * the stateful-API corner the restock machine doesn't exercise:
+  * per-key state that EXPIRES by watermark. A session accumulates
+  * events per user; when the watermark passes last-event + gap, the
+  * timeout fires and the closed session is emitted exactly once.
+  *
+  * Complements the declarative `session_window` aggregate: this form
+  * is for when the per-session output needs custom logic (first/last
+  * event payloads, conditional emission) that a grouped aggregate
+  * can't express.
+  */
+object SessionTracker {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class SessionState(
+      startMs: Long, lastMs: Long, nEvents: Int, totalValue: Double)
+
+  final case class ClosedSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, total_value: Double)
+
+  /** Input must already carry a watermark on `ts`. */
+  def track(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var st = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) => // gap inside one batch: close inline
+                  closed += ClosedSession(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.lastMs), s.nEvents, s.totalValue)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

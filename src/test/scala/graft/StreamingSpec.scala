@@ -121,6 +121,41 @@ class StreamingSilverSpec extends SparkSpec {
   }
 }
 
+class SessionTrackerSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.SessionTracker
+  import graft.streaming.SessionTracker.Event
+
+  test("event-time timeout closes sessions exactly once as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
+    def ev(userId: Long, minute: Int, v: Double) =
+      Event(userId, new java.sql.Timestamp(base + minute * 60000L), v)
+    val stream = MemoryStream[Event]
+    val events = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val q = SessionTracker.track(events, gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    // session A: user 1 @ 0,10,20 ; watermark then jumps past 20+30
+    stream.addData(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 20, 3.0))
+    q.processAllAvailable()
+    assert(spark.table("closed_sessions").count() === 0) // nothing closed yet
+    stream.addData(ev(1, 120, 9.0), ev(2, 120, 5.0)) // advances watermark to 120min
+    q.processAllAvailable()
+    stream.addData(ev(2, 999, 0.0)) // push watermark past 120+30
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("closed_sessions")
+      .as[SessionTracker.ClosedSession].collect()
+      .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    // user 1: session {0,10,20} closed by watermark timeout, then {120};
+    // user 2: {120} closed by the 999-minute event
+    assert(rows.contains((1L, 3, 6.0)))
+    assert(rows.contains((1L, 1, 9.0)))
+    assert(rows.contains((2L, 1, 5.0)))
+  }
+}
+
 class StreamStreamJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.model.InventoryEvent
