@@ -29,7 +29,7 @@ object Sampling {
     // content-hash tiebreak keeps the cumulative ranges deterministic
     // regardless of partition layout
     val w = Window.orderBy(col(weightCol),
-      xxhash64(struct(dim.columns.map(col): _*)))
+      xxhash64(struct(dim.columns.toIndexedSeq.map(col): _*)))
     val cum = dim
       .withColumn("__hi", sum(col(weightCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -135,7 +135,7 @@ object Similarity {
   }
 
   private def centroidsLit(cs: Array[Array[Double]]): Column =
-    array(cs.map(c => array(c.map(lit): _*)): _*)
+    array(cs.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
 
   /** array<int> of the `nProbe` best cell ids for vector column `v`
     * (expects a bound `__cents` column of centroid literals). Sorting

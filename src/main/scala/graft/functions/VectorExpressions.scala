@@ -142,7 +142,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 object GraftFunctions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[CosineSimilarity].getName, name)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),

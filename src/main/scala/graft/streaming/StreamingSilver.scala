@@ -85,7 +85,7 @@ object StreamingSilver {
     * through `Silver.parsePurchases` instead.
     */
   def toKafkaEnvelope(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Streaming dedup on the declared unique key with a watermark-bound
     * state (the honest streaming face of the reference's unenforced
