@@ -492,6 +492,82 @@ object AdvancedQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    QueryDef(
+      "q35_top_brand_per_region_year",
+      (s, dir) => {
+        val joined = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.load(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+        val revenue = joined
+          .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"),
+            col("p_brand"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        val w = Window.partitionBy(col("r_name"), col("yr"))
+          .orderBy(col("revenue").desc, col("p_brand"))
+        revenue
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .withColumn("yr", col("yr").cast("bigint"))
+          .orderBy(col("r_name"), col("yr"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                 p_brand,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY r_name, yr, p_brand),
+        ranked AS (
+          SELECT r_name, yr, p_brand, revenue,
+                 ROW_NUMBER() OVER (PARTITION BY r_name, yr
+                   ORDER BY revenue DESC, p_brand) AS rn
+          FROM rev)
+        SELECT r_name, yr, p_brand, revenue
+        FROM ranked WHERE rn = 1
+        ORDER BY r_name, yr"""),
+      headline = true),
+
+    QueryDef(
+      "q36_cohort_retention",
+      (s, dir) => {
+        val monthly = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            (year(col("ts")) * 12 + month(col("ts"))).cast("bigint").as("mon"))
+          .distinct()
+        val cohorts = monthly.groupBy(col("user_id"))
+          .agg(min(col("mon")).as("cohort"))
+        monthly.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort"), (col("mon") - col("cohort")).as("months_since"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("months_since"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT DISTINCT user_id,
+                 CAST(EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts)
+                   AS BIGINT) AS mon
+          FROM events),
+        c AS (SELECT user_id, MIN(mon) AS cohort FROM m GROUP BY user_id)
+        SELECT c.cohort, m.mon - c.cohort AS months_since,
+               COUNT(DISTINCT m.user_id) AS n_users
+        FROM m JOIN c ON m.user_id = c.user_id
+        GROUP BY c.cohort, months_since
+        ORDER BY c.cohort, months_since""")),
+
     // approximate aggregates: engine-specific sketches can't hash-match
     // an oracle; error bounds vs exact counts asserted in ScalaTest
     QueryDef(
