@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // the driver corpus' events.parquet is TIMESTAMP(NANOS); read as
+      // raw longs engine-wide (Tables.load converts) — set here, not in
+      // the loader, so loading never mutates a shared session
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

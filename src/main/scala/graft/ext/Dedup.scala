@@ -24,54 +24,73 @@ object Dedup {
 
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
-    * array column. `t` must be a plain column reference (not an inline
-    * `split(...)` expression): the lambda body re-evaluates every outer
-    * expression it references once per array element, so an inline
-    * regex split would run O(|tokens|²) times per row. Stage tokens
-    * with `.withColumn("toks", tokens(col))` first.
+  /** Let-binding for column expressions: evaluates `c` ONCE per row and
+    * exposes it to `f` as a lambda variable (single-element transform).
+    * Interpreted HOF evaluation re-computes every argument expression
+    * each time it appears — binding an expensive input (a regex split,
+    * a hash array) makes each reference in the body a cached-value
+    * lookup instead of a re-evaluation.
+    */
+  def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Distinct word n-gram shingles from a token-array column. Built on
+    * [[shingleSeq]] (zip of shifted slices): lambda bodies reference
+    * ONLY their bound element variables, so nothing re-evaluates per
+    * array element — safe even when `t` is an inline `split(...)`
+    * expression (it evaluates O(n) times per ROW via the slice
+    * arguments, never per element; the `transform`+`element_at(t, i)`
+    * formulation this replaced re-ran the split per element → O(n²)).
     */
   def shinglesFromTokens(t: Column, n: Int = 3): Column =
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(t, i + k + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(shingleSeq(t, n))
 
-  /** Distinct word n-gram shingles straight from text. Convenience for
-    * small/candidate-sized inputs — see [[shinglesFromTokens]] for why
-    * bulk paths must stage the token array instead.
-    */
+  /** Distinct word n-gram shingles straight from text. */
   def shingles(c: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(c), n)
 
-  /** Bulk shingle generation as ROWS: posexplode tokens, then n-gram
-    * via window `lead` over (doc_id, pos). Returns
-    * (doc_id, extraCols…, s) — NOT deduplicated per doc.
+  /** Ordered (non-distinct) n-gram array from a token array, built by
+    * zipping n shifted slices of the array — `zip_with` lambdas
+    * reference ONLY their lambda-bound element variables, so nothing
+    * re-evaluates per element (the `transform`-with-outer-refs trap;
+    * see [[shinglesFromTokens]] scaladoc). Work is O(|tokens|) per row
+    * with no shuffle, no sort, no window.
+    */
+  def shingleSeq(t: Column, n: Int = 3): Column = bound(t) { tt =>
+    val m = size(tt) - (n - 1) // number of n-grams
+    val shifted = (0 until n).map(i => slice(tt, lit(i + 1), m))
+    val zipped = shifted.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+    when(size(tt) >= n, zipped).otherwise(array().cast("array<string>"))
+  }
+
+  /** Bulk shingle generation as ROWS. Returns (doc_id, extraCols…, s)
+    * — NOT deduplicated per doc.
     *
-    * Why not `explode(transform(...))`: InferFiltersFromGenerate puts
-    * `size(g)>0 AND isnotnull(g)` under the Generate and predicate
-    * pushdown inlines the whole generator expression into that Filter,
-    * so the shingle HOF (and the token split feeding it) re-evaluates
-    * per row — measured 18× slower at sf0.1. Here every hot operator
-    * (split-explode, window lead, concat) is codegen'd, and the window
-    * shuffle on doc_id is reused by any downstream groupBy(doc_id)
-    * (e.g. MinHash signatures) — no extra exchange at 100 TB.
+    * Shape matters here: the n-gram array forms map-side via
+    * [[shingleSeq]] (no per-element re-eval; the one extra
+    * whole-array evaluation InferFiltersFromGenerate puts in the
+    * Filter under Generate is O(|tokens|) per row), then ONE Generate
+    * emits shingle rows. Compared to the earlier posexplode → window
+    * `lead` formulation this removes the doc_id shuffle + sort
+    * entirely — downstream aggregations (MinHash signatures, inverted
+    * index) shuffle partial-aggregated per-doc state instead of every
+    * token row, which is the 100 TB-friendly shape.
     */
   def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, extraCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keep = extraCols.map(col)
-    val pos = docs
-      .select(col(idCol).as("doc_id") +: keep :+ tokens(col(textCol)).as("toks"): _*)
-      .select(col("doc_id") +: keep :+ posexplode(col("toks")).as(Seq("pos", "tok")): _*)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos
-      .withColumns((1 until n).map(i =>
-        s"t$i" -> lead(col("tok"), i).over(w)).toMap)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id") +: keep :+ concat_ws(" ",
-        col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("s"): _*)
+    docs
+      .select(col(idCol).as("doc_id") +: keep :+
+        tokens(col(textCol)).as("toks"): _*)
+      // explode_outer: InferFiltersFromGenerate does not fire for outer
+      // generates, so the shingle expression is NOT duplicated into a
+      // Filter below the Generate (which would double the per-row HOF
+      // work); the cheap isNotNull on the generated attribute drops the
+      // null rows outer-explode emits for empty arrays
+      .select(col("doc_id") +: keep :+
+        explode_outer(shingleSeq(col("toks"), n)).as("s"): _*)
+      .filter(col("s").isNotNull)
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -138,6 +157,20 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash LSH, then exact-Jaccard
     * verified. Returns (doc_id_a, doc_id_b, jaccard_sim).
     *
+    * Pipeline shape (one linear pass, no persist, no self-join):
+    *  1. map-side: shingles → signatures (partial-agg) → band keys;
+    *  2. ONE shuffle on (band_id, band_hash) into a bounded collect
+    *     ([[graft.functions.BoundedCollect]]): a bucket larger than
+    *     `maxBucket` (stop-shingle / mass-duplication skew) finishes
+    *     empty at O(maxBucket) memory — the skew guard costs no extra
+    *     pass and no per-key materialization;
+    *  3. in-bucket pair explode (≤ maxBucket² per bucket) + distinct;
+    *  4. exact verify: candidate pair-sides broadcast, the corpus
+    *     streams through ONE map-side join (texts re-pair in a tiny
+    *     shuffle on the pair key) — at 100 TB the corpus is scanned
+    *     once more but never shuffled or broadcast, and full-corpus
+    *     shingle arrays never ride through any join.
+    *
     * @param maxBucket skip buckets larger than this (skew/stop-shingle cap)
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -146,41 +179,28 @@ object Dedup {
     val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
-    val buckets = withSig
+    val candidates = withSig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    // cap pathological buckets before the self-join (skew guard);
-    // persisted because the self-join consumes it twice — Catalyst
-    // does not reuse the exchange across the two branches, so without
-    // this the whole signature pipeline runs twice. The bucket table
-    // is tiny relative to the corpus (ids + two longs per band), so
-    // MEMORY_AND_DISK is safe at scale.
-    val capped = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = capped.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_id_a"))
-    val b = capped.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_id_b"))
-    // candidate ids only through the LSH join (no shingle payload on
-    // the wide side); shingles re-attach to the (small) candidate set
-    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(graft.functions.BoundedCollect
+        .collectIds(col("doc_id"), maxBucket).as("ids"))
+      .select(explode(col("ids")).as("doc_id_a"), col("ids"))
+      .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"))
       .distinct()
-    // exact verify recomputes shingles from raw text on the (small)
-    // candidate set only — the full-corpus shingle arrays never ride
-    // through a join
-    candidates
-      .join(base.select(col("doc_id").as("doc_id_a"), col("text").as("text_a")),
-        Seq("doc_id_a"))
-      .join(base.select(col("doc_id").as("doc_id_b"), col("text").as("text_b")),
-        Seq("doc_id_b"))
+    // single-scan text attach: explode each pair into its two sides,
+    // broadcast-join the corpus once, re-pair with a tiny aggregation
+    // keyed on the pair
+    val sides = candidates.select(col("doc_id_a"), col("doc_id_b"),
+      explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+    base.join(broadcast(sides), Seq("doc_id"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(
+        min(when(col("doc_id") === col("doc_id_a"), col("text"))).as("text_a"),
+        min(when(col("doc_id") === col("doc_id_b"), col("text"))).as("text_b"))
       .withColumn("jaccard_sim",
         round(jaccard(shingles(col("text_a")), shingles(col("text_b"))), 6))
       .filter(col("jaccard_sim") >= threshold)

@@ -68,30 +68,30 @@ object TextAnalysis {
   }
 
   /** ORDERED word n-gram sequence (winnowing needs positions, so no
-    * dedup — unlike Dedup.shinglesFromTokens). `t` must be a staged
-    * token-array column (lambda bodies re-evaluate referenced outer
-    * expressions per element).
+    * dedup). Zip-of-shifted-slices form — no per-element re-evaluation
+    * of outer expressions (see [[graft.ext.Dedup.shingleSeq]]).
     */
   def ngramSeq(t: Column, n: Int = 3): Column =
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.ext.Dedup.shingleSeq(t, n)
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * n-gram, keep the minimum of each sliding window of `w` hashes,
     * dedupe. Guarantees any match of length ≥ n+w−1 tokens shares a
     * fingerprint, with ~1/w of the hashes kept — the standard
     * rolling-hash document fingerprint for plagiarism/near-dup at
-    * scale. `hashes` must be a STAGED array<bigint> column
-    * (xxhash64-per-n-gram; see q69 for the staging pattern).
+    * scale. The window-min is a `least`-zip of `w` shifted slices of
+    * the hash array — per-row O(w·|hashes|), with no per-element
+    * re-evaluation of the (possibly inline) `hashes` expression.
     */
   def winnowFromHashes(hashes: Column, w: Int = 4): Column =
-    when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
+    graft.ext.Dedup.bound(hashes) { h =>
+      val m = size(h) - (w - 1) // number of complete windows
+      val shifted = (0 until w).map(i => slice(h, lit(i + 1), m))
+      val winMins = shifted.reduceLeft((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+      when(size(h) >= w, array_distinct(winMins))
+        .otherwise(when(size(h) > 0, array(array_min(h)))
+          .otherwise(array().cast("array<bigint>")))
+    }
 
   /** Rule-based document filter for training-data curation: composes
     * the analysis columns into a keep/drop decision plus the FIRST

@@ -42,12 +42,18 @@ object SimilarityQueries {
     QueryDef(
       "q71_neardup_cosine",
       (s, dir) => {
+        // exact cosine near-dup over a BOUNDED probe slice: the probe
+        // side (vec_id < 100) broadcasts, the corpus side streams —
+        // O(|slice|·N) map-side work, no N² cross join, no shuffle of
+        // the big side. The unbounded all-pairs form lives only in
+        // ScalaTest as the recall ground truth for q72's LSH path.
         graft.functions.GraftFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        val a = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("vec_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-        a.crossJoin(b)
+        b.crossJoin(broadcast(a))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("sim_r",
             round(Similarity.cosineNative(col("va"), col("vb")), 6))
@@ -62,7 +68,8 @@ object SimilarityQueries {
             ROUND(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
               AS sim_r
-          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 100)
         SELECT vec_a, vec_b, sim_r
         FROM p WHERE sim_r >= 0.4
         ORDER BY vec_a, vec_b""")),

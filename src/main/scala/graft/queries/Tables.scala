@@ -18,10 +18,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as raw nanos (legacy conf) and convert
-      // with INTEGER division (a double division would lose precision at
-      // ~1.7e18 ns) — values are µs-grained, so this is lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects. GraftSession sets the legacy nanosAsLong conf so
+      // the scan yields raw nanos; convert with INTEGER division (a
+      // double division would lose precision at ~1.7e18 ns) — values
+      // are µs-grained, so this is lossless. The loader itself is
+      // side-effect free (no session mutation).
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions
           .expr("timestamp_micros(ts div 1000)"))

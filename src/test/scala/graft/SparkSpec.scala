@@ -16,6 +16,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      // mirrors GraftSession: the driver corpus' events.parquet is
+      // TIMESTAMP(NANOS) and must scan as raw longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
