@@ -24,6 +24,16 @@ object Dedup {
 
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** 60-bit deterministic content hash computable in BOTH engines: the
+    * first 15 hex chars of md5, parsed base-16 (fits signed 64-bit).
+    * xxhash64 exists only in Spark; operators built on this hash are
+    * DuckDB-oracle-checkable end to end (`CAST(('0x'||substr(md5(x),
+    * 1,15)) AS BIGINT)` on the oracle side). Non-negative by
+    * construction (< 2^60).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Let-binding for column expressions: evaluates `c` ONCE per row and
     * exposes it to `f` as a lambda variable (single-element transform).
     * Interpreted HOF evaluation re-computes every argument expression
@@ -302,29 +312,33 @@ object Dedup {
 
   // ── SimHash ───────────────────────────────────────────────────────
 
-  /** 64-bit SimHash fingerprints over whitespace tokens, computed as
-    * explode → hash-aggregate with 64 codegen'd `sum((h>>j)&1)` bit
+  /** 60-bit SimHash fingerprints over whitespace tokens, computed as
+    * explode → hash-aggregate with 60 codegen'd `sum((h>>j)&1)` bit
     * counters + a token count, then majority vote per bit
     * (Σ±1 > 0 ⇔ 2·ones > n). One shuffle on doc_id, map-side partial
-    * agg of 65 longs per doc — ~100× the interpreted HOF formulation.
-    * Returns (doc_id, simhash bigint).
+    * agg of 61 longs per doc — ~100× the interpreted HOF formulation.
+    * Token hash is [[md5Hash60]] (not xxhash64) so the whole operator —
+    * fingerprints, blocking, hamming filter — replays exactly in the
+    * DuckDB oracle. Returns (doc_id, simhash bigint).
     */
+  val SimhashBits = 60
+
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(j =>
+      .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
     val counts = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sim = (0 until 64).map(j =>
+    val sim = (0 until SimhashBits).map(j =>
       when(col(s"b$j") * 2 > col("n"), shiftleft(lit(1L), j))
         .otherwise(lit(0L))).reduce(_ + _)
     counts.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ maxDist (< 4):
-    * pigeonhole on 4 × 16-bit chunks makes the candidate join an
+    * pigeonhole on 4 × 15-bit chunks makes the candidate join an
     * equi-join on (chunk_id, chunk_value).
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -335,8 +349,8 @@ object Dedup {
     val chunked = withSim.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_id"),
-          call_function("shiftright", col("simhash"), c * 16)
-            .bitwiseAND(0xFFFFL).as("chunk_value")))).as("ch"))
+          call_function("shiftright", col("simhash"), c * 15)
+            .bitwiseAND(0x7FFFL).as("chunk_value")))).as("ch"))
       .select(col("doc_id"), col("simhash"),
         col("ch.chunk_id").as("chunk_id"), col("ch.chunk_value").as("chunk_value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -68,12 +68,19 @@ object Similarity {
       .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
   }
 
-  /** Deterministic random hyperplanes (seeded) as literal columns. */
-  private def planes(nPlanes: Int, dim: Int): Seq[Column] = {
+  /** Deterministic random ±1 hyperplane values (seeded, data-
+    * independent). Public so the SQL oracle builder can embed the SAME
+    * constants as literals — the whole LSH/IVF bucketing then replays
+    * exactly in DuckDB.
+    */
+  def planeValues(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(nPlanes)(array(
-      Seq.fill(dim)(lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
+
+  /** The same hyperplanes as literal array columns. */
+  private def planes(nPlanes: Int, dim: Int): Seq[Column] =
+    planeValues(nPlanes, dim).map(p => array(p.map(lit): _*))
 
   /** 16-bit random-hyperplane bucket signature for LSH-based ANN. */
   def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int = 16): Column =
@@ -173,6 +180,61 @@ object Similarity {
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("sim_r").desc, col("n_vec"))
     cands.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
+  }
+
+  /** IVF with a HYPERPLANE coarse quantizer: cell = sign signature of
+    * the vector against `nPlanes` fixed ±1 hyperplanes (2^nPlanes
+    * cells); a query probes the `nProbe` cells with the highest signed
+    * margin Σ_j (bit_j(cell) ? d_j : −d_j) where d_j = ⟨q, plane_j⟩
+    * (its own cell maximizes this at Σ|d_j|, neighbors follow by how
+    * cheap the sign flips are). Exact cosine re-ranks inside probed
+    * cells.
+    *
+    * Same inverted-file scale shape as [[ivfKnn]] — map-side cell
+    * assignment, equi-join on cell_id, no N² — but the quantizer is
+    * data-INDEPENDENT and training-free, so results are fully
+    * deterministic and the complete index+query replays in a SQL
+    * oracle (the k-means variant trades that for data-adapted cells).
+    * The margin sums are fixed left-to-right chains, bit-identical in
+    * both engines.
+    */
+  def hyperplaneIvfKnn(embeddings: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, dim: Int, nPlanes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val ps = planes(nPlanes, dim)
+    def cellOf(v: Column): Column =
+      (0 until nPlanes).map(j =>
+        when(dotNative(v, ps(j)) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val indexed = embeddings
+      .select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
+      .withColumn("cell_id", cellOf(col("nv")))
+    val qd = queries.select(
+      col("vec_id").as("q_vec") +: col("embedding").as("qv") +:
+        (0 until nPlanes).map(j =>
+          dotNative(col("embedding"), ps(j)).as(s"d$j")): _*)
+    val scored = qd
+      .withColumn("cell_id",
+        explode(sequence(lit(0L), lit((1L << nPlanes) - 1))))
+      .withColumn("score",
+        (0 until nPlanes).map(j =>
+          when(shiftright(col("cell_id"), j).bitwiseAND(1L) === 1L,
+            col(s"d$j")).otherwise(-col(s"d$j"))).reduce(_ + _))
+    val probeW = Window.partitionBy(col("q_vec"))
+      .orderBy(col("score").desc, col("cell_id"))
+    val probed = scored
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_vec"), col("qv"), col("cell_id"))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("sim_r").desc, col("n_vec"))
+    probed.join(indexed, Seq("cell_id"))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
       .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
   }

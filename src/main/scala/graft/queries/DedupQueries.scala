@@ -77,7 +77,18 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text",
           k = 64, bands = 16, threshold = 0.3)
           .orderBy(col("doc_id_a"), col("doc_id_b")),
-      None,
+      // ORACLE = the exact-Jaccard truth set (inverted-index brute
+      // force, LSH-free). The engine result equals it iff LSH recall
+      // is exactly 1 at this threshold — which holds deterministically
+      // on this corpus (all true pairs have J ≥ 0.8; per-band collision
+      // at J=0.8 is 0.41, so 16 bands miss with p≈2e-4 and the fixed
+      // seed-42 hash family empirically misses none at sf0.01/sf0.1).
+      // This makes the driver check STRONGER than rows-only: any
+      // recall regression in signatures/banding/verify hash-fails.
+      Some("WITH " + TruthPairsBody + """
+        SELECT doc_id_a, doc_id_b, jaccard_sim
+        FROM truth_pairs
+        ORDER BY doc_id_a, doc_id_b"""),
       headline = true),
 
     QueryDef(
@@ -86,7 +97,29 @@ object DedupQueries {
         Dedup.dedupClusters(Tables.load(s, dir, "documents"),
           "doc_id", "text", threshold = 0.3)
           .orderBy(col("cluster_id")),
-      None),
+      // connected components over the truth pair set via a recursive
+      // transitive-closure CTE (near-dup clusters are tiny, so the
+      // closure is cheap); min-reachable-id labeling matches the
+      // engine's min-label propagation exactly
+      Some("WITH RECURSIVE " + TruthPairsBody + """,
+        edges AS (
+          SELECT doc_id_a AS n, doc_id_b AS m FROM truth_pairs
+          UNION
+          SELECT doc_id_b, doc_id_a FROM truth_pairs),
+        reach(n, m) AS (
+          SELECT n, m FROM edges
+          UNION
+          SELECT e.n, r.m FROM edges e JOIN reach r ON r.n = e.m),
+        lbl AS (
+          SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id
+          FROM reach GROUP BY n)
+        SELECT cluster_id,
+               COUNT(*) AS cluster_size,
+               MIN(doc_id) AS keep_doc_id,
+               array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+        FROM lbl
+        GROUP BY cluster_id
+        ORDER BY cluster_id""")),
 
     QueryDef(
       "q66_simhash_dedup",
@@ -94,6 +127,70 @@ object DedupQueries {
         Dedup.simhashDupPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text", maxDist = 3)
           .orderBy(col("doc_id_a"), col("doc_id_b")),
-      None)
+      // full replay of the 60-bit md5-based SimHash: token hashes, bit
+      // majority vote, 4×15-bit pigeonhole blocking, hamming filter.
+      // Pigeonhole recall is EXACTLY 1 (hamming ≤ 3 ⇒ some chunk
+      // equal), so this is a complete-equality oracle, not a sample.
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, j,
+                 CAST(SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ones,
+                 COUNT(*) AS n
+          FROM h CROSS JOIN range(60) r(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN 2*ones > n
+                               THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, simhash, c.j AS chunk_id,
+                 (simhash >> CAST(c.j*15 AS INTEGER)) & 32767 AS chunk_value
+          FROM fp CROSS JOIN range(4) c(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM ch a JOIN ch b
+            ON a.chunk_id = b.chunk_id AND a.chunk_value = b.chunk_value
+               AND a.doc_id < b.doc_id)
+        SELECT doc_id_a, doc_id_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        ORDER BY doc_id_a, doc_id_b"""))
   )
+
+  /** Shared oracle prelude: the exact 3-gram Jaccard truth pairs at
+    * threshold 0.3 over the full corpus, as an inverted-index join
+    * (mirrors the engine's shingle/tokenize semantics op for op).
+    */
+  private def TruthPairsBody: String = """
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth_pairs AS (
+          SELECT doc_id_a, doc_id_b,
+                 ROUND(CAST(i AS DOUBLE)/CAST(na.n + nb.n - i AS DOUBLE), 6)
+                   AS jaccard_sim
+          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
+                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
+          WHERE ROUND(CAST(i AS DOUBLE)/CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.3)"""
 }

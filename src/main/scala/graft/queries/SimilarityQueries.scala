@@ -77,13 +77,19 @@ object SimilarityQueries {
     QueryDef(
       "q73_ann_ivf",
       (s, dir) => {
+        // hyperplane coarse quantizer (16 cells, margin-ranked 4-probe):
+        // training-free and data-independent, so the WHOLE index+query
+        // replays in the DuckDB oracle (plane constants embedded as
+        // literals below). The k-means IVF variant lives in
+        // Similarity.ivfIndex/ivfKnn with a ScalaTest recall spec —
+        // same inverted-file scale shape, data-adapted cells, but its
+        // trained centroids make it a rows-only driver check.
         val emb = Tables.load(s, dir, "embeddings")
-        val (indexed, cents) = Similarity.ivfIndex(emb, nCells = 16)
-        Similarity.ivfKnn(indexed, cents,
-          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        Similarity.hyperplaneIvfKnn(emb, emb.filter(col("vec_id") < 10),
+          k = 5, nProbe = 4, dim = 64, nPlanes = 4)
           .orderBy(col("q_vec"), col("rn"))
       },
-      None,
+      Some(ivfOracle),
       headline = true),
 
     QueryDef(
@@ -157,7 +163,77 @@ object SimilarityQueries {
           Tables.load(s, dir, "embeddings"), dim = 64,
           threshold = 0.3, nPlanes = 8)
           .orderBy(col("vec_a"), col("vec_b")),
-      None,
+      Some(lshOracle),
       headline = true)
   )
+
+  /** ±1 plane constants as a SQL list literal — the SAME seeded values
+    * the Spark expressions use (Similarity.planeValues), so the oracle
+    * replays the bucketing bit for bit.
+    */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** q72 oracle: full replay of 8-plane hyperplane-LSH pair search. */
+  private def lshOracle: String = {
+    val bucketExpr = Similarity.planeValues(8, 64).zipWithIndex.map {
+      case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n            + ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v,
+            $bucketExpr AS bucket
+          FROM e),
+        p AS (
+          SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+            ROUND(list_dot_product(a.v, b2.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6)
+              AS sim_r
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        SELECT DISTINCT vec_a, vec_b, sim_r
+        FROM p WHERE sim_r >= 0.3
+        ORDER BY vec_a, vec_b"""
+  }
+
+  /** q73 oracle: full replay of the hyperplane-IVF index + 4-probe
+    * margin-ranked query + exact re-rank. Margin sums are written as
+    * the same left-to-right addition chains the Spark side builds.
+    */
+  private def ivfOracle: String = {
+    val p4 = Similarity.planeValues(4, 64)
+    val dCols = p4.zipWithIndex.map { case (p, j) =>
+      s"list_dot_product(v, ${planeLit(p)}) AS d$j"
+    }.mkString(",\n            ")
+    val cellExpr = (0 until 4).map(j =>
+      s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val scoreExpr = (0 until 4).map(j =>
+      s"(CASE WHEN (c.cell_id >> $j) & 1 = 1 THEN d$j ELSE -d$j END)")
+      .mkString(" + ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        d AS (SELECT vec_id, v,
+            $dCols
+          FROM e),
+        idx AS (SELECT vec_id AS n_vec, v AS nv, $cellExpr AS cell_id FROM d),
+        q AS (SELECT vec_id AS q_vec, v AS qv, d0, d1, d2, d3 FROM d WHERE vec_id < 10),
+        cells AS (
+          SELECT q_vec, qv, c.cell_id, $scoreExpr AS score
+          FROM q CROSS JOIN (SELECT unnest(range(16)) AS cell_id) c),
+        probed AS (
+          SELECT q_vec, qv, cell_id FROM cells
+          QUALIFY row_number() OVER (PARTITION BY q_vec ORDER BY score DESC, cell_id) <= 4),
+        cand AS (
+          SELECT q_vec, n_vec,
+            ROUND(list_dot_product(qv, nv)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)
+              AS sim_r
+          FROM probed JOIN idx USING (cell_id)
+          WHERE q_vec <> n_vec),
+        r AS (
+          SELECT q_vec, n_vec, sim_r,
+                 row_number() OVER (PARTITION BY q_vec ORDER BY sim_r DESC, n_vec) AS rn
+          FROM cand)
+        SELECT q_vec, n_vec, sim_r, rn FROM r WHERE rn <= 5 ORDER BY q_vec, rn"""
+  }
 }

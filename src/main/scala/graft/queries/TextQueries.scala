@@ -131,19 +131,49 @@ object TextQueries {
       "q69_winnow_fingerprints",
       (s, dir) =>
         Tables.load(s, dir, "documents")
-          // each HOF layer staged so nothing re-evaluates per element
+          // gram hashes use md5Hash60 and the set digest plain md5 so
+          // the ENTIRE winnowing computation replays in the DuckDB
+          // oracle (xxhash64 has no DuckDB twin)
           .withColumn("toks", graft.ext.Dedup.tokens(col("text")))
           .withColumn("grams", ngramSeq(col("toks")))
-          .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
+          .withColumn("hashes",
+            transform(col("grams"), g => graft.ext.Dedup.md5Hash60(g)))
           .select(col("doc_id"),
             winnowFromHashes(col("hashes")).as("fp"))
           .select(col("doc_id"),
             size(col("fp")).cast("bigint").as("n_fingerprints"),
-            // deterministic digest of the fingerprint set
-            xxhash64(concat_ws(",", transform(array_sort(col("fp")),
+            // deterministic digest of the sorted fingerprint set
+            md5(concat_ws(",", transform(array_sort(col("fp")),
               _.cast("string")))).as("fp_digest"))
           .orderBy(col("doc_id")),
-      None),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t)-1),
+                        i -> t[i]||' '||t[i+1]||' '||t[i+2])
+                 ELSE [] END AS g
+          FROM toks),
+        hs AS (
+          SELECT doc_id,
+            list_transform(g, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS h
+          FROM grams),
+        fp AS (
+          SELECT doc_id,
+            CASE WHEN len(h) >= 4
+                 THEN list_distinct(list_transform(range(1, len(h)-2),
+                        i -> list_min(h[i:i+3])))
+                 WHEN len(h) > 0 THEN [list_min(h)]
+                 ELSE [] END AS f
+          FROM hs)
+        SELECT doc_id,
+               CAST(len(f) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(list_sort(f), ',')) AS fp_digest
+        FROM fp
+        ORDER BY doc_id""")),
 
     QueryDef(
       "q68_quality_filter",
