@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times each headline query end-to-end (scan →
   * compute → noop sink, so no projected column is pruned away the way
@@ -12,9 +13,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    def runOne(name: String): Double = {
+    def runIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -22,6 +23,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def runOne(name: String): Double = runIn(name, sfDir)
     // JVM/codegen/reader warmup outside the timed loop
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     SparkEntry.headlines.headOption.foreach(runOne)
@@ -39,16 +41,65 @@ object Bench {
         graft.ingest.Silver.parsePurchases(raw), out)
       (System.nanoTime() - t0) / 1e9
     }
+    // ── 10× dedup/ANN scale probe ─────────────────────────────────
+    // Same pipelines over a corpus 10× the SF dir, built so near-dup
+    // structure is preserved WITHIN each copy and absent ACROSS
+    // copies (every token gets a per-copy tag; embeddings get a
+    // per-copy diagonal ±1 sign flip, which keeps within-copy cosines
+    // bit-identical and decorrelates cross-copy pairs). True output
+    // therefore grows LINEARLY in corpus size — so wall-time growth
+    // beyond ~10× on these entries would expose super-linear engine
+    // behavior (an N² candidate path would show ~100×).
+    val x10Probe: Seq[(String, Double)] = {
+      val dir10 = buildScaledCorpus(spark, sfDir, copies = 10)
+      Seq("q60_dedup_exact", "q64_ngram_jaccard",
+        "q65_minhash_dedup", "q72_ann_lsh").map { n =>
+        val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
+        s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      }
+    }
     // two runs, report the min: the first run pays one-time plan
     // codegen/JIT that a steady-state workload never sees
-    val results = SparkEntry.headlines.map { n =>
+    val results = (SparkEntry.headlines.map { n =>
       val t1 = runOne(n); val t2 = runOne(n)
       n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-    } :+ ("ingest_parse_write_100k" -> ingestSec)
+    } :+ ("ingest_parse_write_100k" -> ingestSec)) ++ x10Probe
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // total = the headline set only (comparable round to round); the
+    // x10 probe entries are reported per-query, not summed in
+    val total = results.filter(r => !r._1.startsWith("x10_"))
+      .map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** 10× corpus for the scale probe (see call site for the invariance
+    * argument). Written once to a temp dir in the SF layout so the
+    * registered queries run unmodified against it.
+    */
+  def buildScaledCorpus(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("bench-x10").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tagged = (0 until copies).map { k =>
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("·" + k)))))
+    }.reduce(_ unionByName _)
+    tagged.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val flipped = (0 until copies).map { k =>
+      val rnd = new scala.util.Random(100 + k)
+      val signs = array(Seq.fill(64)(
+        lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"), signs, (x, s) => x * s))
+    }.reduce(_ unionByName _)
+    flipped.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
   }
 }

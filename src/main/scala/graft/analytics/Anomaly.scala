@@ -24,17 +24,17 @@ object Anomaly {
     * `anomaly_score` double (lower = more anomalous) and `is_anomaly`
     * boolean (`anomaly_detection.py:50-52`).
     */
-  trait AnomalyScorer {
+  trait AnomalyScorer extends Serializable {
     def score(daily: DataFrame): DataFrame
   }
 
-  /** Deterministic stand-in for the reference's IsolationForest
-    * (`anomaly_detection.py:46-52`): same features — log1p of
+  /** Deterministic robust-z scorer with the reference's output
+    * contract: same features — log1p of
     * (daily_total_sales, daily_transaction_count) — scored by modified
-    * z-score (median/MAD, the 0.6745 consistency constant). sklearn's
-    * forest is not reproducible across implementations, so a
-    * deterministic robust scorer keeps the oracle harness meaningful
-    * (SURVEY.md §2.10 M2); the trait is the seam for a forest port.
+    * z-score (median/MAD, the 0.6745 consistency constant). Fully
+    * SQL-expressible, so q13 stays a hash-checked oracle query
+    * (SURVEY.md §2.10 M2); [[IsolationForestScorer]] is the genuine
+    * forest equivalent of `anomaly_detection.py:47`.
     *
     * anomaly_score = −max(|z_sales|, |z_count|) (lower = more
     * anomalous, like decision_function); is_anomaly at |z| > cutoff.
@@ -63,6 +63,131 @@ object Anomaly {
             coalesce(abs(col("z2")), lit(0.0))))
         .withColumn("anomaly_score", -col("max_abs_z"))
         .withColumn("is_anomaly", col("max_abs_z") > cutoff)
+        .select(col("purchase_date"), col("daily_total_sales"),
+          col("daily_transaction_count"), col("anomaly_score"),
+          col("is_anomaly"))
+        .orderBy(col("purchase_date"))
+    }
+  }
+
+  /** Seeded deterministic Isolation Forest (Liu/Ting/Zhou 2008) — the
+    * real counterpart of the reference's
+    * `IsolationForest(n_estimators=100, random_state=42)`
+    * (`pipeline/ml/anomaly_detection.py:47-52`), same feature prep
+    * (log1p of the two daily aggregates) and same output contract:
+    * `anomaly_score` = sklearn's decision_function (score_samples −
+    * auto offset −0.5; LOWER = more anomalous), `is_anomaly` ⇔
+    * anomaly_score < 0.
+    *
+    * Scale shape: the input is ONE ROW PER CALENDAR DAY (bounded by
+    * time, not data volume — a century is 36.5k rows), so fitting on
+    * the driver is bounded by domain, not corpus size; trees are tiny
+    * (ψ ≤ 256 ⇒ depth ≤ 8) and ship to executors inside the scoring
+    * closure, which evaluates map-side. With a fixed seed the fit and
+    * every score are bit-reproducible run to run.
+    */
+  final case class IsolationForestScorer(nTrees: Int = 100, seed: Long = 42L,
+      subsample: Int = 256) extends AnomalyScorer {
+
+    // tree nodes in struct-of-arrays form: feature<0 marks a leaf whose
+    // split slot stores the adjusted external-node size term c(n)
+    private final class Tree(val feature: Array[Int], val split: Array[Double],
+      val left: Array[Int], val right: Array[Int]) extends Serializable
+
+    private def harmonic(i: Int): Double =
+      if (i <= 0) 0.0 else math.log(i) + 0.5772156649015329
+
+    /** Average unsuccessful-search path length c(n) in a BST. */
+    private def c(n: Int): Double =
+      if (n <= 1) 0.0 else 2.0 * harmonic(n - 1) - 2.0 * (n - 1.0) / n
+
+    private def buildTree(data: Array[Array[Double]], rnd: scala.util.Random,
+        maxDepth: Int): Tree = {
+      val feats = scala.collection.mutable.ArrayBuffer[Int]()
+      val splits = scala.collection.mutable.ArrayBuffer[Double]()
+      val ls = scala.collection.mutable.ArrayBuffer[Int]()
+      val rs = scala.collection.mutable.ArrayBuffer[Int]()
+      def grow(idx: Array[Int], depth: Int): Int = {
+        val node = feats.length
+        feats += -1; splits += 0.0; ls += -1; rs += -1
+        val dims = data(0).length
+        // leaf when exhausted, singleton, or all points identical
+        val constant = (0 until dims).forall { f =>
+          idx.forall(i => data(i)(f) == data(idx(0))(f))
+        }
+        if (depth >= maxDepth || idx.length <= 1 || constant) {
+          splits(node) = c(idx.length)
+          return node
+        }
+        // pick a random feature with spread, random cut in (min, max)
+        var f = rnd.nextInt(dims)
+        var tries = 0
+        while (tries < dims &&
+            idx.map(i => data(i)(f)).distinct.length <= 1) {
+          f = (f + 1) % dims; tries += 1
+        }
+        val vals = idx.map(i => data(i)(f))
+        val (lo, hi) = (vals.min, vals.max)
+        val cut = lo + rnd.nextDouble() * (hi - lo)
+        val (li, ri) = idx.partition(i => data(i)(f) < cut)
+        if (li.isEmpty || ri.isEmpty) { // degenerate cut → leaf
+          splits(node) = c(idx.length)
+          return node
+        }
+        feats(node) = f; splits(node) = cut
+        ls(node) = grow(li, depth + 1)
+        rs(node) = grow(ri, depth + 1)
+        node
+      }
+      grow(data.indices.toArray, 0)
+      new Tree(feats.toArray, splits.toArray, ls.toArray, rs.toArray)
+    }
+
+    private def pathLength(t: Tree, x: Array[Double]): Double = {
+      var node = 0; var depth = 0.0
+      while (t.feature(node) >= 0) {
+        node = if (x(t.feature(node)) < t.split(node)) t.left(node)
+          else t.right(node)
+        depth += 1.0
+      }
+      depth + t.split(node) // leaf's split slot holds c(leafSize)
+    }
+
+    def score(daily: DataFrame): DataFrame = {
+      val spark = daily.sparkSession
+      val feats = daily
+        .withColumn("f1", log1p(col("daily_total_sales")))
+        .withColumn("f2", log1p(col("daily_transaction_count")))
+      // bounded collect: one row per day (see scaladoc)
+      val train: Array[Array[Double]] = feats.select(col("f1"), col("f2"))
+        .collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
+      val rnd = new scala.util.Random(seed)
+      val psi = math.min(subsample, train.length)
+      val maxDepth = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt
+      val trees = Array.fill(nTrees) {
+        // seeded subsample without replacement (Fisher–Yates prefix)
+        val idx = train.indices.toArray
+        var i = 0
+        while (i < psi) {
+          val j = i + rnd.nextInt(idx.length - i)
+          val t = idx(i); idx(i) = idx(j); idx(j) = t
+          i += 1
+        }
+        buildTree(idx.take(psi).map(train), rnd, maxDepth)
+      }
+      val cPsi = c(psi)
+      val scoreUdf = udf { (f1: Double, f2: Double) =>
+        val x = Array(f1, f2)
+        var s = 0.0
+        var t = 0
+        while (t < trees.length) { s += pathLength(trees(t), x); t += 1 }
+        val eh = s / trees.length
+        val anomalyness = math.pow(2.0, -eh / cPsi) // ∈ (0,1], ↑ = anomalous
+        0.5 - anomalyness // sklearn decision_function with auto offset
+      }
+      feats
+        .withColumn("anomaly_score", scoreUdf(col("f1"), col("f2")))
+        .withColumn("is_anomaly", col("anomaly_score") < 0.0)
         .select(col("purchase_date"), col("daily_total_sales"),
           col("daily_transaction_count"), col("anomaly_score"),
           col("is_anomaly"))

@@ -1,0 +1,183 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
+
+/** Minimal ACID table format: snapshot isolation via versioned
+  * manifests and an atomic-rename commit, the mechanism the
+  * reference's Gold layer gets from Iceberg v2
+  * (`pipeline/spark/delta_to_iceberg.py:43-52`, `README.md:41`)
+  * re-expressed engine-side.
+  *
+  * Layout under a table root:
+  * {{{
+  *   <root>/_staged/<uuid>/part-*.parquet   data files (immutable once
+  *                                          referenced by a manifest)
+  *   <root>/_commits/v00042.manifest        newline-separated relative
+  *                                          data-file paths
+  * }}}
+  *
+  * Protocol:
+  *  - WRITE: stage data files (never visible to readers), then publish
+  *    a manifest for version latest+1 with an ATOMIC file move. Two
+  *    concurrent writers race on the same version name — the loser's
+  *    move fails (target exists), it re-reads the latest version and
+  *    retries one higher, so every commit lands exactly once and no
+  *    files are lost (optimistic concurrency, no locks).
+  *  - READ: resolve the highest committed manifest, read exactly the
+  *    files it lists. Readers never see a half-written commit because
+  *    the manifest appears atomically AFTER its data files are closed.
+  *  - MERGE (upsert): copy-on-write — new snapshot = target rows whose
+  *    key is absent from the source (anti join) ∪ source rows; on a
+  *    partitioned production table the rewrite would touch only the
+  *    partitions holding matched keys, the commit protocol is
+  *    unchanged.
+  *
+  * Old versions stay readable (time travel) until a vacuum removes
+  * manifests + unreferenced files. Local-fs `ATOMIC_MOVE` maps to the
+  * same guarantee as an HDFS namenode rename; an object store (no
+  * atomic rename) would swap this seam for a conditional-PUT or
+  * metastore CAS — only [[publish]] changes.
+  */
+object AtomicTable {
+
+  private def commitsDir(root: String) = Paths.get(root, "_commits")
+
+  private val ManifestRe = raw"v(\d{5})\.manifest".r
+
+  /** Highest committed version, if any. */
+  def latestVersion(root: String): Option[Int] = {
+    val dir = commitsDir(root)
+    if (!Files.isDirectory(dir)) return None
+    val it = Files.list(dir).iterator()
+    var best = -1
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case ManifestRe(v) => best = math.max(best, v.toInt)
+        case _ =>
+      }
+    }
+    if (best < 0) None else Some(best)
+  }
+
+  private def manifestPath(root: String, v: Int) =
+    commitsDir(root).resolve(f"v$v%05d.manifest")
+
+  /** Data files of a version (relative paths). */
+  def files(root: String, v: Int): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(manifestPath(root, v))).asScala.toSeq.filter(_.nonEmpty)
+
+  /** Read the latest snapshot (empty schema-less read is an error —
+    * callers check [[latestVersion]] for existence-dependent logic).
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Time-travel read of an explicit version. */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
+    spark.read.parquet(files(root, v).map(f => s"$root/$f"): _*)
+
+  /** Stage the DataFrame as immutable parquet files, invisible to
+    * readers until committed. Returns the staged relative file paths.
+    */
+  private def stage(df: DataFrame, root: String): Seq[String] = {
+    val id = java.util.UUID.randomUUID().toString
+    val rel = s"_staged/$id"
+    df.write.parquet(s"$root/$rel")
+    val dir = Paths.get(root, rel)
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.startsWith("part-") && n.endsWith(".parquet")) out += s"$rel/$n"
+    }
+    out.toSeq.sorted
+  }
+
+  /** ONE atomic publish attempt of `files` as version `v`. Returns
+    * true iff this writer's manifest landed. The publish is a hard
+    * LINK of the fully-written temp file onto the version name:
+    * link(2) is atomic AND create-exclusive (EEXIST when a concurrent
+    * writer claimed `v` first) — unlike rename(2), which silently
+    * REPLACES an existing target and would lose the winner's commit.
+    * Readers can never observe a partial manifest: content is complete
+    * before the name exists. On HDFS the equivalent seam is
+    * `create(path, overwrite = false)`; object stores need a
+    * conditional PUT / metastore CAS.
+    */
+  private def tryPublish(root: String, v: Int, files: Seq[String]): Boolean = {
+    Files.createDirectories(commitsDir(root))
+    val tmp = Files.createTempFile(commitsDir(root), s"inflight-v$v-", ".tmp")
+    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(manifestPath(root, v), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case NonFatal(_) =>
+        try Files.deleteIfExists(tmp) catch { case NonFatal(_) => }
+        false
+    }
+  }
+
+  /** Append: new snapshot = previous files + staged files. Optimistic
+    * concurrency, lost-update safe: each attempt re-reads the CURRENT
+    * latest manifest and republishes prior files + its own, so a loser
+    * of the commit race picks up the winner's files before retrying —
+    * no lock, no coordination, every writer's rows survive.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String): Int = {
+    val staged = stage(df, root)
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      val prev = base.map(files(root, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1) + 1
+      if (tryPublish(root, v, prev ++ staged)) committed = v
+    }
+    committed
+  }
+
+  /** Overwrite: new snapshot = staged files only. */
+  def overwrite(spark: SparkSession, df: DataFrame, root: String): Int = {
+    val staged = stage(df, root)
+    var committed = -1
+    while (committed < 0) {
+      val v = latestVersion(root).getOrElse(-1) + 1
+      if (tryPublish(root, v, staged)) committed = v
+    }
+    committed
+  }
+
+  /** MERGE-shaped upsert on `key`: matched target rows are replaced by
+    * their source row, unmatched source rows are inserted (copy-on-
+    * write rewrite). The rewrite is validated against the snapshot it
+    * read: losing the commit race RECOMPUTES the merge from the new
+    * latest version (a stale copy-on-write must not clobber a
+    * concurrent commit). Re-running the same merge is idempotent by
+    * content. Returns the committed version.
+    */
+  def merge(spark: SparkSession, df: DataFrame, root: String, key: String): Int = {
+    var committed = -1
+    while (committed < 0) {
+      latestVersion(root) match {
+        case None =>
+          val staged = stage(df, root)
+          if (tryPublish(root, 0, staged)) committed = 0
+        case Some(v) =>
+          val target = readVersion(spark, root, v)
+          val kept = target
+            .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+          val staged = stage(kept.unionByName(df), root)
+          if (tryPublish(root, v + 1, staged)) committed = v + 1
+      }
+    }
+    committed
+  }
+}

@@ -238,6 +238,28 @@ object RelationalQueries {
         FROM daily d, s, m
         ORDER BY d.purchase_date""")),
 
+    QueryDef(
+      "q77_anomaly_iforest",
+      (s, dir) => {
+        // the genuine IsolationForest twin of the reference's
+        // anomaly_detection.py:47 (n_estimators=100, seed 42): a
+        // trained ensemble is not ANSI-SQL-expressible, so like the
+        // multimodal stubs this is a rows-only driver check — the
+        // determinism, outlier-ranking, and flag-agreement contracts
+        // are pinned by IsolationForestSpec instead. q13 keeps the
+        // SQL-oracled robust-z scorer on the same feature prep.
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("purchase_date"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("daily_total_sales"),
+            count(lit(1)).as("daily_transaction_count"))
+        graft.analytics.Anomaly.IsolationForestScorer()
+          .score(daily)
+          .withColumn("anomaly_score", round(col("anomaly_score"), 6))
+          .orderBy(col("purchase_date"))
+      },
+      None),
+
     // ── joins ───────────────────────────────────────────────────────
     QueryDef(
       "q20_join_broadcast",
@@ -474,6 +496,54 @@ object RelationalQueries {
       Some("""
         SELECT DISTINCT o_orderstatus, o_orderpriority
         FROM orders
-        ORDER BY o_orderstatus, o_orderpriority"""))
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    QueryDef(
+      "q43_bucketed_join",
+      (s, dir) => {
+        // co-located big⋈big join: both sides bucketed+sorted on the
+        // join key, so the SortMergeJoin needs NO exchange on either
+        // side — at 100 TB this is the difference between a fact-fact
+        // join that shuffles petabytes and one that streams bucket
+        // pairs (PlanSpec asserts the zero-exchange property). The
+        // answer is physical-layout-invariant, which is exactly what
+        // the plain-join oracle checks.
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        // self-healing re-registration: a fresh catalog over a reused
+        // warehouse dir (fresh session, old filesystem) would refuse
+        // the managed-table location — drop both table AND location
+        Seq("graft_b_orders", "graft_b_customer").foreach { tn =>
+          s.sql(s"DROP TABLE IF EXISTS $tn")
+          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val loc = java.nio.file.Paths.get(wh, tn)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        orders.write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_b_orders")
+        customer.write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_b_customer")
+        s.table("graft_b_orders")
+          .join(s.table("graft_b_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }

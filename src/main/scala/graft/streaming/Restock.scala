@@ -30,10 +30,15 @@ object Restock {
   }
 
   /** Streaming: per-product running level across micro-batches.
-    * Within a batch, sales are applied in event-time order (Spark
-    * hands the group iterator in arrival order, which for a replayed
-    * log is not guaranteed — sorting per batch makes the operator
-    * deterministic; cross-batch ordering is the source's job).
+    * Within a batch, sales are applied in event-time order. The
+    * per-key buffer here is bounded by ONE MICRO-BATCH of one
+    * product's events (trigger-interval-sized), not by history —
+    * within-batch event-time ordering inherently needs the whole
+    * batch-group (its last-arriving element may be the earliest), and
+    * Structured Streaming disallows pre-group local sorts on
+    * streaming Datasets. Unbounded replays belong to
+    * [[restockBatch]], which secondary-sorts and never materializes a
+    * group.
     */
   def restockStream(sales: Dataset[Sale], initialLevel: Int)
       : Dataset[InventoryEvent] = {
@@ -45,8 +50,11 @@ object Restock {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Sale], state: GroupState[Level]) =>
           var level = state.getOption.map(_.level).getOrElse(initialLevel)
+          val batch = it.toArray
+          scala.util.Sorting.stableSort(batch,
+            (a: Sale, b: Sale) => a.event_time.getTime < b.event_time.getTime)
           val out = Seq.newBuilder[InventoryEvent]
-          it.toSeq.sortBy(_.event_time.getTime).foreach { s =>
+          batch.foreach { s =>
             val (next, ev) = step(level, s)
             level = next
             ev.foreach(out += _)
@@ -56,25 +64,32 @@ object Restock {
       }
   }
 
-  /** Batch twin: same state machine over a bounded Dataset, one pass
-    * per product group in event-time order. Used by the offline
-    * pipeline and for differential testing against the generator's
-    * in-process state machine.
+  /** Batch twin: the same state machine via SECONDARY SORT — shuffle
+    * on product_id, sort each partition by (product_id, event_time),
+    * then a single lazy fold that detects key boundaries as it
+    * streams. No group is ever materialized: a product with a billion
+    * sales costs the same task heap as one with ten (the sort itself
+    * is Spark's spillable external sort). This replaces the previous
+    * `groupByKey` + `it.toSeq.sortBy` formulation, which buffered an
+    * entire product's history per task — an OOM under hot-key skew at
+    * scale.
     */
   def restockBatch(sales: Dataset[Sale], initialLevel: Int)
       : Dataset[InventoryEvent] = {
+    import org.apache.spark.sql.functions.col
     implicit val outEnc = Encoders.product[InventoryEvent]
-    implicit val keyEnc = Encoders.STRING
-    sales.groupByKey(_.product_id).flatMapGroups {
-      (key: String, it: Iterator[Sale]) =>
+    sales
+      .repartition(col("product_id"))
+      .sortWithinPartitions(col("product_id"), col("event_time"), col("quantity"))
+      .mapPartitions { it =>
+        var curKey: String = null
         var level = initialLevel
-        val out = Seq.newBuilder[InventoryEvent]
-        it.toSeq.sortBy(_.event_time.getTime).foreach { s =>
+        it.flatMap { s =>
+          if (s.product_id != curKey) { curKey = s.product_id; level = initialLevel }
           val (next, ev) = step(level, s)
           level = next
-          ev.foreach(out += _)
+          ev // lazy: emits as it folds, O(1) memory beyond the sort
         }
-        out.result().iterator
-    }
+      }
   }
 }

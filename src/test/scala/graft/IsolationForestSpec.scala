@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Anomaly
+
+/** Contracts of the seeded IsolationForest scorer
+  * (`pipeline/ml/anomaly_detection.py:47-52` twin): bit-reproducible
+  * fits, planted outliers rank most anomalous, flags agree with the
+  * robust-z scorer on unambiguous cases.
+  */
+class IsolationForestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 ordinary days plus two grotesque outliers; deterministic
+  // synthetic: totals ~N(1000, 50), counts ~100±10
+  private def daily = {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 60).map { d =>
+      (java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(d.toLong),
+        1000.0 + rnd.nextGaussian() * 50.0, 100L + rnd.nextInt(21) - 10L)
+    } :+
+      (java.sql.Date.valueOf("2024-03-15").toLocalDate, 25000.0, 2500L) :+
+      (java.sql.Date.valueOf("2024-03-16").toLocalDate, 1.0, 1L)
+    rows.map { case (d, s, c) => (java.sql.Date.valueOf(d), s, c) }
+      .toDF("purchase_date", "daily_total_sales", "daily_transaction_count")
+  }
+
+  test("deterministic: two fits produce identical scores") {
+    val a = Anomaly.IsolationForestScorer().score(daily)
+      .select("purchase_date", "anomaly_score").collect().toSeq
+    val b = Anomaly.IsolationForestScorer().score(daily)
+      .select("purchase_date", "anomaly_score").collect().toSeq
+    assert(a === b)
+  }
+
+  test("planted outliers get the lowest scores and are flagged") {
+    val scored = Anomaly.IsolationForestScorer().score(daily)
+      .orderBy(col("anomaly_score"))
+      .select("purchase_date", "anomaly_score", "is_anomaly")
+      .collect()
+    val worstTwo = scored.take(2).map(_.getDate(0).toString).toSet
+    assert(worstTwo === Set("2024-03-15", "2024-03-16"), scored.take(5).mkString(","))
+    assert(scored.take(2).forall(_.getBoolean(2)), "outliers must be flagged")
+    // ordinary days: the bulk must NOT be flagged
+    val flagged = scored.count(_.getBoolean(2))
+    assert(flagged <= 6, s"$flagged of ${scored.length} flagged")
+  }
+
+  test("flag agreement with robust-z on unambiguous outliers") {
+    val forest = Anomaly.IsolationForestScorer().score(daily)
+      .filter(col("is_anomaly")).select("purchase_date")
+      .collect().map(_.getDate(0).toString).toSet
+    val robust = Anomaly.RobustZScorer().score(daily)
+      .filter(col("is_anomaly")).select("purchase_date")
+      .collect().map(_.getDate(0).toString).toSet
+    assert(Set("2024-03-15", "2024-03-16").subsetOf(forest))
+    assert(Set("2024-03-15", "2024-03-16").subsetOf(robust))
+  }
+
+  test("seed changes the forest, contract holds regardless") {
+    val s1 = Anomaly.IsolationForestScorer(seed = 1L).score(daily)
+      .orderBy(col("anomaly_score")).select("purchase_date")
+      .collect().take(2).map(_.getDate(0).toString).toSet
+    assert(s1 === Set("2024-03-15", "2024-03-16"))
+  }
+}

@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q43: bucketed join — no exchange on either join side") {
+    // AQE would broadcast the small side at this SF and hide the
+    // co-location; force the shuffle-join path the property is about
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q43_bucketed_join")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("q60: exact dedup is one hash-agg pair with map-side partial") {
     val p = plan("q60_dedup_exact")
     assert(count(p, "HashAggregate") >= 2, p) // partial + final

@@ -237,6 +237,31 @@ class RestockSpec extends SparkSpec {
     assert(got === gen.inventoryEvents.toSet)
   }
 
+  test("secondary sort: one hot key with 100k shuffled events ≡ linear fold") {
+    // the shape that OOM'd the old toSeq path at scale: a single
+    // product whose entire history lands in one task. The secondary-
+    // sorted fold streams it; correctness checked against a plain
+    // in-memory fold over the time-ordered events.
+    val n = 100000
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ordered = (0 until n).map(i =>
+      Restock.Sale("HOT", new java.sql.Timestamp(t0 + i * 1000L), 1 + i % 3))
+    val shuffled = new scala.util.Random(3).shuffle(ordered)
+    val got = Restock.restockBatch(shuffled.toDS().repartition(8), initialLevel = 75)
+      .collect().sortBy(_.event_time.getTime)
+    var level = 75
+    val want = ordered.flatMap { s =>
+      val after = level - s.quantity
+      if (after <= Restock.MinInventory) {
+        level = after + Restock.RestockAmount
+        Some(graft.model.InventoryEvent(s.event_time, s.product_id, after,
+          Restock.RestockAmount, after + Restock.RestockAmount))
+      } else { level = after; None }
+    }
+    assert(got.length === want.length)
+    assert(got.toSeq === want)
+  }
+
   test("streaming flatMapGroupsWithState carries level across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val gen = EventGenerator.generate(EventGenerator.defaultProducts, 2000)
