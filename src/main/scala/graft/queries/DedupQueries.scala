@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.ext.Dedup
 
 /** Near-duplicate detection over `documents` (graft.ext.Dedup).
-  * q64 (exact n-gram Jaccard on a bounded candidate slice) carries a
-  * DuckDB oracle; the MinHash-LSH and SimHash variants are
-  * non-SQL-expressible → rows-only driver check + ScalaTest goldens.
+  * EVERY query here is DuckDB-hash-checked: q64 replays its inverted-
+  * index Jaccard directly; q65/q76 are checked against the LSH-free
+  * exact-Jaccard truth set (valid because banding recall is
+  * deterministically 1 on this corpus — see q65's oracle comment);
+  * q66 replays the 60-bit md5 SimHash end to end (pigeonhole recall
+  * is exactly 1 by construction).
   */
 object DedupQueries {
 

@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.ext.Similarity
 
 /** ANN / similarity search over `embeddings` (graft.ext.Similarity).
-  * Brute-force cosine top-k is the oracle-checked baseline; the
-  * hyperplane-LSH variant is the 100 TB scale path (rows-only check;
-  * recall vs the brute-force baseline is asserted in ScalaTest).
+  * All five queries are DuckDB-hash-checked: the LSH/IVF variants
+  * embed their seeded ±1 hyperplane constants into the oracle SQL, so
+  * bucketing, probe ranking, and exact re-rank replay bit for bit
+  * (sequential-double dot products are identical in both engines).
   */
 object SimilarityQueries {
 
