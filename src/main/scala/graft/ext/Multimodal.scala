@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   *    `spark.sql.files.maxPartitionBytes` tuned so a partition of
   *    decoded frames fits executor memory.
   *
-  * The actual codecs (JPEG/PNG/PCM/MP4) are NOT in this offline
-  * container, so [[StubCodec]] fakes the decode step with a
-  * deterministic byte-hash synthesis — the Spark-side plumbing
-  * (schemas, batch shape, partition-wise lifecycle, typed output) is
-  * real and tested; swap [[MediaCodec]] for a JNI/JavaCV-backed
-  * implementation at deploy time.
+  * Codecs: [[graft.ext.JdkCodec]] is a REAL decoder for every format
+  * the JDK ships support for — PNG/JPEG/BMP/GIF images, PCM WAV
+  * audio, animated-GIF frame demux — exercised end to end in
+  * JdkCodecSpec with exact pixel/sample assertions. [[StubCodec]]
+  * remains for payloads with no JDK decoder (the driver corpus'
+  * text-byte stand-ins, MP4-class video): deterministic byte-hash
+  * synthesis that keeps the plumbing testable. A JavaCV/JNI-backed
+  * [[MediaCodec]] slots into the same seam at deploy time for native
+  * formats.
   */
 object Multimodal {
 
@@ -117,6 +120,12 @@ object Multimodal {
     asMedia(media.filter(col("kind") === "image")).mapPartitions { it =>
       it.map(m => codec.decodeImage(m.media_id, m.format, m.bytes))
     }(Encoders.product[DecodedImage])
+
+  /** binary → decoded audio rows (map-side; codec reused per partition). */
+  def decodeAudioClips(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[AudioClip] =
+    asMedia(media.filter(col("kind") === "audio")).mapPartitions { it =>
+      it.map(m => codec.decodeAudio(m.media_id, m.format, m.bytes))
+    }(Encoders.product[AudioClip])
 
   /** Nearest-neighbor resize on decoded pixel buffers. */
   def resize(images: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] =

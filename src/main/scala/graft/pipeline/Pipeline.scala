@@ -21,7 +21,55 @@ object Pipeline {
       lakeDir: String,
       nEvents: Int = 500,
       seed: Long = 42L,
-      factTable: String = "fct_purchases")
+      factTable: String = "fct_purchases",
+      policy: StepPolicy = StepPolicy())
+
+  /** The Airflow task policy re-expressed
+    * (`pipeline/dags/sales_pipeline_dag.py:70-76`: `retries`,
+    * `retry_delay`, `execution_timeout=7min`). Retrying is SAFE here
+    * precisely because every step is idempotent (watermark + keyed
+    * dedup/merge): a replayed step converges instead of duplicating —
+    * policy and idempotence are a pair, not independent features.
+    */
+  final case class StepPolicy(
+      retries: Int = 2,
+      retryDelayMs: Long = 0L,
+      timeoutMs: Long = 7 * 60 * 1000L)
+
+  final case class StepFailed(step: String, attempts: Int, cause: Throwable)
+    extends RuntimeException(
+      s"step '$step' failed after $attempts attempt(s): ${cause.getMessage}", cause)
+
+  /** Run one named step under the policy: each attempt gets a fresh
+    * execution timeout (enforced via a worker thread + interrupt, the
+    * JVM analogue of Airflow killing the task process); failures and
+    * timeouts retry up to `retries` extra times.
+    */
+  def runStep[T](name: String, policy: StepPolicy)(body: => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= policy.retries) {
+      attempt += 1
+      val task = new java.util.concurrent.FutureTask[T](
+        new java.util.concurrent.Callable[T] { def call(): T = body })
+      val t = new Thread(task, s"graft-step-$name-a$attempt")
+      t.setDaemon(true)
+      t.start()
+      try {
+        return task.get(policy.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      } catch {
+        case e: java.util.concurrent.TimeoutException =>
+          task.cancel(true) // interrupt; Spark actions abort on interrupt
+          last = new java.util.concurrent.TimeoutException(
+            s"step '$name' exceeded ${policy.timeoutMs} ms")
+        case e: java.util.concurrent.ExecutionException =>
+          last = e.getCause
+      }
+      if (attempt <= policy.retries && policy.retryDelayMs > 0)
+        Thread.sleep(policy.retryDelayMs)
+    }
+    throw StepFailed(name, attempt, last)
+  }
 
   final case class Result(
       silverRows: Long,
@@ -47,34 +95,41 @@ object Pipeline {
     // ingest → Silver (deterministic ingestion stamp = event time here;
     // streaming path covered by StreamingSilver + tests). Row/parse
     // metrics ride the write job via observe() — no second pass.
-    val obs = new org.apache.spark.sql.Observation("silver_ingest")
-    val parsed = Silver
-      .parsePurchases(raw, ingestionTs = col("transaction_time"))
-      .observe(obs, count(lit(1)).as("n_rows"),
-        sum(when(col("transaction_id").isNull, 1).otherwise(0)).as("n_unparsed"))
-    Silver.writeSilver(parsed, silverPath)
-    val ingestedRows = obs.get("n_rows").asInstanceOf[Long]
-    require(obs.get("n_unparsed").asInstanceOf[Long] == 0L,
-      "malformed events reached Silver")
+    val ingestedRows = runStep("ingest_silver", cfg.policy) {
+      val obs = new org.apache.spark.sql.Observation()
+      val parsed = Silver
+        .parsePurchases(raw, ingestionTs = col("transaction_time"))
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum(when(col("transaction_id").isNull, 1).otherwise(0)).as("n_unparsed"))
+      Silver.writeSilver(parsed, silverPath)
+      require(obs.get("n_unparsed").asInstanceOf[Long] == 0L,
+        "malformed events reached Silver")
+      obs.get("n_rows").asInstanceOf[Long]
+    }
     val silver = Silver.readSilver(spark, silverPath)
 
-    // promote → fact (incremental, honest dedup)
-    val target =
-      if (Files.exists(Paths.get(factPath)))
-        Some(spark.read.parquet(factPath))
-      else None
-    val fct = Gold.fctPurchases(silver)
-    val toAppend = Gold.incrementalRows(fct, target)
-    val appended = toAppend.count()
-    toAppend.write.mode(SaveMode.Append)
-      .partitionBy("purchase_date").parquet(factPath)
+    // promote → fact (incremental, honest dedup; idempotent ⇒ retryable)
+    val appended = runStep("fact_incremental", cfg.policy) {
+      val target =
+        if (Files.exists(Paths.get(factPath)))
+          Some(spark.read.parquet(factPath))
+        else None
+      val fct = Gold.fctPurchases(silver)
+      val toAppend = Gold.incrementalRows(fct, target)
+      val n = toAppend.count()
+      toAppend.write.mode(SaveMode.Append)
+        .partitionBy("purchase_date").parquet(factPath)
+      n
+    }
 
     // analytics (+ CSV result sink, K6 of anomaly_detection.py:56-60)
     val daily = Anomaly.dailySales(spark.read.parquet(factPath))
     val anomalies = Anomaly.RobustZScorer().score(daily)
-    anomalies.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("header", "true")
-      .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")
+    runStep("score_anomalies", cfg.policy) {
+      anomalies.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")
+    }
     Result(ingestedRows, appended, daily, anomalies)
   }
 }

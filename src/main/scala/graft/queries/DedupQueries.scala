@@ -25,8 +25,14 @@ object DedupQueries {
         // sharing no shingle can't clear the 0.05 floor, so dropping
         // them (inherent to the index join) is lossless.
         val docs = Tables.load(s, dir, "documents")
+        // persisted: consumed THREE times (sizes, probe side, corpus
+        // side) and Catalyst does not reuse plan fragments across
+        // branches — without this the tokenize+shingle pipeline runs
+        // 3×. Rows are (doc_id, lang, shingle) — a token-sized
+        // intermediate, MEMORY_AND_DISK-safe at scale.
         val exploded = Dedup.explodedShingles(docs, "doc_id", "text",
-          extraCols = Seq("lang"))
+            extraCols = Seq("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // per-doc DISTINCT shingle-set size (set semantics for Jaccard)
         val szs = exploded.groupBy(col("doc_id"), col("lang"))
           .agg(count_distinct(col("s")).as("sz"))
