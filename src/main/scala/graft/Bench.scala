@@ -34,7 +34,13 @@ object Bench {
       import spark.implicits._
       val gen = graft.generator.EventGenerator.generate(
         graft.generator.EventGenerator.defaultProducts, 100000)
-      val raw = gen.purchases.map(graft.generator.EventGenerator.toJson).toDF("value")
+      // stage the envelope strings across partitions the way a real
+      // feed arrives (a Seq.toDF LocalRelation plans as ONE task, so
+      // it would serialize parse+write behind a single core and
+      // measure that artifact instead of the engine)
+      val raw = spark.sparkContext.parallelize(
+        gen.purchases.map(graft.generator.EventGenerator.toJson),
+        cpus.toInt).toDF("value")
       val out = java.nio.file.Files.createTempDirectory("bench-silver").toString
       val t0 = System.nanoTime()
       graft.ingest.Silver.writeSilver(
