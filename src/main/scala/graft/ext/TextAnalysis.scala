@@ -111,6 +111,34 @@ object TextAnalysis {
       .otherwise(lit("keep"))
   }
 
+  /** Within-document repetition ratio (the Gopher/CCNet-style quality
+    * signal): fraction of word n-grams that are duplicates of an
+    * earlier one — 1 − |distinct n-grams| / |n-grams|. Boilerplate,
+    * keyword-stuffed, and looping documents score high. Map-side
+    * column arithmetic over [[graft.ext.Dedup.shingleSeq]]; 0.0 for
+    * documents shorter than n tokens.
+    */
+  def repetitionRatio(t: Column, n: Int = 5): Column =
+    graft.ext.Dedup.bound(graft.ext.Dedup.shingleSeq(t, n)) { g =>
+      when(size(g) > 0,
+        round(lit(1.0) -
+          size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
+
+  /** PII scrubbing for training corpora: emails → `<EMAIL>`, URLs →
+    * `<URL>`, long digit runs (phone/account numbers) → `<NUM>`.
+    * Fixed precedence (emails first — a URL pattern could otherwise
+    * eat `user@host` text), portable regexes (no lookarounds, so Java
+    * and RE2 dialects agree), codegen'd map-side pass.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{9,}", "<NUM>")
+  }
+
   /** Stopword/char-class language heuristic over {en,fr,es,de,zh}.
     * Precedence chain is deterministic: CJK chars win, then the
     * highest stopword hit count in fixed order fr → es → de → en.

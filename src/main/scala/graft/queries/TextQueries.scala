@@ -205,6 +205,87 @@ object TextQueries {
         ORDER BY verdict""")),
 
     QueryDef(
+      "q78_pii_redaction",
+      (s, dir) => {
+        // deterministic PII is injected per doc (the synthetic corpus
+        // carries none), then scrubbed — the redaction op is the
+        // deliverable; counts + content digest hash-check it
+        val withPii = Tables.load(s, dir, "documents")
+          .withColumn("txt", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or "),
+            lit("https://ex.org/d/"), col("doc_id").cast("string"),
+            lit(" ref 9990000"), col("doc_id").cast("string")))
+        withPii.select(
+          col("doc_id"),
+          regexp_count(col("txt"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+            .cast("bigint").as("n_emails"),
+          regexp_count(col("txt"), lit("https?://[^\\s]+"))
+            .cast("bigint").as("n_urls"),
+          md5(redactPii(col("txt"))).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or '
+                 || 'https://ex.org/d/' || doc_id || ' ref 9990000' || doc_id AS txt
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(txt,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(txt, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+          md5(regexp_replace(regexp_replace(regexp_replace(txt,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[0-9]{9,}', '<NUM>', 'g')) AS redacted_md5
+        FROM w
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q79_repetition",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            repetitionRatio(graft.ext.Dedup.tokens(col("text"))).as("rep_ratio"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("rep_ratio")), 6).as("avg_rep"),
+            round(max(col("rep_ratio")), 6).as("max_rep"),
+            sum(when(col("rep_ratio") > 0.2, 1).otherwise(0)).as("n_repetitive"))
+          .orderBy(col("lang")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(t) >= 5
+                 THEN list_transform(range(1, len(t)-3),
+                        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+                 ELSE [] END AS grams
+          FROM toks),
+        r AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(grams) > 0
+                 THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                        / CAST(len(grams) AS DOUBLE), 6)
+                 ELSE 0.0 END AS rep_ratio
+          FROM g)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(rep_ratio), 6) AS avg_rep,
+               ROUND(MAX(rep_ratio), 6) AS max_rep,
+               CAST(SUM(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repetitive
+        FROM r
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    QueryDef(
       "q63_lang_quality_agg",
       (s, dir) =>
         Tables.load(s, dir, "documents")

@@ -183,6 +183,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh"))
   }
 
+  test("repetitionRatio: looping text scores high, varied text zero, short text zero") {
+    val df = Seq(
+      (1L, ("buy cheap pills now " * 10).trim),                     // pure loop
+      (2L, "one two three four five six seven eight nine ten"),     // all unique
+      (3L, "too short")                                             // < 5 tokens
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(Dedup.tokens(col("text"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.8, got(1L).toString)   // 36 grams, ~4 distinct
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+  }
+
+  test("redactPii scrubs emails, urls, and long digit runs in precedence order") {
+    val df = Seq((1L,
+      "mail a.b_c+1@ex-ample.co.uk or visit https://ex.org/p?q=1#f ref 1234567890 done"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(got === "mail <EMAIL> or visit <URL> ref <NUM> done", got)
+    // short digit runs survive (dates, quantities)
+    val keep = Seq((1L, "order 42 on 20240101")).toDF("doc_id", "text")
+    assert(keep.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+      === "order 42 on 20240101")
+  }
+
   test("quality score is in [0,1] and penalizes punctuation soup") {
     val df = Seq(
       (1L, "the quick brown fox and the lazy dog ran a fine race through the park and the meadow"),
