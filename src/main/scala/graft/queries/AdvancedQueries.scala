@@ -568,19 +568,43 @@ object AdvancedQueries {
         GROUP BY c.cohort, months_since
         ORDER BY c.cohort, months_since""")),
 
-    // approximate aggregates: engine-specific sketches can't hash-match
-    // an oracle; error bounds vs exact counts asserted in ScalaTest
+    // approximate aggregates: the SKETCH VALUES are engine-specific
+    // (HLL++ / t-digest internals), so the oracle checks what approx
+    // aggs actually promise — acceptance bounds against the exact
+    // answer. The exact columns hash-match outright; the booleans are
+    // deterministic (fixed sketch on fixed data) and the oracle
+    // asserts them TRUE, so any accuracy regression past the bound
+    // hash-fails the driver gate. Raw sketch error magnitudes are
+    // additionally pinned in ApproxAggSpec.
     QueryDef(
       "q48_approx_aggs",
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
             count_distinct(col("l_partkey")).as("exact_parts"),
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-              .as("approx_median"))
+            (abs(approx_count_distinct(col("l_partkey"))
+              - count_distinct(col("l_partkey"))).cast("double")
+              / count_distinct(col("l_partkey")).cast("double") <= 0.05)
+              .as("hll_within_5pct"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+            (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+              - expr("percentile(l_extendedprice, 0.5)"))
+              / expr("percentile(l_extendedprice, 0.5)") <= 0.01)
+              .as("tdigest_within_1pct"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            col("hll_within_5pct"),
+            round(col("exact_median"), 4).as("exact_median"),
+            col("tdigest_within_1pct"))
           .orderBy(col("l_returnflag")),
-      None)
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS hll_within_5pct,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+               TRUE AS tdigest_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }
