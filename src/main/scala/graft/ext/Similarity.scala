@@ -239,6 +239,31 @@ object Similarity {
       .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× compression for vector stores / ANN shipping. Per vector:
+    * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [−127, 127]
+    * (zero vectors quantize to scale 0 + all-zero codes). Returns a
+    * struct column {scale: double, q: array<int>}. Map-side column
+    * arithmetic; the scale is let-bound so the max-abs pass runs once
+    * per row (see [[Dedup.bound]]).
+    */
+  def quantizeInt8(v: Column): Column =
+    graft.ext.Dedup.bound(
+      array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)) { scale =>
+      struct(
+        scale.as("scale"),
+        when(scale > 0,
+          transform(v, x => round(x.cast("double") / scale).cast("int")))
+          .otherwise(transform(v, _ => lit(0)))
+          .as("q"))
+    }
+
+  /** Inverse of [[quantizeInt8]]: q_i · scale, as array<double>. */
+  def dequantizeInt8(quant: Column): Column =
+    graft.ext.Dedup.bound(quant.getField("scale")) { scale =>
+      transform(quant.getField("q"), q => q.cast("double") * scale)
+    }
+
   /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
     * cosine filters at `threshold`. Recall trades off with nPlanes.
     */

@@ -165,8 +165,49 @@ object SimilarityQueries {
           threshold = 0.3, nPlanes = 8)
           .orderBy(col("vec_a"), col("vec_b")),
       Some(lshOracle),
-      headline = true)
+      headline = true),
+
+    quantize
   )
+
+  private def quantize: QueryDef = QueryDef(
+    "q83_embedding_quantize",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("quant", Similarity.quantizeInt8(col("embedding")))
+      e.select(
+        col("vec_id"),
+        round(col("quant.scale"), 6).as("scale_r"),
+        md5(concat_ws(",", transform(col("quant.q"), _.cast("string"))))
+          .as("codes_md5"),
+        // fidelity of the 4×-compressed representation, measured in
+        // the metric ANN actually uses
+        round(Similarity.cosineNative(col("embedding"),
+          Similarity.dequantizeInt8(col("quant"))), 6).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+        q AS (SELECT vec_id, v, scale,
+                CASE WHEN scale > 0
+                     THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+                     ELSE list_transform(v, x -> 0) END AS codes
+              FROM s),
+        d AS (SELECT vec_id, v, scale, codes,
+                list_transform(codes, c -> c * scale) AS recon
+              FROM q)
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale_r,
+               md5(array_to_string(codes, ',')) AS codes_md5,
+               ROUND(list_dot_product(v, recon)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(recon, recon))), 6)
+                 AS recon_cos
+        FROM d
+        ORDER BY vec_id"""))
 
   /** ±1 plane constants as a SQL list literal — the SAME seeded values
     * the Spark expressions use (Similarity.planeValues), so the oracle

@@ -36,4 +36,29 @@ object StreamingGold {
           .partitionBy("purchase_date").parquet(factPath)
       }
       .start()
+
+  /** Streaming → Gold as ATOMIC SNAPSHOT COMMITS: each micro-batch
+    * publishes through [[Gold.mergeIncremental]] →
+    * [[graft.gold.AtomicTable.merge]] on the unique key. Strictly
+    * stronger than the append variant under failure:
+    *  - a crash mid-batch leaves no torn table — readers only ever
+    *    see the last committed manifest, never half a batch;
+    *  - foreachBatch's at-least-once replay CONVERGES: re-merging a
+    *    batch replaces its own keys instead of appending duplicates,
+    *    so exactly-once lands in the table without relying on the
+    *    checkpoint alone;
+    *  - a concurrent batch writer (backfill job) and the stream
+    *    cannot lose each other's commits (optimistic retry).
+    */
+  def startTransactionalFact(parsed: DataFrame, tableRoot: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    Gold.fctPurchases(parsed).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Gold.mergeIncremental(batch.sparkSession, batch, tableRoot): Unit
+      }
+      .start()
 }

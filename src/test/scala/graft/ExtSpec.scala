@@ -151,6 +151,37 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 round trip: codes in [-127,127], error ≤ scale/2, zero vector safe") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4.0f))) :+
+      (99L, Array.fill(16)(0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("quant", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("quant.scale").as("scale"),
+        col("quant.q").as("q"),
+        Similarity.dequantizeInt8(col("quant")).as("recon"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      val recon = r.getSeq[Double](4)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (r.getLong(0) == 99L) {
+        assert(scale === 0.0 && codes.forall(_ == 0))
+      } else {
+        orig.zip(recon).foreach { case (o, rc) =>
+          assert(math.abs(o - rc) <= scale / 2 + 1e-9, s"vec ${r.getLong(0)}")
+        }
+      }
+    }
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 

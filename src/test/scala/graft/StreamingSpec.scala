@@ -221,6 +221,31 @@ class StreamingGoldSpec extends SparkSpec {
     assert(fct.count() === fct.select("transaction_id").distinct().count())
     assert(fct.count() === 300)
   }
+
+  test("transactional fact: batch replay converges via snapshot MERGE") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 300)
+    val json = gen.purchases.map(EventGenerator.toJson)
+    val stream = MemoryStream[String]
+    val root = tmpDir("stream-fact-tx") + "/fct"
+    def start(ckpt: String) = StreamingGold.startTransactionalFact(
+      Silver.parsePurchases(stream.toDF(),
+        ingestionTs = col("transaction_time")),
+      root, ckpt, Trigger.AvailableNow())
+    val q = start(tmpDir("tx-ckpt1"))
+    stream.addData(json.take(200) ++ json.slice(100, 130)) // in-batch dups
+    q.awaitTermination()
+    val v1 = graft.gold.AtomicTable.latestVersion(root).get
+    // fresh checkpoint = full REPLAY of everything plus the tail —
+    // at-least-once delivery; merge must converge, not duplicate
+    val q2 = start(tmpDir("tx-ckpt2"))
+    stream.addData(json)
+    q2.awaitTermination()
+    val fct = graft.gold.AtomicTable.read(spark, root)
+    assert(fct.count() === fct.select("transaction_id").distinct().count())
+    assert(fct.count() === 300)
+    assert(graft.gold.AtomicTable.latestVersion(root).get > v1)
+  }
 }
 
 class RestockSpec extends SparkSpec {
