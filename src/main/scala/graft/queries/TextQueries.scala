@@ -286,6 +286,76 @@ object TextQueries {
         ORDER BY lang""")),
 
     QueryDef(
+      "q84_token_packing",
+      (s, dir) => {
+        // LLM sequence packing: 8 hash shards, 1000-token greedy bins;
+        // the summary exposes bin fill levels (every bin except a
+        // shard's last should sit at/just past budget — the packing
+        // efficiency a training loader sees)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        graft.ext.Packing
+          .packByTokenBudget(docs, col("shard"), col("doc_id"),
+            col("n_tokens"), budget = 1000L)
+          .groupBy(col("shard"), col("bin_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"), col("bin_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 doc_id % 8 AS shard
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens, shard,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+          FROM d),
+        b AS (
+          SELECT shard, doc_id, n_tokens,
+                 CAST(floor(run_before / 1000.0) AS BIGINT) AS bin_id
+          FROM r)
+        SELECT shard, bin_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS bin_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM b
+        GROUP BY shard, bin_id
+        ORDER BY shard, bin_id""")),
+
+    QueryDef(
+      "q85_vocab_topk",
+      (s, dir) =>
+        // vocabulary head of the corpus: token frequencies + document
+        // frequencies, global top-25 (deterministic tie-break on the
+        // token). Explode → one hash-agg shuffle on the token — the
+        // map-side-combinable shape for corpus-wide vocab stats.
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("tf"),
+            count_distinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("tok"))
+          .limit(25),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents)
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM t
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 25""")),
+
+    QueryDef(
       "q63_lang_quality_agg",
       (s, dir) =>
         Tables.load(s, dir, "documents")

@@ -182,6 +182,43 @@ class QuantizeSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy fill: bins advance at the budget, overflow ≤ one document") {
+    val docs = Seq(
+      (1L, 400L), (2L, 400L), (3L, 400L), // bin 0: 400+400+400 (doc 3 straddles)
+      (4L, 900L),                         // bin 1 (run_before 1200)
+      (5L, 100L),                         // bin 2 (run_before 2100)
+      (6L, 5000L),                        // bin 2 too (run_before 2200) — huge doc
+      (7L, 10L)                           // bin 7 (run_before 7210)
+    ).toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+    val got = graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L)
+      .select("doc_id", "bin_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 7L))
+    // determinism: same input → same bins on re-run
+    val again = graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L)
+      .select("doc_id", "bin_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("shards pack independently") {
+    val docs = Seq((1L, 600L, 0L), (2L, 600L, 0L), (3L, 600L, 1L), (4L, 600L, 1L))
+      .toDF("doc_id", "n_tokens", "shard")
+    val got = graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L)
+      .select("doc_id", "bin_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each shard restarts at bin 0
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
