@@ -174,8 +174,127 @@ object DedupQueries {
                CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         FROM cand
         WHERE bit_count(xor(sim_a, sim_b)) <= 3
-        ORDER BY doc_id_a, doc_id_b"""))
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    curationPipeline
   )
+
+  /** The whole training-data curation workflow as ONE declarative
+    * pipeline — quality filter → exact dedup → near-dup removal
+    * (LSH + connected components, canonical survivor) → token-budget
+    * sequence packing — hash-checked end to end by an oracle that
+    * replays every stage in SQL. Each stage is individually proven
+    * (q68, q60, q65/q76, q84); this is the composition a real corpus
+    * build runs, and the demonstration that the stages stay
+    * declarative enough for Catalyst to plan as one DAG (map-side
+    * filters → two hash-agg shuffles → bucketed candidate join →
+    * per-shard window), with no driver-side orchestration between
+    * stages.
+    */
+  private def curationPipeline: QueryDef = QueryDef(
+    "q86_curation_pipeline",
+    (s, dir) => {
+      import graft.ext.{Dedup, Packing, TextAnalysis}
+      val docs = Tables.load(s, dir, "documents")
+      // 1. rule-based quality filter
+      val kept = docs.filter(TextAnalysis.qualityFilter(col("text"),
+        minTokens = 20, maxTokens = 150, maxPunctRatio = 0.05) === "keep")
+      // 2. exact dedup: first writer (min doc_id) per content digest
+      val exactWinners = kept
+        .groupBy(md5(col("text")).as("hsh"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // persisted: the survivor set feeds BOTH the LSH pair pipeline
+      // and the final packing pass (no cross-branch plan reuse)
+      val s0 = kept.join(exactWinners, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 3. near-dup removal: keep each cluster's canonical (min) doc
+      val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
+      val losers = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val s1 = s0.join(losers, Seq("doc_id"), "left_anti")
+      // 4. pack survivors into 2000-token shard bins
+      val sized = s1.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      Packing.packByTokenBudget(sized, col("shard"), col("doc_id"),
+          col("n_tokens"), budget = 2000L)
+        .groupBy(col("shard"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"), col("bin_id"))
+    },
+    Some("""
+        WITH RECURSIVE q AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
+          FROM documents),
+        f AS (
+          SELECT doc_id, text FROM q
+          WHERE n_tok >= 20 AND n_tok <= 150 AND pr <= 0.05),
+        ew AS (
+          SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        s0 AS (SELECT f.doc_id, f.text FROM f JOIN ew USING (doc_id)),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM s0),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth_pairs AS (
+          SELECT doc_id_a, doc_id_b
+          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
+                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
+          WHERE ROUND(CAST(i AS DOUBLE)/CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.3),
+        edges AS (
+          SELECT doc_id_a AS n, doc_id_b AS m FROM truth_pairs
+          UNION
+          SELECT doc_id_b, doc_id_a FROM truth_pairs),
+        reach(n, m) AS (
+          SELECT n, m FROM edges
+          UNION
+          SELECT e.n, r.m FROM edges e JOIN reach r ON r.n = e.m),
+        lbl AS (
+          SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id
+          FROM reach GROUP BY n),
+        losers AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+        s1 AS (
+          SELECT s0.doc_id, s0.text FROM s0
+          LEFT JOIN losers l ON s0.doc_id = l.doc_id
+          WHERE l.doc_id IS NULL),
+        sized AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 doc_id % 4 AS shard
+          FROM s1),
+        runs AS (
+          SELECT doc_id, n_tokens, shard,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+          FROM sized),
+        bins AS (
+          SELECT shard, doc_id, n_tokens,
+                 CAST(floor(run_before / 2000.0) AS BIGINT) AS bin_id
+          FROM runs)
+        SELECT shard, bin_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS bin_tokens,
+               MIN(doc_id) AS first_doc
+        FROM bins
+        GROUP BY shard, bin_id
+        ORDER BY shard, bin_id"""),
+    headline = true)
 
   /** Shared oracle prelude: the exact 3-gram Jaccard truth pairs at
     * threshold 0.3 over the full corpus, as an inverted-index join
