@@ -141,8 +141,9 @@ object Dedup {
   /** MinHash signatures from exploded (doc_id, s) shingle rows via a
     * hash-aggregate with k `min` columns: everything stays in
     * whole-stage codegen (no interpreted lambda per shingle), partial
-    * aggregation runs map-side, and the one shuffle is on doc_id —
-    * shared with the window shuffle of [[explodedShingles]]. Duplicate
+    * aggregation runs map-side, so the one shuffle on doc_id carries
+    * k pre-aggregated minima per doc, not the raw shingle rows
+    * ([[explodedShingles]] itself is shuffle-free). Duplicate
     * shingles don't perturb `min`, so no per-doc dedup is needed.
     * Returns (doc_id, sig array<bigint>).
     */

@@ -25,6 +25,32 @@ object Silver {
       .select(col("data.*"))
       .withColumn("ingestion_timestamp", ingestionTs)
 
+  /** Dead-letter split: same parse, but malformed envelopes (rows
+    * from_json could not type — transaction_id null) are routed to a
+    * quarantine DataFrame carrying the RAW payload + failure stamp
+    * instead of silently flowing on as null columns (what the
+    * reference's permissive read does, SURVEY.md §1.3). One pass:
+    * both sides derive from a shared parse projection, so Spark plans
+    * two filters over one scan — no second parse of the feed. Returns
+    * (valid typed rows, quarantine rows).
+    */
+  def parseWithQuarantine(raw: DataFrame,
+      ingestionTs: Column = current_timestamp()): (DataFrame, DataFrame) = {
+    val parsed = raw
+      .select(col("value").cast("string").as("json_str"))
+      .withColumn("data", from_json(col("json_str"), Schemas.purchase))
+      .withColumn("ingestion_timestamp", ingestionTs)
+    val valid = parsed
+      .filter(col("data.transaction_id").isNotNull)
+      .select(col("data.*"), col("ingestion_timestamp"))
+    val quarantined = parsed
+      .filter(col("data.transaction_id").isNull)
+      .select(col("json_str").as("raw_payload"),
+        lit("unparseable_or_missing_key").as("reason"),
+        col("ingestion_timestamp").as("quarantined_at"))
+    (valid, quarantined)
+  }
+
   /** Batch Silver write: append-only, partitioned by product_id like
     * the Delta sink (`streaming_consumer.py:81-88`). Partitioning by
     * the low-cardinality dimension key keeps per-product scans pruned;

@@ -94,6 +94,21 @@ class SilverSpec extends SparkSpec {
       ingestionTs = lit(ts)).head()
     assert(row.isNullAt(row.fieldIndex("transaction_id")))
   }
+
+  test("quarantine split: malformed payloads routed with raw + reason, valid flow on") {
+    val raw = Seq(
+      EventGenerator.toJson(p),
+      "not json at all",
+      """{"wrong":"shape"}""").toDF("value")
+    val (valid, quarantined) = Silver.parseWithQuarantine(raw, ingestionTs = lit(ts))
+    assert(valid.count() === 1)
+    assert(valid.head().getAs[String]("product_id") === "CS01")
+    val q = quarantined.collect()
+    assert(q.length === 2)
+    assert(q.map(_.getAs[String]("raw_payload")).toSet
+      === Set("not json at all", """{"wrong":"shape"}"""))
+    assert(q.forall(_.getAs[String]("reason") == "unparseable_or_missing_key"))
+  }
 }
 
 class GoldSpec extends SparkSpec {
