@@ -155,6 +155,50 @@ object AtomicTable {
     committed
   }
 
+  /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
+    * but the newest `keepLast` manifests, then delete every staged
+    * data file no surviving manifest references. Deletion order is
+    * crash-safe: manifests go first, so a reader can never resolve a
+    * version whose files are being removed, and a crash mid-vacuum
+    * leaves only harmless orphans for the next vacuum. Returns
+    * (#manifests dropped, #data files deleted).
+    */
+  def vacuum(root: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val dir = commitsDir(root)
+    if (!Files.isDirectory(dir)) return (0, 0)
+    val versions = {
+      val it = Files.list(dir).iterator()
+      val vs = scala.collection.mutable.ArrayBuffer[Int]()
+      while (it.hasNext) it.next().getFileName.toString match {
+        case ManifestRe(v) => vs += v.toInt
+        case _ =>
+      }
+      vs.toSeq.sorted
+    }
+    val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val keepFiles = kept.flatMap(files(root, _)).toSet
+    expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val stagedRoot = Paths.get(root, "_staged")
+    var removed = 0
+    if (Files.isDirectory(stagedRoot)) {
+      val dirs = Files.list(stagedRoot).iterator()
+      while (dirs.hasNext) {
+        val d = dirs.next()
+        val fs = Files.list(d).iterator()
+        while (fs.hasNext) {
+          val f = fs.next()
+          val rel = s"_staged/${d.getFileName}/${f.getFileName}"
+          if (f.getFileName.toString.startsWith("part-") && !keepFiles.contains(rel)) {
+            Files.deleteIfExists(f)
+            removed += 1
+          }
+        }
+      }
+    }
+    (expired.length, removed)
+  }
+
   /** MERGE-shaped upsert on `key`: matched target rows are replaced by
     * their source row, unmatched source rows are inserted (copy-on-
     * write rewrite). The rewrite is validated against the snapshot it

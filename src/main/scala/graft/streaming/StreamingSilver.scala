@@ -50,6 +50,23 @@ object StreamingSilver {
       .option("path", path)
       .start()
 
+  /** Dead-letter fan-out: quarantined envelopes (see
+    * `Silver.parseWithQuarantine`) land in their own checkpointed
+    * parquet sink — a separate concurrent query over the same source,
+    * so poison messages neither block nor silently vanish from the
+    * main Silver flow. Pair with `startSilverSink` on the valid side.
+    */
+  def startQuarantineSink(quarantined: DataFrame, path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    quarantined.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .start()
+
   /** Console fan-out (second concurrent query on the same parsed
     * stream, `streaming_consumer.py:75-78`).
     */

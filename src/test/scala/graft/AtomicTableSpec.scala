@@ -87,6 +87,25 @@ class AtomicTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((1L, "a")))
   }
 
+  test("vacuum: expires old snapshots, keeps the live one intact and readable") {
+    val root = tmpDir("atomic-vac")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    AtomicTable.merge(spark, Seq((1L, "b"), (2L, "c")).toDF("k", "v"), root, "k")
+    AtomicTable.merge(spark, Seq((2L, "d")).toDF("k", "v"), root, "k")
+    val before = AtomicTable.read(spark, root).as[(Long, String)].collect().toSet
+    val (droppedManifests, droppedFiles) = AtomicTable.vacuum(root, keepLast = 1)
+    assert(droppedManifests === 2)
+    assert(droppedFiles > 0)
+    // live snapshot unharmed
+    assert(AtomicTable.read(spark, root)
+      .as[(Long, String)].collect().toSet === before)
+    // expired versions are gone
+    assert(AtomicTable.latestVersion(root) === Some(2))
+    intercept[Exception] { AtomicTable.readVersion(spark, root, 0).collect() }
+    // vacuum is idempotent
+    assert(AtomicTable.vacuum(root, keepLast = 1) === ((0, 0)))
+  }
+
   test("mergeIncremental: crash-replay of the same fact batch cannot duplicate") {
     val root = tmpDir("atomic-facts")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")

@@ -33,6 +33,27 @@ class StreamingSilverSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 200)
   }
 
+  test("streaming quarantine fan-out: poison messages land in the DLQ, valid rows in silver") {
+    implicit val sqlCtx = spark.sqlContext
+    val gen = EventGenerator.generate(EventGenerator.defaultProducts, 100)
+    val stream = MemoryStream[String]
+    stream.addData(gen.purchases.map(EventGenerator.toJson)
+      ++ Seq("garbage {{", """{"also":"wrong"}"""))
+    val (valid, quarantined) = Silver.parseWithQuarantine(
+      stream.toDF(), ingestionTs = lit(Timestamp.valueOf("2025-06-01 10:00:00")))
+    val (silverOut, dlqOut) = (tmpDir("q-silver"), tmpDir("q-dlq"))
+    val q1 = StreamingSilver.startSilverSink(valid, silverOut,
+      tmpDir("q-silver-ckpt"), Trigger.AvailableNow())
+    val q2 = StreamingSilver.startQuarantineSink(quarantined, dlqOut,
+      tmpDir("q-dlq-ckpt"), Trigger.AvailableNow())
+    q1.awaitTermination(); q2.awaitTermination()
+    assert(spark.read.parquet(silverOut).count() === 100)
+    val dlq = spark.read.parquet(dlqOut).collect()
+    assert(dlq.length === 2)
+    assert(dlq.map(_.getAs[String]("raw_payload")).toSet
+      === Set("garbage {{", """{"also":"wrong"}"""))
+  }
+
   test("multi-sink fan-out: two concurrent queries on one parsed stream (streaming_consumer.py:75-88)") {
     implicit val sqlCtx = spark.sqlContext
     val gen = EventGenerator.generate(EventGenerator.defaultProducts, 150)
