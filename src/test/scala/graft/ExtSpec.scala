@@ -207,6 +207,32 @@ class PackingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("invariant: non-last bins hold ≥ budget − maxDoc tokens (random data)") {
+    // greedy fill bound: a bin's first doc can sit up to (maxDoc−1)
+    // past its boundary (the previous doc straddled), so fill ≥
+    // budget − maxDoc for every bin except a shard's last
+    val rnd = new scala.util.Random(17)
+    val maxDoc = 400L
+    val docs = (1 to 500).map(i => (i.toLong, 1L + rnd.nextInt(maxDoc.toInt).toLong))
+      .toDF("doc_id", "n_tokens")
+      .withColumn("shard", pmod(col("doc_id"), lit(3L)))
+    val bins = graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L)
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lastBin = bins.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    bins.foreach { case ((shard, bin), toks) =>
+      if (bin != lastBin(shard))
+        assert(toks >= 1000L - maxDoc, s"shard $shard bin $bin underfilled: $toks")
+    }
+    // bins are contiguous from 0
+    bins.keys.groupBy(_._1).foreach { case (s, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L to ids.max), s"shard $s bins not contiguous")
+    }
+  }
+
   test("shards pack independently") {
     val docs = Seq((1L, 600L, 0L), (2L, 600L, 0L), (3L, 600L, 1L), (4L, 600L, 1L))
       .toDF("doc_id", "n_tokens", "shard")
