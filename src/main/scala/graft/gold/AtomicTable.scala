@@ -81,7 +81,27 @@ object AtomicTable {
 
   /** Time-travel read of an explicit version. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
-    spark.read.parquet(files(root, v).map(f => s"$root/$f"): _*)
+    readEntries(spark, root, files(root, v))
+
+  /** Read a set of manifest entries. Plain entries are bare relative
+    * paths; partition-aware entries are `relpath|value` (written by
+    * the partitioned stage), whose files live under Hive-style
+    * `<col>=<value>` dirs — those read with `basePath` per staged dir
+    * so partition discovery restores the partition column.
+    */
+  private def readEntries(spark: SparkSession, root: String,
+      entries: Seq[String]): DataFrame = {
+    val (parted, plain) = entries.partition(_.contains("|"))
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (plain.nonEmpty)
+      parts += spark.read.parquet(plain.map(f => s"$root/$f"): _*)
+    parted.map(_.split("\\|")(0)).groupBy(p => p.split("/").take(2).mkString("/"))
+      .foreach { case (stagedDir, paths) =>
+        parts += spark.read.option("basePath", s"$root/$stagedDir")
+          .parquet(paths.map(f => s"$root/$f").toSeq: _*)
+      }
+    parts.reduceLeft(_ unionByName _)
+  }
 
   /** Stage the DataFrame as immutable parquet files, invisible to
     * readers until committed. Returns the staged relative file paths.
@@ -155,6 +175,91 @@ object AtomicTable {
     committed
   }
 
+  /** Stage with Hive-style partition layout; returns `relpath|value`
+    * manifest entries (one partition value per file, parsed from the
+    * directory name). Partition values must be non-null and
+    * string-faithful (dates, numbers, sane strings).
+    */
+  private def stagePartitioned(df: DataFrame, root: String,
+      partitionCol: String): Seq[String] = {
+    val id = java.util.UUID.randomUUID().toString
+    val rel = s"_staged/$id"
+    df.write.partitionBy(partitionCol).parquet(s"$root/$rel")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val dirs = Files.list(Paths.get(root, rel)).iterator()
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      val dn = d.getFileName.toString
+      if (dn.startsWith(s"$partitionCol=")) {
+        val value = dn.substring(partitionCol.length + 1)
+        val fs = Files.list(d).iterator()
+        while (fs.hasNext) {
+          val n = fs.next().getFileName.toString
+          if (n.startsWith("part-") && n.endsWith(".parquet"))
+            out += s"$rel/$dn/$n|$value"
+        }
+      }
+    }
+    out.toSeq.sorted
+  }
+
+  /** Partitioned append: same optimistic protocol as [[append]], but
+    * files carry their partition value in the manifest, enabling
+    * partition-pruned merges.
+    */
+  def appendPartitioned(spark: SparkSession, df: DataFrame, root: String,
+      partitionCol: String): Int = {
+    val staged = stagePartitioned(df, root, partitionCol)
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      val prev = base.map(files(root, _)).getOrElse(Seq.empty)
+      val v = base.getOrElse(-1) + 1
+      if (tryPublish(root, v, prev ++ staged)) committed = v
+    }
+    committed
+  }
+
+  /** Partition-pruned MERGE — the production copy-on-write shape the
+    * plain [[merge]] approximates: only partitions that appear in the
+    * source are read and rewritten; every other partition's files are
+    * carried into the new manifest UNTOUCHED (same paths, zero I/O),
+    * so merge cost scales with the update's partition footprint, not
+    * the table size. Entries without partition metadata (written by
+    * plain [[append]]) are conservatively rewritten. Same optimistic
+    * validation as [[merge]]: losing the race recomputes against the
+    * new snapshot.
+    */
+  def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
+      key: String, partitionCol: String): Int = {
+    val affected = df.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet // bounded: partition cardinality
+    var committed = -1
+    while (committed < 0) {
+      latestVersion(root) match {
+        case None =>
+          val staged = stagePartitioned(df, root, partitionCol)
+          if (tryPublish(root, 0, staged)) committed = 0
+        case Some(v) =>
+          val prior = files(root, v)
+          val (untouched, toRewrite) = prior.partition { e =>
+            e.split("\\|") match {
+              case Array(_, pv) => !affected.contains(pv)
+              case _ => false // no partition metadata → rewrite
+            }
+          }
+          val merged =
+            if (toRewrite.isEmpty) df
+            else readEntries(spark, root, toRewrite)
+              .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+              .unionByName(df)
+          val staged = stagePartitioned(merged, root, partitionCol)
+          if (tryPublish(root, v + 1, untouched ++ staged)) committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
     * but the newest `keepLast` manifests, then delete every staged
     * data file no surviving manifest references. Deletion order is
@@ -177,24 +282,29 @@ object AtomicTable {
       vs.toSeq.sorted
     }
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
-    val keepFiles = kept.flatMap(files(root, _)).toSet
+    // manifest entries may carry partition metadata (`path|value`);
+    // liveness is decided on the path alone
+    val keepPaths = kept.flatMap(files(root, _)).map(_.split("\\|")(0)).toSet
     expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     val stagedRoot = Paths.get(root, "_staged")
     var removed = 0
     if (Files.isDirectory(stagedRoot)) {
-      val dirs = Files.list(stagedRoot).iterator()
-      while (dirs.hasNext) {
-        val d = dirs.next()
-        val fs = Files.list(d).iterator()
-        while (fs.hasNext) {
-          val f = fs.next()
-          val rel = s"_staged/${d.getFileName}/${f.getFileName}"
-          if (f.getFileName.toString.startsWith("part-") && !keepFiles.contains(rel)) {
-            Files.deleteIfExists(f)
-            removed += 1
+      val rootPath = Paths.get(root)
+      val walk = Files.walk(stagedRoot)
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (n.startsWith("part-") && n.endsWith(".parquet")) {
+            val rel = rootPath.relativize(f).toString
+            if (!keepPaths.contains(rel)) {
+              Files.deleteIfExists(f)
+              removed += 1
+            }
           }
         }
-      }
+      } finally walk.close()
     }
     (expired.length, removed)
   }

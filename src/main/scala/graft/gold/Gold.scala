@@ -77,7 +77,11 @@ object Gold {
     val deduped = fresh
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    AtomicTable.merge(spark, deduped, tableRoot, "transaction_id")
+    // partition-pruned: an incremental batch touches a handful of
+    // purchase dates — only those partitions rewrite; the rest of the
+    // fact table's files carry over untouched
+    AtomicTable.mergePartitioned(spark, deduped, tableRoot,
+      "transaction_id", "purchase_date")
   }
 
   /** Incremental append with HONEST unique_key semantics. The

@@ -87,6 +87,41 @@ class AtomicTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((1L, "a")))
   }
 
+  test("partition-pruned merge: only affected partitions rewrite, others carry over") {
+    val root = tmpDir("atomic-part")
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val d3 = java.sql.Date.valueOf("2024-01-03")
+    def rows(t: (Long, String, java.sql.Date)*) = t.toSeq.toDF("k", "v", "pd")
+    AtomicTable.appendPartitioned(spark,
+      rows((1L, "a", d1), (2L, "b", d2), (3L, "c", d2)), root, "pd")
+    val v0Files = AtomicTable.files(root, 0)
+    // merge touches ONLY d2 (update k=2) and d3 (insert k=4)
+    val v1 = AtomicTable.mergePartitioned(spark,
+      rows((2L, "B", d2), (4L, "d", d3)), root, "k", "pd")
+    val v1Files = AtomicTable.files(root, v1)
+    // d1's file is the SAME path in both manifests — zero rewrite I/O
+    val d1Files0 = v0Files.filter(_.contains("pd=2024-01-01"))
+    val d1Files1 = v1Files.filter(_.contains("pd=2024-01-01"))
+    assert(d1Files0.nonEmpty && d1Files0.toSet === d1Files1.toSet)
+    // d2's files are NEW paths (rewritten)
+    assert(v0Files.filter(_.contains("pd=2024-01-02")).toSet
+      .intersect(v1Files.filter(_.contains("pd=2024-01-02")).toSet).isEmpty)
+    // content: update applied, insert landed, untouched rows intact
+    val got = AtomicTable.read(spark, root)
+      .as[(Long, String, java.sql.Date)].collect().toSet
+    assert(got === Set((1L, "a", d1), (2L, "B", d2), (3L, "c", d2), (4L, "d", d3)))
+    // idempotent replay
+    AtomicTable.mergePartitioned(spark, rows((2L, "B", d2), (4L, "d", d3)),
+      root, "k", "pd")
+    assert(AtomicTable.read(spark, root)
+      .as[(Long, String, java.sql.Date)].collect().toSet === got)
+    // vacuum understands partitioned entries: live snapshot survives
+    AtomicTable.vacuum(root, keepLast = 1)
+    assert(AtomicTable.read(spark, root)
+      .as[(Long, String, java.sql.Date)].collect().toSet === got)
+  }
+
   test("vacuum: expires old snapshots, keeps the live one intact and readable") {
     val root = tmpDir("atomic-vac")
     AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
