@@ -158,9 +158,13 @@ object Anomaly {
       val feats = daily
         .withColumn("f1", log1p(col("daily_total_sales")))
         .withColumn("f2", log1p(col("daily_transaction_count")))
-      // bounded collect: one row per day (see scaladoc)
+      // bounded collect: one row per day (see scaladoc). Sorted after
+      // collection — collect() order follows partition layout, and the
+      // seeded subsample indexes into this array, so an unsorted fit
+      // would vary with shuffle-partition config
       val train: Array[Array[Double]] = feats.select(col("f1"), col("f2"))
         .collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
+        .sortBy(a => (a(0), a(1)))
       val rnd = new scala.util.Random(seed)
       val psi = math.min(subsample, train.length)
       val maxDepth = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt

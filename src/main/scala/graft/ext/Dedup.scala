@@ -204,7 +204,15 @@ object Dedup {
       .distinct()
     // single-scan text attach: explode each pair into its two sides,
     // broadcast-join the corpus once, re-pair with a tiny aggregation
-    // keyed on the pair
+    // keyed on the pair. The broadcast side is the operator's OUTPUT
+    // scale (pairs surviving banding — ≪ corpus by construction, and
+    // tunable via bands/maxBucket), and broadcasting it is what keeps
+    // the CORPUS from shuffling: the unhinted alternative plans a
+    // sort-merge join whose map stage writes a full corpus shuffle
+    // even when AQE later downgrades the read side. A corpus whose
+    // near-dup pair set approaches broadcast limits has an
+    // output-size problem no join strategy fixes — tighten the
+    // banding threshold first.
     val sides = candidates.select(col("doc_id_a"), col("doc_id_b"),
       explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
     base.join(broadcast(sides), Seq("doc_id"))

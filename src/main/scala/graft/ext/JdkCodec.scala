@@ -84,16 +84,26 @@ object JdkCodec extends MediaCodec {
 
   def frames(id: Long, format: String, bytes: Array[Byte],
       everyNth: Int): Iterator[Frame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     val iis = javax.imageio.ImageIO
       .createImageInputStream(new ByteArrayInputStream(bytes))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"media $id: no JDK demuxer for payload (format=$format)")
-    val reader = readers.next()
-    reader.setInput(iis)
-    val n = reader.getNumImages(true)
-    (0 until n by everyNth).iterator.map { f =>
-      val (w, h, px) = toRgb(id, f, reader.read(f))
-      Frame(id, f, w, h, px)
-    }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"media $id: no JDK demuxer for payload (format=$format)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        // decoded EAGERLY so reader + input stream (which may back
+        // onto a disk-cache temp file) close deterministically here,
+        // not whenever a lazy iterator happens to drain; sampled
+        // frames per clip are bounded small
+        (0 until n by everyNth).map { f =>
+          val (w, h, px) = toRgb(id, f, reader.read(f))
+          Frame(id, f, w, h, px)
+        }.iterator
+      } finally reader.dispose()
+    } finally iis.close()
   }
 }

@@ -47,18 +47,27 @@ object AtomicTable {
 
   private val ManifestRe = raw"v(\d{5})\.manifest".r
 
+  /** Files.list returns a DirectoryStream-backed stream that leaks a
+    * file descriptor unless closed — every directory listing goes
+    * through here.
+    */
+  private def listDir[T](dir: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => T): T = {
+    val s = Files.list(dir)
+    try f(scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala)
+    finally s.close()
+  }
+
   /** Highest committed version, if any. */
   def latestVersion(root: String): Option[Int] = {
     val dir = commitsDir(root)
     if (!Files.isDirectory(dir)) return None
-    val it = Files.list(dir).iterator()
-    var best = -1
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
-        case ManifestRe(v) => best = math.max(best, v.toInt)
-        case _ =>
+    val best = listDir(dir)(_.foldLeft(-1) { (b, p) =>
+      p.getFileName.toString match {
+        case ManifestRe(v) => math.max(b, v.toInt)
+        case _ => b
       }
-    }
+    })
     if (best < 0) None else Some(best)
   }
 
@@ -91,6 +100,7 @@ object AtomicTable {
     */
   private def readEntries(spark: SparkSession, root: String,
       entries: Seq[String]): DataFrame = {
+    if (entries.isEmpty) return spark.emptyDataFrame
     val (parted, plain) = entries.partition(_.contains("|"))
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (plain.nonEmpty)
@@ -110,14 +120,11 @@ object AtomicTable {
     val id = java.util.UUID.randomUUID().toString
     val rel = s"_staged/$id"
     df.write.parquet(s"$root/$rel")
-    val dir = Paths.get(root, rel)
-    val it = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("part-") && n.endsWith(".parquet")) out += s"$rel/$n"
+    listDir(Paths.get(root, rel)) { it =>
+      it.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(n => s"$rel/$n").toSeq.sorted
     }
-    out.toSeq.sorted
   }
 
   /** ONE atomic publish attempt of `files` as version `v`. Returns
@@ -140,9 +147,15 @@ object AtomicTable {
       Files.deleteIfExists(tmp)
       true
     } catch {
-      case NonFatal(_) =>
+      // ONLY an existing target is a lost commit race worth retrying;
+      // any other failure (unsupported links, permissions, IO) must
+      // surface, or the caller's retry loop would spin forever
+      case _: java.nio.file.FileAlreadyExistsException =>
         try Files.deleteIfExists(tmp) catch { case NonFatal(_) => }
         false
+      case NonFatal(e) =>
+        try Files.deleteIfExists(tmp) catch { case NonFatal(_) => }
+        throw e
     }
   }
 
@@ -157,6 +170,9 @@ object AtomicTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
+      // an empty first write must not create an empty (schema-less)
+      // table — nothing to commit, nothing to wedge readers on
+      if (base.isEmpty && staged.isEmpty) return -1
       val prev = base.map(files(root, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1) + 1
       if (tryPublish(root, v, prev ++ staged)) committed = v
@@ -169,7 +185,9 @@ object AtomicTable {
     val staged = stage(df, root)
     var committed = -1
     while (committed < 0) {
-      val v = latestVersion(root).getOrElse(-1) + 1
+      val base = latestVersion(root)
+      if (base.isEmpty && staged.isEmpty) return -1 // see append
+      val v = base.getOrElse(-1) + 1
       if (tryPublish(root, v, staged)) committed = v
     }
     committed
@@ -185,22 +203,20 @@ object AtomicTable {
     val id = java.util.UUID.randomUUID().toString
     val rel = s"_staged/$id"
     df.write.partitionBy(partitionCol).parquet(s"$root/$rel")
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    val dirs = Files.list(Paths.get(root, rel)).iterator()
-    while (dirs.hasNext) {
-      val d = dirs.next()
-      val dn = d.getFileName.toString
-      if (dn.startsWith(s"$partitionCol=")) {
-        val value = dn.substring(partitionCol.length + 1)
-        val fs = Files.list(d).iterator()
-        while (fs.hasNext) {
-          val n = fs.next().getFileName.toString
-          if (n.startsWith("part-") && n.endsWith(".parquet"))
-            out += s"$rel/$dn/$n|$value"
+    listDir(Paths.get(root, rel)) { dirs =>
+      dirs.flatMap { d =>
+        val dn = d.getFileName.toString
+        if (!dn.startsWith(s"$partitionCol=")) Iterator.empty
+        else {
+          val value = dn.substring(partitionCol.length + 1)
+          listDir(d) { fs =>
+            fs.map(_.getFileName.toString)
+              .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+              .map(n => s"$rel/$dn/$n|$value").toSeq
+          }.iterator
         }
-      }
+      }.toSeq.sorted
     }
-    out.toSeq.sorted
   }
 
   /** Partitioned append: same optimistic protocol as [[append]], but
@@ -220,34 +236,62 @@ object AtomicTable {
     committed
   }
 
+  /** Partition values that round-trip to Hive dir names verbatim; any
+    * value outside this set (needs escaping) disables pruning for the
+    * whole merge — correctness over cleverness.
+    */
+  private val DirSafe = "^[A-Za-z0-9._\\-]+$".r
+
   /** Partition-pruned MERGE — the production copy-on-write shape the
-    * plain [[merge]] approximates: only partitions that appear in the
-    * source are read and rewritten; every other partition's files are
-    * carried into the new manifest UNTOUCHED (same paths, zero I/O),
-    * so merge cost scales with the update's partition footprint, not
-    * the table size. Entries without partition metadata (written by
-    * plain [[append]]) are conservatively rewritten. Same optimistic
-    * validation as [[merge]]: losing the race recomputes against the
-    * new snapshot.
+    * plain [[merge]] approximates: partitions that appear in the
+    * source, PLUS partitions currently holding a matched key (a key
+    * may move partitions between batches — both homes must rewrite or
+    * the old row would survive the upsert), are read and rewritten;
+    * every other partition's files are carried into the new manifest
+    * UNTOUCHED (same paths, zero I/O). Finding matched-key partitions
+    * costs one column-pruned (key, partition) scan of the prior
+    * snapshot — cheap next to rewriting it. Merge WRITE cost therefore
+    * scales with the update's partition footprint, not table size.
+    *
+    * Safety valves: entries without partition metadata (plain
+    * [[append]] writes) always rewrite, and any partition value that
+    * would need Hive path-escaping falls back to a full rewrite
+    * (manifest values are dir strings; comparing escaped to unescaped
+    * would silently mis-prune). Same optimistic validation as
+    * [[merge]]: losing the race recomputes against the new snapshot.
+    * Returns -1 when there is nothing to commit (empty source on a
+    * nonexistent table).
     */
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
       key: String, partitionCol: String): Int = {
-    val affected = df.select(col(partitionCol)).distinct()
+    val sourceParts = df.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet // bounded: partition cardinality
     var committed = -1
     while (committed < 0) {
       latestVersion(root) match {
         case None =>
           val staged = stagePartitioned(df, root, partitionCol)
+          if (staged.isEmpty) return -1 // nothing to commit — never wedge
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
           val prior = files(root, v)
-          val (untouched, toRewrite) = prior.partition { e =>
-            e.split("\\|") match {
-              case Array(_, pv) => !affected.contains(pv)
-              case _ => false // no partition metadata → rewrite
+          val partedPrior = prior.filter(_.contains("|"))
+          val matchedParts: Set[String] =
+            if (partedPrior.isEmpty || sourceParts.isEmpty) Set.empty
+            else readEntries(spark, root, partedPrior)
+              .join(df.select(col(key)).distinct(), Seq(key), "left_semi")
+              .select(col(partitionCol)).distinct()
+              .collect().map(r => String.valueOf(r.get(0))).toSet
+          val affected = sourceParts ++ matchedParts
+          val pruneSafe = affected.forall(v => DirSafe.matches(v))
+          val (untouched, toRewrite) =
+            if (!pruneSafe) (Seq.empty[String], prior)
+            else prior.partition { e =>
+              e.split("\\|") match {
+                case Array(_, pv) => !affected.contains(pv)
+                case _ => false // no partition metadata → rewrite
+              }
             }
-          }
           val merged =
             if (toRewrite.isEmpty) df
             else readEntries(spark, root, toRewrite)
@@ -262,25 +306,23 @@ object AtomicTable {
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
     * but the newest `keepLast` manifests, then delete every staged
-    * data file no surviving manifest references. Deletion order is
-    * crash-safe: manifests go first, so a reader can never resolve a
-    * version whose files are being removed, and a crash mid-vacuum
-    * leaves only harmless orphans for the next vacuum. Returns
+    * data file no surviving manifest references AND older than
+    * `retentionMs` (the age gate protects a concurrent writer's
+    * staged-but-uncommitted files). Deletion order is crash-safe:
+    * manifests go first, so a reader can never resolve a version
+    * whose files are being removed, and a crash mid-vacuum leaves
+    * only harmless orphans for the next vacuum. Returns
     * (#manifests dropped, #data files deleted).
     */
-  def vacuum(root: String, keepLast: Int = 1): (Int, Int) = {
+  def vacuum(root: String, keepLast: Int = 1,
+      retentionMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val dir = commitsDir(root)
     if (!Files.isDirectory(dir)) return (0, 0)
-    val versions = {
-      val it = Files.list(dir).iterator()
-      val vs = scala.collection.mutable.ArrayBuffer[Int]()
-      while (it.hasNext) it.next().getFileName.toString match {
-        case ManifestRe(v) => vs += v.toInt
-        case _ =>
-      }
-      vs.toSeq.sorted
-    }
+    val versions = listDir(dir)(_.flatMap(_.getFileName.toString match {
+      case ManifestRe(v) => Some(v.toInt)
+      case _ => None
+    }).toSeq.sorted)
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
     // manifest entries may carry partition metadata (`path|value`);
     // liveness is decided on the path alone
@@ -292,13 +334,19 @@ object AtomicTable {
       val rootPath = Paths.get(root)
       val walk = Files.walk(stagedRoot)
       try {
+        val cutoff = System.currentTimeMillis() - retentionMs
         val it = walk.iterator()
         while (it.hasNext) {
           val f = it.next()
           val n = f.getFileName.toString
           if (n.startsWith("part-") && n.endsWith(".parquet")) {
             val rel = rootPath.relativize(f).toString
-            if (!keepPaths.contains(rel)) {
+            // retention window: a staged-but-not-yet-committed file of
+            // a CONCURRENT writer is unreferenced too — age-gating
+            // keeps vacuum from corrupting an in-flight commit
+            // (Delta/Iceberg use the same guard)
+            if (!keepPaths.contains(rel) &&
+                Files.getLastModifiedTime(f).toMillis < cutoff) {
               Files.deleteIfExists(f)
               removed += 1
             }
@@ -323,6 +371,7 @@ object AtomicTable {
       latestVersion(root) match {
         case None =>
           val staged = stage(df, root)
+          if (staged.isEmpty) return -1 // nothing to commit — never wedge
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
           val target = readVersion(spark, root, v)

@@ -77,6 +77,10 @@ object Gold {
     val deduped = fresh
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    // empty batch (idle trigger, fully-late data) → no commit at all:
+    // committing nothing would still bump versions, and an empty FIRST
+    // batch must not create a schema-less table
+    if (deduped.isEmpty) return AtomicTable.latestVersion(tableRoot).getOrElse(-1)
     // partition-pruned: an incremental batch touches a handful of
     // purchase dates — only those partitions rewrite; the rest of the
     // fact table's files carry over untouched

@@ -41,11 +41,16 @@ object Pipeline {
       s"step '$step' failed after $attempts attempt(s): ${cause.getMessage}", cause)
 
   /** Run one named step under the policy: each attempt gets a fresh
-    * execution timeout (enforced via a worker thread + interrupt, the
-    * JVM analogue of Airflow killing the task process); failures and
-    * timeouts retry up to `retries` extra times.
+    * execution timeout; failures and timeouts retry up to `retries`
+    * extra times. On timeout the attempt is STOPPED, not abandoned:
+    * `onTimeout` runs first (pass a Spark job-group cancel so the
+    * cluster actually stops working — interrupting a thread blocked
+    * in a Spark action does NOT cancel its jobs), then the worker
+    * thread is interrupted and JOINED before the retry starts, so a
+    * timed-out attempt can never run concurrently with its retry.
     */
-  def runStep[T](name: String, policy: StepPolicy)(body: => T): T = {
+  def runStep[T](name: String, policy: StepPolicy,
+      onTimeout: () => Unit = () => ())(body: => T): T = {
     var attempt = 0
     var last: Throwable = null
     while (attempt <= policy.retries) {
@@ -58,8 +63,11 @@ object Pipeline {
       try {
         return task.get(policy.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       } catch {
-        case e: java.util.concurrent.TimeoutException =>
-          task.cancel(true) // interrupt; Spark actions abort on interrupt
+        case _: java.util.concurrent.TimeoutException =>
+          try onTimeout()
+          catch { case scala.util.control.NonFatal(_) => }
+          task.cancel(true)
+          t.join(policy.timeoutMs) // barrier: no overlap with the retry
           last = new java.util.concurrent.TimeoutException(
             s"step '$name' exceeded ${policy.timeoutMs} ms")
         case e: java.util.concurrent.ExecutionException =>
@@ -95,7 +103,19 @@ object Pipeline {
     // ingest → Silver (deterministic ingestion stamp = event time here;
     // streaming path covered by StreamingSilver + tests). Row/parse
     // metrics ride the write job via observe() — no second pass.
-    val ingestedRows = runStep("ingest_silver", cfg.policy) {
+    // every step runs in its own Spark job group with
+    // interruptOnCancel, and the timeout hook cancels the group — so
+    // an expired attempt's cluster work actually stops before the
+    // retry begins (job groups are thread-local to the step worker)
+    def sparkStep[T](name: String)(body: => T): T =
+      runStep(name, cfg.policy,
+        onTimeout = () => spark.sparkContext.cancelJobGroup(s"graft-$name")) {
+        spark.sparkContext.setJobGroup(s"graft-$name",
+          s"pipeline step $name", interruptOnCancel = true)
+        try body finally spark.sparkContext.clearJobGroup()
+      }
+
+    val ingestedRows = sparkStep("ingest_silver") {
       val obs = new org.apache.spark.sql.Observation()
       val parsed = Silver
         .parsePurchases(raw, ingestionTs = col("transaction_time"))
@@ -109,7 +129,7 @@ object Pipeline {
     val silver = Silver.readSilver(spark, silverPath)
 
     // promote → fact (incremental, honest dedup; idempotent ⇒ retryable)
-    val appended = runStep("fact_incremental", cfg.policy) {
+    val appended = sparkStep("fact_incremental") {
       val target =
         if (Files.exists(Paths.get(factPath)))
           Some(spark.read.parquet(factPath))
@@ -125,7 +145,7 @@ object Pipeline {
     // analytics (+ CSV result sink, K6 of anomaly_detection.py:56-60)
     val daily = Anomaly.dailySales(spark.read.parquet(factPath))
     val anomalies = Anomaly.RobustZScorer().score(daily)
-    runStep("score_anomalies", cfg.policy) {
+    sparkStep("score_anomalies") {
       anomalies.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true")
         .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")

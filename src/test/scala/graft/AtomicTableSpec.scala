@@ -117,9 +117,44 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.read(spark, root)
       .as[(Long, String, java.sql.Date)].collect().toSet === got)
     // vacuum understands partitioned entries: live snapshot survives
-    AtomicTable.vacuum(root, keepLast = 1)
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
     assert(AtomicTable.read(spark, root)
       .as[(Long, String, java.sql.Date)].collect().toSet === got)
+  }
+
+  test("partition-pruned merge: a key MOVING partitions does not duplicate") {
+    val root = tmpDir("atomic-move")
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def rows(t: (Long, String, java.sql.Date)*) = t.toSeq.toDF("k", "v", "pd")
+    AtomicTable.appendPartitioned(spark,
+      rows((1L, "a", d1), (2L, "b", d1)), root, "pd")
+    // correction batch re-homes k=1 into d2: its OLD partition (d1)
+    // must rewrite too or the stale row would survive
+    AtomicTable.mergePartitioned(spark, rows((1L, "A", d2)), root, "k", "pd")
+    val got = AtomicTable.read(spark, root)
+      .as[(Long, String, java.sql.Date)].collect().toSet
+    assert(got === Set((1L, "A", d2), (2L, "b", d1)))
+  }
+
+  test("empty writes never wedge a table: no empty first commit, reads stay sane") {
+    val root = tmpDir("atomic-empty")
+    val empty = Seq.empty[(Long, String, java.sql.Date)].toDF("k", "v", "pd")
+    // empty first merge → nothing committed, no table created
+    assert(AtomicTable.mergePartitioned(spark, empty, root, "k", "pd") === -1)
+    assert(AtomicTable.latestVersion(root) === None)
+    // mergeIncremental with an empty batch on a nonexistent table:
+    // no wedge, and the NEXT real batch creates the table normally
+    val facts = Seq.empty[(String, Long, Double, java.sql.Date, java.sql.Timestamp)]
+      .toDF("transaction_id", "product_id", "final_amount", "purchase_date",
+        "ingestion_timestamp")
+    assert(Gold.mergeIncremental(spark, facts, root) === -1)
+    val real = Seq(("t1", 7L, 9.99, java.sql.Date.valueOf("2024-01-01"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("transaction_id", "product_id", "final_amount", "purchase_date",
+        "ingestion_timestamp")
+    assert(Gold.mergeIncremental(spark, real, root) === 0)
+    assert(AtomicTable.read(spark, root).count() === 1)
   }
 
   test("vacuum: expires old snapshots, keeps the live one intact and readable") {
@@ -128,7 +163,7 @@ class AtomicTableSpec extends SparkSpec {
     AtomicTable.merge(spark, Seq((1L, "b"), (2L, "c")).toDF("k", "v"), root, "k")
     AtomicTable.merge(spark, Seq((2L, "d")).toDF("k", "v"), root, "k")
     val before = AtomicTable.read(spark, root).as[(Long, String)].collect().toSet
-    val (droppedManifests, droppedFiles) = AtomicTable.vacuum(root, keepLast = 1)
+    val (droppedManifests, droppedFiles) = AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
     assert(droppedManifests === 2)
     assert(droppedFiles > 0)
     // live snapshot unharmed
@@ -138,7 +173,7 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.latestVersion(root) === Some(2))
     intercept[Exception] { AtomicTable.readVersion(spark, root, 0).collect() }
     // vacuum is idempotent
-    assert(AtomicTable.vacuum(root, keepLast = 1) === ((0, 0)))
+    assert(AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L) === ((0, 0)))
   }
 
   test("mergeIncremental: crash-replay of the same fact batch cannot duplicate") {
