@@ -15,8 +15,11 @@ import scala.util.control.NonFatal
   * {{{
   *   <root>/_staged/<uuid>/part-*.parquet   data files (immutable once
   *                                          referenced by a manifest)
-  *   <root>/_commits/v00042.manifest        newline-separated relative
-  *                                          data-file paths
+  *   <root>/_commits/v00042.manifest        one entry per data file:
+  *                                          relative path + optional
+  *                                          tagged fields (partition
+  *                                          value, per-file min/max
+  *                                          zone-map stats)
   * }}}
   *
   * Protocol:
@@ -74,10 +77,39 @@ object AtomicTable {
   private def manifestPath(root: String, v: Int) =
     commitsDir(root).resolve(f"v$v%05d.manifest")
 
-  /** Data files of a version (relative paths). */
+  /** Manifest entries of a version. An entry is TAB-separated tagged
+    * fields: the relative path, then optionally `p=<urlenc dir value>`
+    * (Hive partition dir suffix, from the partitioned stage) and
+    * `s=<col>\t<urlenc min>\t<urlenc max>` folded as three fields
+    * `sc=…`, `smin=…`, `smax=…` (per-file column stats for data
+    * skipping). URL-encoding keeps arbitrary values unambiguous in a
+    * line/tab format.
+    */
   def files(root: String, v: Int): Seq[String] =
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestPath(root, v))).asScala.toSeq.filter(_.nonEmpty)
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def pathOf(e: String): String = e.split("\t")(0)
+
+  private def fieldOf(e: String, tag: String): Option[String] =
+    e.split("\t").find(_.startsWith(tag + "="))
+      .map(f => dec(f.substring(tag.length + 1)))
+
+  /** Partition dir value (raw Hive dir string) of an entry, if any. */
+  private def partOf(e: String): Option[String] = fieldOf(e, "p")
+
+  /** (column, min, max) stats of an entry, if recorded. */
+  private def statsOf(e: String): Option[(String, String, String)] =
+    for {
+      c <- fieldOf(e, "sc")
+      lo <- fieldOf(e, "smin")
+      hi <- fieldOf(e, "smax")
+    } yield (c, lo, hi)
 
   /** Read the latest snapshot (empty schema-less read is an error —
     * callers check [[latestVersion]] for existence-dependent logic).
@@ -92,20 +124,19 @@ object AtomicTable {
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
     readEntries(spark, root, files(root, v))
 
-  /** Read a set of manifest entries. Plain entries are bare relative
-    * paths; partition-aware entries are `relpath|value` (written by
-    * the partitioned stage), whose files live under Hive-style
-    * `<col>=<value>` dirs — those read with `basePath` per staged dir
-    * so partition discovery restores the partition column.
+  /** Read a set of manifest entries. Entries with a `p=` field live
+    * under Hive-style `<col>=<value>` dirs — those read with
+    * `basePath` per staged dir so partition discovery restores the
+    * partition column; plain entries read directly.
     */
   private def readEntries(spark: SparkSession, root: String,
       entries: Seq[String]): DataFrame = {
     if (entries.isEmpty) return spark.emptyDataFrame
-    val (parted, plain) = entries.partition(_.contains("|"))
+    val (parted, plain) = entries.partition(partOf(_).isDefined)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (plain.nonEmpty)
-      parts += spark.read.parquet(plain.map(f => s"$root/$f"): _*)
-    parted.map(_.split("\\|")(0)).groupBy(p => p.split("/").take(2).mkString("/"))
+      parts += spark.read.parquet(plain.map(f => s"$root/${pathOf(f)}"): _*)
+    parted.map(pathOf).groupBy(p => p.split("/").take(2).mkString("/"))
       .foreach { case (stagedDir, paths) =>
         parts += spark.read.option("basePath", s"$root/$stagedDir")
           .parquet(paths.map(f => s"$root/$f").toSeq: _*)
@@ -114,17 +145,36 @@ object AtomicTable {
   }
 
   /** Stage the DataFrame as immutable parquet files, invisible to
-    * readers until committed. Returns the staged relative file paths.
+    * readers until committed. Returns manifest entries (paths, plus
+    * per-file min/max stats of `statsCol` when requested — the zone
+    * maps [[scanWhere]] prunes with).
     */
-  private def stage(df: DataFrame, root: String): Seq[String] = {
+  private def stage(df: DataFrame, root: String,
+      statsCol: Option[String] = None): Seq[String] = {
     val id = java.util.UUID.randomUUID().toString
     val rel = s"_staged/$id"
     df.write.parquet(s"$root/$rel")
-    listDir(Paths.get(root, rel)) { it =>
+    val paths = listDir(Paths.get(root, rel)) { it =>
       it.map(_.getFileName.toString)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .map(n => s"$rel/$n").toSeq.sorted
     }
+    paths.map(p => withStats(df.sparkSession, root, p, statsCol))
+  }
+
+  /** Append per-file min/max fields for `statsCol`. Captured with a
+    * tiny per-file aggregate (files per commit are bounded); the
+    * production path would lift them from the parquet footer the
+    * write already produced — same values, zero extra read.
+    */
+  private def withStats(spark: SparkSession, root: String, relPath: String,
+      statsCol: Option[String]): String = statsCol match {
+    case None => relPath
+    case Some(c) =>
+      val r = spark.read.parquet(s"$root/$relPath")
+        .agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      if (r.isNullAt(0)) relPath
+      else s"$relPath\tsc=${enc(c)}\tsmin=${enc(r.getString(0))}\tsmax=${enc(r.getString(1))}"
   }
 
   /** ONE atomic publish attempt of `files` as version `v`. Returns
@@ -165,8 +215,9 @@ object AtomicTable {
     * of the commit race picks up the winner's files before retrying —
     * no lock, no coordination, every writer's rows survive.
     */
-  def append(spark: SparkSession, df: DataFrame, root: String): Int = {
-    val staged = stage(df, root)
+  def append(spark: SparkSession, df: DataFrame, root: String,
+      statsCol: Option[String] = None): Int = {
+    val staged = stage(df, root, statsCol)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -199,11 +250,11 @@ object AtomicTable {
     * string-faithful (dates, numbers, sane strings).
     */
   private def stagePartitioned(df: DataFrame, root: String,
-      partitionCol: String): Seq[String] = {
+      partitionCol: String, statsCol: Option[String] = None): Seq[String] = {
     val id = java.util.UUID.randomUUID().toString
     val rel = s"_staged/$id"
     df.write.partitionBy(partitionCol).parquet(s"$root/$rel")
-    listDir(Paths.get(root, rel)) { dirs =>
+    val entries = listDir(Paths.get(root, rel)) { dirs =>
       dirs.flatMap { d =>
         val dn = d.getFileName.toString
         if (!dn.startsWith(s"$partitionCol=")) Iterator.empty
@@ -212,10 +263,13 @@ object AtomicTable {
           listDir(d) { fs =>
             fs.map(_.getFileName.toString)
               .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-              .map(n => s"$rel/$dn/$n|$value").toSeq
+              .map(n => (s"$rel/$dn/$n", value)).toSeq
           }.iterator
         }
       }.toSeq.sorted
+    }
+    entries.map { case (p, value) =>
+      s"${withStats(df.sparkSession, root, p, statsCol)}\tp=${enc(value)}"
     }
   }
 
@@ -224,8 +278,8 @@ object AtomicTable {
     * partition-pruned merges.
     */
   def appendPartitioned(spark: SparkSession, df: DataFrame, root: String,
-      partitionCol: String): Int = {
-    val staged = stagePartitioned(df, root, partitionCol)
+      partitionCol: String, statsCol: Option[String] = None): Int = {
+    val staged = stagePartitioned(df, root, partitionCol, statsCol)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -263,19 +317,19 @@ object AtomicTable {
     * nonexistent table).
     */
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
-      key: String, partitionCol: String): Int = {
+      key: String, partitionCol: String, statsCol: Option[String] = None): Int = {
     val sourceParts = df.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet // bounded: partition cardinality
     var committed = -1
     while (committed < 0) {
       latestVersion(root) match {
         case None =>
-          val staged = stagePartitioned(df, root, partitionCol)
+          val staged = stagePartitioned(df, root, partitionCol, statsCol)
           if (staged.isEmpty) return -1 // nothing to commit — never wedge
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
           val prior = files(root, v)
-          val partedPrior = prior.filter(_.contains("|"))
+          val partedPrior = prior.filter(partOf(_).isDefined)
           val matchedParts: Set[String] =
             if (partedPrior.isEmpty || sourceParts.isEmpty) Set.empty
             else readEntries(spark, root, partedPrior)
@@ -286,22 +340,54 @@ object AtomicTable {
           val pruneSafe = affected.forall(v => DirSafe.matches(v))
           val (untouched, toRewrite) =
             if (!pruneSafe) (Seq.empty[String], prior)
-            else prior.partition { e =>
-              e.split("\\|") match {
-                case Array(_, pv) => !affected.contains(pv)
-                case _ => false // no partition metadata → rewrite
-              }
-            }
+            else prior.partition(e =>
+              partOf(e).exists(pv => !affected.contains(pv)))
           val merged =
             if (toRewrite.isEmpty) df
             else readEntries(spark, root, toRewrite)
               .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
               .unionByName(df)
-          val staged = stagePartitioned(merged, root, partitionCol)
+          val staged = stagePartitioned(merged, root, partitionCol, statsCol)
           if (tryPublish(root, v + 1, untouched ++ staged)) committed = v + 1
       }
     }
     committed
+  }
+
+  /** Stats-pruned scan (zone maps / data skipping): the latest
+    * snapshot restricted to files whose recorded [min, max] of
+    * `column` intersects [lo, hi] — provably-outside files are
+    * SKIPPED without being opened, then an exact residual filter
+    * applies on the survivors. Entries without stats for `column`
+    * read conservatively. Bounds compare numerically when both sides
+    * parse as numbers, otherwise as strings (dates/timestamps in ISO
+    * form order correctly). This is the per-file complement of
+    * partition pruning: partitions cut directories, zone maps cut
+    * files within them.
+    */
+  def scanWhere(spark: SparkSession, root: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    def cmp(a: String, b: String): Int =
+      (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+        case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
+        case _ => a.compareTo(b)
+      }
+    val kept = files(root, v).filter { e =>
+      statsOf(e) match {
+        case Some((c, mn, mx)) if c == column =>
+          !(cmp(mx, lo) < 0 || cmp(mn, hi) > 0)
+        case _ => true
+      }
+    }
+    val pruned = readEntries(spark, root, kept)
+    if (kept.isEmpty) pruned
+    else {
+      val dt = pruned.schema(column).dataType
+      pruned.filter(col(column) >= lit(lo).cast(dt)
+        && col(column) <= lit(hi).cast(dt))
+    }
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
@@ -324,9 +410,9 @@ object AtomicTable {
       case _ => None
     }).toSeq.sorted)
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
-    // manifest entries may carry partition metadata (`path|value`);
-    // liveness is decided on the path alone
-    val keepPaths = kept.flatMap(files(root, _)).map(_.split("\\|")(0)).toSet
+    // manifest entries carry tagged metadata fields; liveness is
+    // decided on the path alone
+    val keepPaths = kept.flatMap(files(root, _)).map(pathOf).toSet
     expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     val stagedRoot = Paths.get(root, "_staged")
     var removed = 0

@@ -157,6 +157,29 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.read(spark, root).count() === 1)
   }
 
+  test("zone maps: scanWhere skips files provably outside the range") {
+    val root = tmpDir("atomic-zone")
+    // three appends with DISJOINT key ranges; coalesce(1) → one file
+    // per commit, so file-level stats are range-separating
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      AtomicTable.append(spark,
+        r.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), root,
+        statsCol = Some("k"))
+    }
+    val all = AtomicTable.read(spark, root)
+    assert(all.inputFiles.length === 3)
+    val scan = AtomicTable.scanWhere(spark, root, "k", "120", "180")
+    // pruning: only the middle file opens
+    assert(scan.inputFiles.length === 1, scan.inputFiles.mkString(","))
+    // exactness: residual filter applies within the surviving file
+    assert(scan.count() === 61)
+    assert(scan.agg(min(col("k")), max(col("k"))).head() ===
+      org.apache.spark.sql.Row(120L, 180L))
+    // conservative fallback: a column without stats reads everything
+    assert(AtomicTable.scanWhere(spark, root, "v", "a", "z")
+      .inputFiles.length === 3)
+  }
+
   test("vacuum: expires old snapshots, keeps the live one intact and readable") {
     val root = tmpDir("atomic-vac")
     AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
