@@ -94,22 +94,34 @@ object AtomicTable {
   private def dec(s: String) =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def pathOf(e: String): String = e.split("\t")(0)
+  // `split("\\|")` tolerance: manifests written by the earlier
+  // `path|partitionValue` format parse losslessly — vacuum/readers of
+  // a pre-upgrade table must never mistake the suffix for the path
+  private def pathOf(e: String): String =
+    e.split("\t")(0).split("\\|")(0)
 
   private def fieldOf(e: String, tag: String): Option[String] =
     e.split("\t").find(_.startsWith(tag + "="))
       .map(f => dec(f.substring(tag.length + 1)))
 
   /** Partition dir value (raw Hive dir string) of an entry, if any. */
-  private def partOf(e: String): Option[String] = fieldOf(e, "p")
+  private def partOf(e: String): Option[String] =
+    fieldOf(e, "p").orElse { // legacy `path|value` form
+      val head = e.split("\t")(0)
+      if (head.contains("|")) Some(head.split("\\|")(1)) else None
+    }
 
-  /** (column, min, max) stats of an entry, if recorded. */
-  private def statsOf(e: String): Option[(String, String, String)] =
+  /** (column, orderTag, min, max) stats of an entry, if recorded.
+    * orderTag is "num" or "str" — the ordering under which min/max
+    * were captured; comparing under any other ordering can mis-prune.
+    */
+  private def statsOf(e: String): Option[(String, String, String, String)] =
     for {
       c <- fieldOf(e, "sc")
+      ord <- fieldOf(e, "so")
       lo <- fieldOf(e, "smin")
       hi <- fieldOf(e, "smax")
-    } yield (c, lo, hi)
+    } yield (c, ord, lo, hi)
 
   /** Read the latest snapshot (empty schema-less read is an error —
     * callers check [[latestVersion]] for existence-dependent logic).
@@ -159,23 +171,54 @@ object AtomicTable {
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .map(n => s"$rel/$n").toSeq.sorted
     }
-    paths.map(p => withStats(df.sparkSession, root, p, statsCol))
+    attachStats(df.sparkSession, root, rel, paths, statsCol)
   }
 
-  /** Append per-file min/max fields for `statsCol`. Captured with a
-    * tiny per-file aggregate (files per commit are bounded); the
-    * production path would lift them from the parquet footer the
-    * write already produced — same values, zero extra read.
+  /** Append per-file min/max fields for `statsCol` to the staged
+    * entries: ONE aggregation job over the staged directory grouped by
+    * `input_file_name()` covers every file (not a job per file); the
+    * production path would lift the same values from the parquet
+    * footers the write already produced. The ordering tag ("num" for
+    * numeric column types, "str" otherwise) rides along so the scan
+    * compares bounds under the SAME ordering the stats were captured
+    * with.
     */
-  private def withStats(spark: SparkSession, root: String, relPath: String,
-      statsCol: Option[String]): String = statsCol match {
-    case None => relPath
-    case Some(c) =>
-      val r = spark.read.parquet(s"$root/$relPath")
-        .agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
-      if (r.isNullAt(0)) relPath
-      else s"$relPath\tsc=${enc(c)}\tsmin=${enc(r.getString(0))}\tsmax=${enc(r.getString(1))}"
-  }
+  private def attachStats(spark: SparkSession, root: String, stagedRel: String,
+      entries: Seq[String], statsCol: Option[String]): Seq[String] =
+    statsCol match {
+      case None => entries
+      case Some(c) =>
+        val numeric = Set("ByteType", "ShortType", "IntegerType", "LongType",
+          "FloatType", "DoubleType") // DecimalType handled below
+        val stats = spark.read.parquet(s"$root/$stagedRel")
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c)).cast("string").as("mn"),
+            max(col(c)).cast("string").as("mx"))
+          .collect()
+          .flatMap { r =>
+            if (r.isNullAt(1)) None
+            else {
+              val f = r.getString(0)
+              val i = f.indexOf("_staged/")
+              if (i < 0) None
+              else Some(f.substring(i) -> ((r.getString(1), r.getString(2))))
+            }
+          }.toMap
+        val dt = spark.read.parquet(s"$root/$stagedRel").schema
+          .find(_.name == c).map(_.dataType)
+        val ord =
+          if (dt.exists(t => numeric.contains(t.toString)
+              || t.toString.startsWith("DecimalType"))) "num"
+          else "str"
+        entries.map { e =>
+          val p = pathOf(e)
+          stats.get(p) match {
+            case Some((mn, mx)) =>
+              s"$e\tsc=${enc(c)}\tso=$ord\tsmin=${enc(mn)}\tsmax=${enc(mx)}"
+            case None => e
+          }
+        }
+    }
 
   /** ONE atomic publish attempt of `files` as version `v`. Returns
     * true iff this writer's manifest landed. The publish is a hard
@@ -244,10 +287,11 @@ object AtomicTable {
     committed
   }
 
-  /** Stage with Hive-style partition layout; returns `relpath|value`
-    * manifest entries (one partition value per file, parsed from the
-    * directory name). Partition values must be non-null and
-    * string-faithful (dates, numbers, sane strings).
+  /** Stage with Hive-style partition layout; returns tagged manifest
+    * entries (`path\tp=<urlenc dir value>` + optional stats fields),
+    * one partition value per file, parsed from the directory name.
+    * Partition values must be non-null and string-faithful (dates,
+    * numbers, sane strings).
     */
   private def stagePartitioned(df: DataFrame, root: String,
       partitionCol: String, statsCol: Option[String] = None): Seq[String] = {
@@ -263,14 +307,12 @@ object AtomicTable {
           listDir(d) { fs =>
             fs.map(_.getFileName.toString)
               .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-              .map(n => (s"$rel/$dn/$n", value)).toSeq
+              .map(n => s"$rel/$dn/$n\tp=${enc(value)}").toSeq
           }.iterator
         }
       }.toSeq.sorted
     }
-    entries.map { case (p, value) =>
-      s"${withStats(df.sparkSession, root, p, statsCol)}\tp=${enc(value)}"
-    }
+    attachStats(df.sparkSession, root, rel, entries, statsCol)
   }
 
   /** Partitioned append: same optimistic protocol as [[append]], but
@@ -369,25 +411,33 @@ object AtomicTable {
       lo: String, hi: String): DataFrame = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    def cmp(a: String, b: String): Int =
-      (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
-        case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
-        case _ => a.compareTo(b)
-      }
-    val kept = files(root, v).filter { e =>
+    // bounds compare under the SAME ordering the stats were captured
+    // with (the "so" tag): a numeric-looking STRING column has
+    // lexicographic min/max ("100" < "9"), and comparing those
+    // numerically would prune files that contain matching rows
+    def cmp(ord: String, a: String, b: String): Int =
+      if (ord == "num")
+        (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+          case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
+          case _ => a.compareTo(b)
+        }
+      else a.compareTo(b)
+    val all = files(root, v)
+    val kept = all.filter { e =>
       statsOf(e) match {
-        case Some((c, mn, mx)) if c == column =>
-          !(cmp(mx, lo) < 0 || cmp(mn, hi) > 0)
+        case Some((c, ord, mn, mx)) if c == column =>
+          !(cmp(ord, mx, lo) < 0 || cmp(ord, mn, hi) > 0)
         case _ => true
       }
     }
-    val pruned = readEntries(spark, root, kept)
-    if (kept.isEmpty) pruned
-    else {
-      val dt = pruned.schema(column).dataType
-      pruned.filter(col(column) >= lit(lo).cast(dt)
-        && col(column) <= lit(hi).cast(dt))
-    }
+    // schema survives a total prune: resolve columns from the full
+    // file set, emit zero rows — callers can still .select/.as
+    val pruned =
+      if (kept.isEmpty) readEntries(spark, root, all).filter(lit(false))
+      else readEntries(spark, root, kept)
+    val dt = pruned.schema(column).dataType
+    pruned.filter(col(column) >= lit(lo).cast(dt)
+      && col(column) <= lit(hi).cast(dt))
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all

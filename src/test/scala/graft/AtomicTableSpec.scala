@@ -178,6 +178,23 @@ class AtomicTableSpec extends SparkSpec {
     // conservative fallback: a column without stats reads everything
     assert(AtomicTable.scanWhere(spark, root, "v", "a", "z")
       .inputFiles.length === 3)
+    // total prune still yields a TYPED empty frame
+    val none = AtomicTable.scanWhere(spark, root, "k", "1000", "2000")
+    assert(none.count() === 0)
+    assert(none.select("k", "v").columns.toSeq === Seq("k", "v"))
+  }
+
+  test("zone maps on a STRING column use lexicographic ordering end to end") {
+    val root = tmpDir("atomic-zone-str")
+    // numeric-LOOKING strings: lexicographic min/max of this file is
+    // ("100", "9") — a numeric comparator would wrongly prune it for
+    // lo="50"
+    AtomicTable.append(spark,
+      Seq(("9", 1L), ("100", 2L)).toDF("s", "n").coalesce(1), root,
+      statsCol = Some("s"))
+    val got = AtomicTable.scanWhere(spark, root, "s", "50", "99")
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("9", 1L))) // "50" <= "9" <= "99" lexicographically
   }
 
   test("vacuum: expires old snapshots, keeps the live one intact and readable") {
