@@ -440,6 +440,34 @@ object AtomicTable {
       && col(column) <= lit(hi).cast(dt))
   }
 
+  /** Global [min, max] of `column` across the latest snapshot, served
+    * ENTIRELY from manifest zone-map stats — no file opens, no scan.
+    * Defined only when every entry carries stats for the column (a
+    * partial answer would be silently wrong); callers fall back to an
+    * aggregate scan otherwise. The canonical use is an incremental
+    * loader's high-watermark: O(manifest) instead of O(table).
+    */
+  def statsBounds(root: String, column: String): Option[(String, String)] = {
+    val v = latestVersion(root).getOrElse(return None)
+    val all = files(root, v)
+    val stats = all.map(statsOf)
+    if (all.isEmpty ||
+        !stats.forall(_.exists(_._1 == column))) return None
+    val s = stats.flatten.filter(_._1 == column)
+    val ord = s.head._2
+    def cmp(a: String, b: String): Int =
+      if (ord == "num")
+        (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+          case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
+          case _ => a.compareTo(b)
+        }
+      else a.compareTo(b)
+    Some((s.map(_._3).minBy(identity[String] _)(Ordering.fromLessThan[String](
+      (a, b) => cmp(a, b) < 0)),
+      s.map(_._4).maxBy(identity[String] _)(Ordering.fromLessThan[String](
+        (a, b) => cmp(a, b) < 0))))
+  }
+
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
     * but the newest `keepLast` manifests, then delete every staged
     * data file no surviving manifest references AND older than

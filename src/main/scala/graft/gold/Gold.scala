@@ -63,15 +63,24 @@ object Gold {
     */
   def mergeIncremental(spark: SparkSession, source: DataFrame,
       tableRoot: String): Int = {
-    val target = AtomicTable.latestVersion(tableRoot)
-      .map(_ => AtomicTable.read(spark, tableRoot))
-    val fresh = target match {
-      case Some(t) =>
-        val wm = t.agg(max(col("ingestion_timestamp"))).head().getTimestamp(0)
-        if (wm == null) source
-        else source.filter(col("ingestion_timestamp") >= lit(wm))
-      case None => source
-    }
+    val exists = AtomicTable.latestVersion(tableRoot).isDefined
+    // high-watermark from manifest zone-map stats when available —
+    // O(manifest) instead of scanning the fact table; falls back to
+    // the aggregate scan on stats-less tables
+    val fresh =
+      if (!exists) source
+      else {
+        val wm = AtomicTable.statsBounds(tableRoot, "ingestion_timestamp")
+          .map(_._2)
+          .map(s => java.sql.Timestamp.valueOf(
+            if (s.contains(".")) s else s + ".0"))
+          .orElse(Option(AtomicTable.read(spark, tableRoot)
+            .agg(max(col("ingestion_timestamp"))).head().getTimestamp(0)))
+        wm match {
+          case Some(w) => source.filter(col("ingestion_timestamp") >= lit(w))
+          case None => source
+        }
+      }
     val w = Window.partitionBy(col("transaction_id"))
       .orderBy(col("ingestion_timestamp"), col("product_id"), col("final_amount"))
     val deduped = fresh
@@ -83,9 +92,11 @@ object Gold {
     if (deduped.isEmpty) return AtomicTable.latestVersion(tableRoot).getOrElse(-1)
     // partition-pruned: an incremental batch touches a handful of
     // purchase dates — only those partitions rewrite; the rest of the
-    // fact table's files carry over untouched
+    // fact table's files carry over untouched. Stats on the ingestion
+    // stamp keep the NEXT run's watermark manifest-served.
     AtomicTable.mergePartitioned(spark, deduped, tableRoot,
-      "transaction_id", "purchase_date")
+      "transaction_id", "purchase_date",
+      statsCol = Some("ingestion_timestamp"))
   }
 
   /** Incremental append with HONEST unique_key semantics. The

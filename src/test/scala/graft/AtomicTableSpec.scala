@@ -234,5 +234,11 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.read(spark, root).count() === 3)
     assert(AtomicTable.read(spark, root).select("transaction_id")
       .as[String].collect().toSet === Set("a", "b", "c"))
+    // the watermark is manifest-served: every entry carries ingestion
+    // stats and the global max matches the newest batch's stamp
+    val bounds = AtomicTable.statsBounds(root, "ingestion_timestamp")
+    assert(bounds.isDefined)
+    assert(java.sql.Timestamp.valueOf(
+      bounds.get._2 + (if (bounds.get._2.contains(".")) "" else ".0")) === t1)
   }
 }
