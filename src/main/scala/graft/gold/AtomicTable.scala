@@ -140,6 +140,13 @@ object AtomicTable {
     * under Hive-style `<col>=<value>` dirs — those read with
     * `basePath` per staged dir so partition discovery restores the
     * partition column; plain entries read directly.
+    *
+    * SCHEMA EVOLUTION (add-column): snapshots may mix commits written
+    * with different column sets — the union fills columns missing
+    * from older files with NULL (per staged group, each group reads
+    * with its own mergeSchema'd parquet schema). Type changes of an
+    * existing column are NOT supported (same as Iceberg without a
+    * migration rewrite).
     */
   private def readEntries(spark: SparkSession, root: String,
       entries: Seq[String]): DataFrame = {
@@ -147,13 +154,15 @@ object AtomicTable {
     val (parted, plain) = entries.partition(partOf(_).isDefined)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (plain.nonEmpty)
-      parts += spark.read.parquet(plain.map(f => s"$root/${pathOf(f)}"): _*)
+      parts += spark.read.option("mergeSchema", "true")
+        .parquet(plain.map(f => s"$root/${pathOf(f)}"): _*)
     parted.map(pathOf).groupBy(p => p.split("/").take(2).mkString("/"))
       .foreach { case (stagedDir, paths) =>
         parts += spark.read.option("basePath", s"$root/$stagedDir")
+          .option("mergeSchema", "true")
           .parquet(paths.map(f => s"$root/$f").toSeq: _*)
       }
-    parts.reduceLeft(_ unionByName _)
+    parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Stage the DataFrame as immutable parquet files, invisible to

@@ -157,6 +157,26 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.read(spark, root).count() === 1)
   }
 
+  test("schema evolution: a later commit adds a column, old rows read as NULL") {
+    val root = tmpDir("atomic-evolve")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    // evolved writer: new nullable column rides in a new commit
+    AtomicTable.append(spark,
+      Seq((2L, "b", "extra")).toDF("k", "v", "tag"), root)
+    val got = AtomicTable.read(spark, root)
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b", Some("extra"))))
+    // MERGE across the schema boundary also works (upsert an old row
+    // with the evolved schema)
+    AtomicTable.merge(spark,
+      Seq((1L, "A", "late")).toDF("k", "v", "tag"), root, "k")
+    val after = AtomicTable.read(spark, root)
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(after === Set((1L, "A", Some("late")), (2L, "b", Some("extra"))))
+  }
+
   test("zone maps: scanWhere skips files provably outside the range") {
     val root = tmpDir("atomic-zone")
     // three appends with DISJOINT key ranges; coalesce(1) → one file
