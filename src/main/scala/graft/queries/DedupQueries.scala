@@ -140,43 +140,46 @@ object DedupQueries {
       // majority vote, 4×15-bit pigeonhole blocking, hamming filter.
       // Pigeonhole recall is EXACTLY 1 (hamming ≤ 3 ⇒ some chunk
       // equal), so this is a complete-equality oracle, not a sample.
-      Some("""
-        WITH tk AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-          FROM documents),
-        h AS (
-          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h
-          FROM tk),
-        bits AS (
-          SELECT doc_id, j,
-                 CAST(SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
-                               THEN 1 ELSE 0 END) AS BIGINT) AS ones,
-                 COUNT(*) AS n
-          FROM h CROSS JOIN range(60) r(j)
-          GROUP BY doc_id, j),
-        fp AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN 2*ones > n
-                               THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-                               ELSE 0 END) AS BIGINT) AS simhash
-          FROM bits GROUP BY doc_id),
-        ch AS (
-          SELECT doc_id, simhash, c.j AS chunk_id,
-                 (simhash >> CAST(c.j*15 AS INTEGER)) & 32767 AS chunk_value
-          FROM fp CROSS JOIN range(4) c(j)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                 a.simhash AS sim_a, b.simhash AS sim_b
-          FROM ch a JOIN ch b
-            ON a.chunk_id = b.chunk_id AND a.chunk_value = b.chunk_value
-               AND a.doc_id < b.doc_id)
-        SELECT doc_id_a, doc_id_b,
-               CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      Some("WITH " + SimhashPairsBody + """
+        SELECT doc_id_a, doc_id_b, hamming
+        FROM simhash_pairs
         ORDER BY doc_id_a, doc_id_b""")),
 
-    curationPipeline
+    curationPipeline,
+
+    QueryDef(
+      "q87_dedup_method_agreement",
+      (s, dir) => {
+        // method-comparison QA: before trusting a cheaper deduper at
+        // scale, measure its pair-set agreement with the reference
+        // method on a corpus slice. Both pair sets and their overlap
+        // are exact here, so the whole comparison hash-checks.
+        val docs = Tables.load(s, dir, "documents")
+        val mh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
+          .select(col("doc_id_a"), col("doc_id_b"))
+        val sh = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+          .select(col("doc_id_a"), col("doc_id_b"))
+        val both = mh.intersect(sh)
+        mh.agg(count(lit(1)).as("n_minhash"))
+          .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
+          .crossJoin(both.agg(count(lit(1)).as("n_both")))
+          .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+            round(col("n_both").cast("double")
+              / (col("n_minhash") + col("n_simhash") - col("n_both"))
+                .cast("double"), 6).as("agreement_jaccard"))
+      },
+      Some("WITH " + TruthPairsBody + ",\n" + SimhashPairsBody + """
+        , m AS (SELECT COUNT(*) AS n_minhash FROM truth_pairs),
+        s2 AS (SELECT COUNT(*) AS n_simhash FROM simhash_pairs),
+        b AS (SELECT COUNT(*) AS n_both FROM (
+          SELECT doc_id_a, doc_id_b FROM truth_pairs
+          INTERSECT
+          SELECT doc_id_a, doc_id_b FROM simhash_pairs) t)
+        SELECT n_minhash, n_simhash, n_both,
+               ROUND(CAST(n_both AS DOUBLE)
+                 / CAST(n_minhash + n_simhash - n_both AS DOUBLE), 6)
+                 AS agreement_jaccard
+        FROM m, s2, b"""))
   )
 
   /** The whole training-data curation workflow as ONE declarative
@@ -295,6 +298,45 @@ object DedupQueries {
         GROUP BY shard, bin_id
         ORDER BY shard, bin_id"""),
     headline = true)
+
+  /** Shared oracle prelude: 60-bit md5 SimHash near-dup pairs at
+    * hamming ≤ 3 via pigeonhole blocking (exact recall).
+    */
+  private def SimhashPairsBody: String = """
+        tk AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, j,
+                 CAST(SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ones,
+                 COUNT(*) AS n
+          FROM h CROSS JOIN range(60) r(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN 2*ones > n
+                               THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, simhash, c.j AS chunk_id,
+                 (simhash >> CAST(c.j*15 AS INTEGER)) & 32767 AS chunk_value
+          FROM fp CROSS JOIN range(4) c(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM ch a JOIN ch b
+            ON a.chunk_id = b.chunk_id AND a.chunk_value = b.chunk_value
+               AND a.doc_id < b.doc_id),
+        simhash_pairs AS (
+          SELECT doc_id_a, doc_id_b,
+                 CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(sim_a, sim_b)) <= 3)"""
 
   /** Shared oracle prelude: the exact 3-gram Jaccard truth pairs at
     * threshold 0.3 over the full corpus, as an inverted-index join
