@@ -397,7 +397,7 @@ object AtomicTable {
             if (toRewrite.isEmpty) df
             else readEntries(spark, root, toRewrite)
               .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
-              .unionByName(df)
+              .unionByName(df, allowMissingColumns = true)
           val staged = stagePartitioned(merged, root, partitionCol, statsCol)
           if (tryPublish(root, v + 1, untouched ++ staged)) committed = v + 1
       }
@@ -416,34 +416,45 @@ object AtomicTable {
     * partition pruning: partitions cut directories, zone maps cut
     * files within them.
     */
+  /** Bound comparison under the ordering the stats were captured with
+    * (the "so" tag): a numeric-looking STRING column has lexicographic
+    * min/max ("100" < "9"), and comparing those numerically would
+    * prune files that contain matching rows. ONE definition shared by
+    * [[scanWhere]] and [[statsBounds]] so scan and bounds can never
+    * disagree on ordering.
+    */
+  private def cmpOrd(ord: String, a: String, b: String): Int =
+    if (ord == "num")
+      (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+        case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
+        case _ => a.compareTo(b)
+      }
+    else a.compareTo(b)
+
   def scanWhere(spark: SparkSession, root: String, column: String,
       lo: String, hi: String): DataFrame = {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    // bounds compare under the SAME ordering the stats were captured
-    // with (the "so" tag): a numeric-looking STRING column has
-    // lexicographic min/max ("100" < "9"), and comparing those
-    // numerically would prune files that contain matching rows
-    def cmp(ord: String, a: String, b: String): Int =
-      if (ord == "num")
-        (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
-          case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
-          case _ => a.compareTo(b)
-        }
-      else a.compareTo(b)
     val all = files(root, v)
     val kept = all.filter { e =>
       statsOf(e) match {
         case Some((c, ord, mn, mx)) if c == column =>
-          !(cmp(ord, mx, lo) < 0 || cmp(ord, mn, hi) > 0)
+          !(cmpOrd(ord, mx, lo) < 0 || cmpOrd(ord, mn, hi) > 0)
         case _ => true
       }
     }
     // schema survives a total prune: resolve columns from the full
     // file set, emit zero rows — callers can still .select/.as
-    val pruned =
+    val pruned0 =
       if (kept.isEmpty) readEntries(spark, root, all).filter(lit(false))
       else readEntries(spark, root, kept)
+    // with add-column evolution the surviving files may all PREDATE
+    // the queried column (its only carriers pruned away): their rows
+    // hold NULL for it, NULL never satisfies a range — correct result
+    // is empty, resolved against the full-snapshot schema
+    val pruned =
+      if (pruned0.columns.contains(column)) pruned0
+      else readEntries(spark, root, all).filter(lit(false))
     val dt = pruned.schema(column).dataType
     pruned.filter(col(column) >= lit(lo).cast(dt)
       && col(column) <= lit(hi).cast(dt))
@@ -464,17 +475,8 @@ object AtomicTable {
         !stats.forall(_.exists(_._1 == column))) return None
     val s = stats.flatten.filter(_._1 == column)
     val ord = s.head._2
-    def cmp(a: String, b: String): Int =
-      if (ord == "num")
-        (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
-          case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
-          case _ => a.compareTo(b)
-        }
-      else a.compareTo(b)
-    Some((s.map(_._3).minBy(identity[String] _)(Ordering.fromLessThan[String](
-      (a, b) => cmp(a, b) < 0)),
-      s.map(_._4).maxBy(identity[String] _)(Ordering.fromLessThan[String](
-        (a, b) => cmp(a, b) < 0))))
+    val byOrd = Ordering.fromLessThan[String]((a, b) => cmpOrd(ord, a, b) < 0)
+    Some((s.map(_._3).min(byOrd), s.map(_._4).max(byOrd)))
   }
 
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
@@ -550,7 +552,8 @@ object AtomicTable {
           val target = readVersion(spark, root, v)
           val kept = target
             .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
-          val staged = stage(kept.unionByName(df), root)
+          val staged = stage(
+            kept.unionByName(df, allowMissingColumns = true), root)
           if (tryPublish(root, v + 1, staged)) committed = v + 1
       }
     }

@@ -70,14 +70,19 @@ object Gold {
     val fresh =
       if (!exists) source
       else {
-        val wm = AtomicTable.statsBounds(tableRoot, "ingestion_timestamp")
-          .map(_._2)
-          .map(s => java.sql.Timestamp.valueOf(
-            if (s.contains(".")) s else s + ".0"))
-          .orElse(Option(AtomicTable.read(spark, tableRoot)
-            .agg(max(col("ingestion_timestamp"))).head().getTimestamp(0)))
-        wm match {
-          case Some(w) => source.filter(col("ingestion_timestamp") >= lit(w))
+        // the manifest stat string is rendered in the SESSION timezone
+        // (UTC) — parse it back with to_timestamp, which also uses the
+        // session timezone. java.sql.Timestamp.valueOf would parse in
+        // the JVM-default zone and shift the watermark by the offset
+        // on a non-UTC host (silently dropping fresh rows).
+        val wmCol: Option[org.apache.spark.sql.Column] =
+          AtomicTable.statsBounds(tableRoot, "ingestion_timestamp")
+            .map(b => to_timestamp(lit(b._2)))
+            .orElse(Option(AtomicTable.read(spark, tableRoot)
+              .agg(max(col("ingestion_timestamp"))).head().getTimestamp(0))
+              .map(lit(_)))
+        wmCol match {
+          case Some(w) => source.filter(col("ingestion_timestamp") >= w)
           case None => source
         }
       }

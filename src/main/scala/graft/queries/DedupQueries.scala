@@ -155,18 +155,26 @@ object DedupQueries {
         // method on a corpus slice. Both pair sets and their overlap
         // are exact here, so the whole comparison hash-checks.
         val docs = Tables.load(s, dir, "documents")
+        // persisted: each pair pipeline is consumed twice (count +
+        // intersect) and plan fragments don't reuse across branches
         val mh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
           .select(col("doc_id_a"), col("doc_id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sh = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
           .select(col("doc_id_a"), col("doc_id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val both = mh.intersect(sh)
         mh.agg(count(lit(1)).as("n_minhash"))
           .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
           .crossJoin(both.agg(count(lit(1)).as("n_both")))
           .select(col("n_minhash"), col("n_simhash"), col("n_both"),
-            round(col("n_both").cast("double")
-              / (col("n_minhash") + col("n_simhash") - col("n_both"))
-                .cast("double"), 6).as("agreement_jaccard"))
+            // dup-free corpus → union empty → define agreement as 0.0
+            // (NaN would diverge between engines)
+            when(col("n_minhash") + col("n_simhash") - col("n_both") > 0,
+              round(col("n_both").cast("double")
+                / (col("n_minhash") + col("n_simhash") - col("n_both"))
+                  .cast("double"), 6))
+              .otherwise(lit(0.0)).as("agreement_jaccard"))
       },
       Some("WITH " + TruthPairsBody + ",\n" + SimhashPairsBody + """
         , m AS (SELECT COUNT(*) AS n_minhash FROM truth_pairs),
@@ -176,9 +184,10 @@ object DedupQueries {
           INTERSECT
           SELECT doc_id_a, doc_id_b FROM simhash_pairs) t)
         SELECT n_minhash, n_simhash, n_both,
-               ROUND(CAST(n_both AS DOUBLE)
-                 / CAST(n_minhash + n_simhash - n_both AS DOUBLE), 6)
-                 AS agreement_jaccard
+               CASE WHEN n_minhash + n_simhash - n_both > 0
+                    THEN ROUND(CAST(n_both AS DOUBLE)
+                      / CAST(n_minhash + n_simhash - n_both AS DOUBLE), 6)
+                    ELSE 0.0 END AS agreement_jaccard
         FROM m, s2, b"""))
   )
 
