@@ -14,6 +14,14 @@ object Bench {
     val spark = GraftSession.create(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
     def runIn(name: String, dir: String): Double = {
+      // every entry starts from an empty cache: registered queries
+      // persist() intermediates for intra-query reuse, and without
+      // clearing, a session accumulates dead cache entries that
+      // degrade every LATER entry (this contaminated r2's q65 number
+      // with the x10 corpus's cached shingles). Clearing is outside
+      // the timed region; both runs of an entry then measure the
+      // same cold-cache state.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -47,29 +55,35 @@ object Bench {
         graft.ingest.Silver.parsePurchases(raw), out)
       (System.nanoTime() - t0) / 1e9
     }
+    // two runs, report the min: the first run pays one-time plan
+    // codegen/JIT that a steady-state workload never sees
+    val headlineResults = SparkEntry.headlines.map { n =>
+      val t1 = runOne(n); val t2 = runOne(n)
+      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    }
     // ── 10× dedup/ANN scale probe ─────────────────────────────────
-    // Same pipelines over a corpus 10× the SF dir, built so near-dup
-    // structure is preserved WITHIN each copy and absent ACROSS
-    // copies (every token gets a per-copy tag; embeddings get a
-    // per-copy diagonal ±1 sign flip, which keeps within-copy cosines
-    // bit-identical and decorrelates cross-copy pairs). True output
-    // therefore grows LINEARLY in corpus size — so wall-time growth
-    // beyond ~10× on these entries would expose super-linear engine
-    // behavior (an N² candidate path would show ~100×).
+    // AFTER the headline loop (r2 ran it first and every headline
+    // number was measured against a storage pool pre-loaded with
+    // 10×-scale cached intermediates). Same pipelines over a corpus
+    // 10× the SF dir, built so near-dup structure is preserved WITHIN
+    // each copy and absent ACROSS copies (every token gets a per-copy
+    // tag; embeddings get a per-copy diagonal ±1 sign flip, which
+    // keeps within-copy cosines bit-identical and decorrelates
+    // cross-copy pairs). True output therefore grows LINEARLY in
+    // corpus size — so wall-time growth beyond ~10× on these entries
+    // would expose super-linear engine behavior (an N² candidate path
+    // would show ~100×).
     val x10Probe: Seq[(String, Double)] = {
       val dir10 = buildScaledCorpus(spark, sfDir, copies = 10)
       Seq("q60_dedup_exact", "q64_ngram_jaccard",
-        "q65_minhash_dedup", "q72_ann_lsh").map { n =>
+        "q65_minhash_dedup", "q72_ann_lsh",
+        "q76_dedup_clusters", "q86_curation_pipeline").map { n =>
         val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
         s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
       }
     }
-    // two runs, report the min: the first run pays one-time plan
-    // codegen/JIT that a steady-state workload never sees
-    val results = (SparkEntry.headlines.map { n =>
-      val t1 = runOne(n); val t2 = runOne(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-    } :+ ("ingest_parse_write_100k" -> ingestSec)) ++ x10Probe
+    val results =
+      (headlineResults :+ ("ingest_parse_write_100k" -> ingestSec)) ++ x10Probe
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total = the headline set only (comparable round to round); the

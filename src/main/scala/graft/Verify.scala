@@ -16,6 +16,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // registered queries persist() intermediates for intra-query
+      // reuse; once the result is on disk they are dead weight, and
+      // 73 queries' worth would crowd the storage pool
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -168,7 +168,9 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash LSH, then exact-Jaccard
     * verified. Returns (doc_id_a, doc_id_b, jaccard_sim).
     *
-    * Pipeline shape (one linear pass, no persist, no self-join):
+    * Pipeline shape (one linear pass, no self-join; the only persist
+    * is the output-scale candidate pair set, counted for the
+    * broadcast guard):
     *  1. map-side: shingles → signatures (partial-agg) → band keys;
     *  2. ONE shuffle on (band_id, band_hash) into a bounded collect
     *     ([[graft.functions.BoundedCollect]]): a bucket larger than
@@ -186,10 +188,16 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      broadcastPairLimit: Long = 4L << 20): DataFrame = {
     val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
+    // persisted + counted: the count is the broadcast-safety guard
+    // below, and the persist makes the verify join read the (tiny,
+    // output-scale) pair set from cache instead of re-running the
+    // whole LSH pipeline. Callers/harnesses clear the cache once the
+    // query's result materializes (Verify/Bench do).
     val candidates = withSig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
@@ -202,6 +210,8 @@ object Dedup {
       .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = candidates.count()
     // single-scan text attach: explode each pair into its two sides,
     // broadcast-join the corpus once, re-pair with a tiny aggregation
     // keyed on the pair. The broadcast side is the operator's OUTPUT
@@ -209,13 +219,18 @@ object Dedup {
     // tunable via bands/maxBucket), and broadcasting it is what keeps
     // the CORPUS from shuffling: the unhinted alternative plans a
     // sort-merge join whose map stage writes a full corpus shuffle
-    // even when AQE later downgrades the read side. A corpus whose
-    // near-dup pair set approaches broadcast limits has an
-    // output-size problem no join strategy fixes — tighten the
-    // banding threshold first.
+    // even when AQE later downgrades the read side. The hint is
+    // GUARDED, not assumed: past `broadcastPairLimit` pairs (a
+    // duplicate-heavy corpus can stay under maxBucket per bucket yet
+    // yield O(bucket²) pairs across many buckets) the hint is dropped
+    // and the exchange-based join takes over — slower, but it
+    // completes instead of failing on driver/broadcast limits. Such a
+    // corpus has an output-size problem (tighten bands/threshold),
+    // and the guard makes that degrade gracefully.
     val sides = candidates.select(col("doc_id_a"), col("doc_id_b"),
       explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
-    base.join(broadcast(sides), Seq("doc_id"))
+    val hintedSides = if (nPairs <= broadcastPairLimit) broadcast(sides) else sides
+    base.join(hintedSides, Seq("doc_id"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(
         min(when(col("doc_id") === col("doc_id_a"), col("text"))).as("text_a"),
@@ -250,25 +265,27 @@ object Dedup {
     // pipelines. The iterative path below remains the unbounded-scale
     // fallback.
     if (p.count() <= driverLimit) {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      try {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
         }
-        r
-      }
-      p.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val keys = parent.keySet ++ parent.values
-      val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
-      import spark.implicits._
-      return assignments.toDF("doc_id", "cluster_id")
+        p.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val keys = parent.keySet ++ parent.values
+        val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
+        import spark.implicits._
+        return assignments.toDF("doc_id", "cluster_id")
+      } finally p.unpersist() // fully consumed by count + collect
     }
     // undirected edge list, both directions
     val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
@@ -300,6 +317,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // the loop's `changed` counts materialized the final labels cache;
+    // the inputs are dead weight now (labels stays persisted — it is
+    // the returned result; harness-level cache clearing reaps it once
+    // the caller's query materializes)
+    edges.unpersist()
+    p.unpersist()
     labels
   }
 

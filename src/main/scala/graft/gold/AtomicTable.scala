@@ -270,12 +270,13 @@ object AtomicTable {
   def append(spark: SparkSession, df: DataFrame, root: String,
       statsCol: Option[String] = None): Int = {
     val staged = stage(df, root, statsCol)
+    // nothing staged → no commit: an empty first write must not create
+    // an empty (schema-less) table, and on an existing table
+    // republishing `prev` alone would bump the version for a no-op
+    if (staged.isEmpty) return latestVersion(root).getOrElse(-1)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      // an empty first write must not create an empty (schema-less)
-      // table — nothing to commit, nothing to wedge readers on
-      if (base.isEmpty && staged.isEmpty) return -1
       val prev = base.map(files(root, _)).getOrElse(Seq.empty)
       val v = base.getOrElse(-1) + 1
       if (tryPublish(root, v, prev ++ staged)) committed = v
@@ -283,13 +284,20 @@ object AtomicTable {
     committed
   }
 
-  /** Overwrite: new snapshot = staged files only. */
+  /** Overwrite: new snapshot = staged files only. An EMPTY overwrite
+    * never commits (returns -1), existing table or not: a zero-file
+    * manifest reads back as a schema-less `emptyDataFrame`, wedging
+    * every caller that selects columns — the exact failure the empty
+    * first-write guard in [[append]] exists to prevent. Truncation,
+    * if ever needed, must keep schema (write one empty part file),
+    * not publish an empty manifest.
+    */
   def overwrite(spark: SparkSession, df: DataFrame, root: String): Int = {
     val staged = stage(df, root)
+    if (staged.isEmpty) return -1
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      if (base.isEmpty && staged.isEmpty) return -1 // see append
       val v = base.getOrElse(-1) + 1
       if (tryPublish(root, v, staged)) committed = v
     }
@@ -331,6 +339,11 @@ object AtomicTable {
   def appendPartitioned(spark: SparkSession, df: DataFrame, root: String,
       partitionCol: String, statsCol: Option[String] = None): Int = {
     val staged = stagePartitioned(df, root, partitionCol, statsCol)
+    // nothing staged → no commit: an empty FIRST write must not
+    // create a schema-less table (see append), and on an existing
+    // table republishing `prev` alone would bump the version for a
+    // no-op
+    if (staged.isEmpty) return latestVersion(root).getOrElse(-1)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -341,11 +354,55 @@ object AtomicTable {
     committed
   }
 
+  /** Materialize version `v` as a plain Hive-layout directory of HARD
+    * LINKS under `<root>/_snap/v<v>` and return its path — a
+    * zero-copy, listing-readable export of one committed snapshot.
+    *
+    * This is the bridge to catalogs that can only point at
+    * directories (the offline v1 session catalog): point the catalog
+    * name at the export, swap the pointer on the next commit
+    * ([[Gold.writeTable]]), and readers get snapshot isolation from a
+    * directory listing — no partial writes are ever linked, and a
+    * reader mid-query on an old export keeps its files (links pin the
+    * inodes) until the export is pruned. File names are prefixed with
+    * their staging id, so links from different commits never collide.
+    * Idempotent: re-exporting an existing version is a no-op per file.
+    */
+  def exportSnapshot(root: String, v: Int): String = {
+    val dir = Paths.get(root, "_snap", s"v$v")
+    Files.createDirectories(dir)
+    files(root, v).foreach { e =>
+      val rel = pathOf(e) // _staged/<id>/[<col>=<val>/]part-x.parquet
+      val segs = rel.split("/")
+      val tail = segs.drop(2)
+      val destDir =
+        if (tail.length > 1) dir.resolve(tail.dropRight(1).mkString("/"))
+        else dir
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"${segs(1)}-${tail.last}")
+      if (!Files.exists(dest))
+        try Files.createLink(dest, Paths.get(root, rel))
+        catch { case _: java.nio.file.FileAlreadyExistsException => }
+    }
+    dir.toString
+  }
+
   /** Partition values that round-trip to Hive dir names verbatim; any
     * value outside this set (needs escaping) disables pruning for the
     * whole merge — correctness over cleverness.
     */
   private val DirSafe = "^[A-Za-z0-9._\\-]+$".r
+
+  /** Hive's directory name for a NULL partition value. A null renders
+    * as "null" through String.valueOf but as this marker on disk, so
+    * the affected-set computed from row values can never match the
+    * manifest's dir value — pruning with nulls in play would carry
+    * matched keys forward. Any null on either side disables pruning.
+    * (A literal string equal to the marker is indistinguishable in
+    * dir form; it is treated the same way — correctness over
+    * cleverness, like [[DirSafe]].)
+    */
+  private val NullPartDir = "__HIVE_DEFAULT_PARTITION__"
 
   /** Partition-pruned MERGE — the production copy-on-write shape the
     * plain [[merge]] approximates: partitions that appear in the
@@ -369,8 +426,11 @@ object AtomicTable {
     */
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
       key: String, partitionCol: String, statsCol: Option[String] = None): Int = {
-    val sourceParts = df.select(col(partitionCol)).distinct()
-      .collect().map(r => String.valueOf(r.get(0))).toSet // bounded: partition cardinality
+    val sourcePartRows = df.select(col(partitionCol)).distinct()
+      .collect() // bounded: partition cardinality
+    val sourceHasNull = sourcePartRows.exists(_.isNullAt(0))
+    val sourceParts = sourcePartRows.filterNot(_.isNullAt(0))
+      .map(r => String.valueOf(r.get(0))).toSet
     var committed = -1
     while (committed < 0) {
       latestVersion(root) match {
@@ -388,7 +448,10 @@ object AtomicTable {
               .select(col(partitionCol)).distinct()
               .collect().map(r => String.valueOf(r.get(0))).toSet
           val affected = sourceParts ++ matchedParts
-          val pruneSafe = affected.forall(v => DirSafe.matches(v))
+          val priorHasNull = partedPrior.exists(e =>
+            partOf(e).contains(NullPartDir))
+          val pruneSafe = !sourceHasNull && !priorHasNull &&
+            affected.forall(v => DirSafe.matches(v))
           val (untouched, toRewrite) =
             if (!pruneSafe) (Seq.empty[String], prior)
             else prior.partition(e =>

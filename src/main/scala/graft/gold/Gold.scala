@@ -16,21 +16,94 @@ object Gold {
   def promote(silver: DataFrame): DataFrame =
     silver.withColumn("purchase_date", to_date(col("transaction_time")))
 
+  /** HOW a Gold catalog table commits. [[TableFormat.Atomic]] is the
+    * default: it carries the reference's Iceberg guarantee
+    * (`delta_to_iceberg.py:43-52` — Gold is ALWAYS transactional) to
+    * every create-or-append, not just the MERGE path.
+    * [[TableFormat.CatalogParquet]] is the plain v1 `saveAsTable`
+    * listing table, kept for interop with engines that expect a
+    * vanilla parquet table and accept its non-atomic listing reads.
+    */
+  sealed trait TableFormat
+  object TableFormat {
+    case object Atomic extends TableFormat
+    case object CatalogParquet extends TableFormat
+  }
+
   /** Create-or-append a partitioned catalog table — the
     * `tableExists`-guarded Iceberg write of `delta_to_iceberg.py:36-52`.
-    * The session (v1) catalog used offline rejects
-    * `DataFrameWriterV2.append()` ("Cannot write into v1 table"), so
-    * both branches go through the by-name `saveAsTable` path; against
-    * a real v2 catalog (Iceberg/Delta at deploy time) swap to
+    *
+    * [[TableFormat.Atomic]] (default) re-expresses Iceberg's commit
+    * model on the offline v1 catalog: files stage invisibly and
+    * commit by manifest swap ([[AtomicTable.appendPartitioned]] —
+    * optimistic, racing writers both survive), then the catalog name
+    * is repointed (`CREATE OR REPLACE VIEW`) at a hard-linked
+    * Hive-layout export of the committed snapshot
+    * ([[AtomicTable.exportSnapshot]]). The catalog entry is thus a
+    * METADATA POINTER, exactly Iceberg's table concept: readers
+    * resolve the name to one immutable snapshot directory and never
+    * see partial writes; old exports stay readable (time travel)
+    * until vacuumed. The pointer publish re-checks the manifest head
+    * and republishes until stable, so concurrent writers converge on
+    * the newest version regardless of swap order. Against a real v2
+    * catalog (Iceberg/Delta at deploy time) the same seam swaps to
     * `writeTo(table).partitionedBy(...).create()` / `.append()`.
+    *
+    * The v1 session catalog rejects `DataFrameWriterV2.append()`
+    * ("Cannot write into v1 table"), so [[TableFormat.CatalogParquet]]
+    * goes through the by-name `saveAsTable` path in both branches.
     */
   def writeTable(spark: SparkSession, df: DataFrame, table: String,
-      partitionCol: String): Unit =
-    if (spark.catalog.tableExists(table))
-      df.write.mode("append").format("parquet").partitionBy(partitionCol)
+      partitionCol: String,
+      format: TableFormat = TableFormat.Atomic): Unit = format match {
+    case TableFormat.CatalogParquet =>
+      if (spark.catalog.tableExists(table))
+        df.write.mode("append").format("parquet").partitionBy(partitionCol)
+          .saveAsTable(table)
+      else df.write.format("parquet").partitionBy(partitionCol)
         .saveAsTable(table)
-    else df.write.format("parquet").partitionBy(partitionCol)
-      .saveAsTable(table)
+    case TableFormat.Atomic =>
+      val root = atomicRoot(spark, table)
+      val v = AtomicTable.appendPartitioned(spark, df, root, partitionCol)
+      if (v >= 0) publishPointer(spark, table, root)
+  }
+
+  /** Filesystem root backing an Atomic catalog table: under the
+    * session warehouse dir, database dots → path segments.
+    */
+  def atomicRoot(spark: SparkSession, table: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    s"$wh/_graft_atomic/${table.replace('.', '/')}"
+  }
+
+  /** Point `table` at the newest committed snapshot of `root`,
+    * looping until the pointer matches the manifest head (a
+    * concurrent writer may commit between our read and our swap; the
+    * last loop iteration to run publishes the newest version, and
+    * every version it could transiently publish is a real committed
+    * snapshot — never partial data). JVM-synchronized because the
+    * in-memory v1 catalog's REPLACE VIEW is not a CAS; a real
+    * metastore's conditional swap replaces the lock at deploy time.
+    */
+  private def publishPointer(spark: SparkSession, table: String,
+      root: String): Unit = Gold.synchronized {
+    var published = -1
+    var stable = false
+    while (!stable) {
+      val latest = AtomicTable.latestVersion(root).getOrElse(return)
+      if (latest == published) stable = true
+      else {
+        val snap = AtomicTable.exportSnapshot(root, latest)
+        // the export is one immutable Hive-layout dir; partition
+        // discovery restores the partition column (typed) and the
+        // view pins the schema as of this commit
+        spark.sql(
+          s"CREATE OR REPLACE VIEW $table AS SELECT * FROM parquet.`$snap`")
+        published = latest
+      }
+    }
+  }
 
   /** The fct_purchases transformation (`fct_purchases.sql:10-47`):
     * CTE pipeline as plain projections — Catalyst inlines them.

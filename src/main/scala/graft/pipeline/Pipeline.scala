@@ -68,6 +68,13 @@ object Pipeline {
           catch { case scala.util.control.NonFatal(_) => }
           task.cancel(true)
           t.join(policy.timeoutMs) // barrier: no overlap with the retry
+          if (t.isAlive) // body ignored the interrupt (e.g. blocking
+            // non-Spark IO) — retrying now would race the zombie on
+            // the same output paths; fail the step instead
+            throw StepFailed(name, attempt,
+              new IllegalStateException(
+                s"step '$name' worker ignored cancellation and is still " +
+                  "running after the grace join — not retrying concurrently"))
           last = new java.util.concurrent.TimeoutException(
             s"step '$name' exceeded ${policy.timeoutMs} ms")
         case e: java.util.concurrent.ExecutionException =>

@@ -292,8 +292,8 @@ object DedupQueries {
           FROM s1),
         runs AS (
           SELECT doc_id, n_tokens, shard,
-                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run_before
           FROM sized),
         bins AS (
           SELECT shard, doc_id, n_tokens,
@@ -301,7 +301,7 @@ object DedupQueries {
           FROM runs)
         SELECT shard, bin_id,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS bin_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                MIN(doc_id) AS first_doc
         FROM bins
         GROUP BY shard, bin_id

@@ -260,6 +260,42 @@ object RelationalQueries {
       },
       None),
 
+    QueryDef(
+      "q88_anomaly_scorer_agreement",
+      (s, dir) => {
+        // differential check of the two M2 scorers on the same daily
+        // features: the robust-z side replays exactly in SQL, and the
+        // forest side is pinned through agreement facts that are
+        // deterministic on this corpus (seeded fit) — every z-flagged
+        // day is forest-flagged, and both scorers rank the same day
+        // most anomalous. A forest regression (seed handling, tree
+        // build, scoring) breaks one of the pinned columns and
+        // hash-fails the row, which upgrades q77's family from
+        // rows-only to a value-checked driver gate.
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("purchase_date"))
+          .agg(
+            round(sum(col("o_totalprice")), 2).as("daily_total_sales"),
+            count(lit(1)).as("daily_transaction_count"))
+        val z = graft.analytics.Anomaly.RobustZScorer().score(daily)
+          .select(col("purchase_date"), col("anomaly_score").as("z_score"),
+            col("is_anomaly").as("z_flag"))
+        val f = graft.analytics.Anomaly.IsolationForestScorer().score(daily)
+          .select(col("purchase_date"), col("anomaly_score").as("forest_score"),
+            col("is_anomaly").as("forest_flag"))
+        z.join(f, Seq("purchase_date"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(when(col("z_flag"), 1L).otherwise(0L)).as("n_z_flagged"),
+            sum(when(col("z_flag") && col("forest_flag"), 1L).otherwise(0L))
+              .as("n_flagged_by_both"),
+            expr("min_by(purchase_date, struct(z_score, purchase_date))")
+              .as("top_z_day"),
+            expr("min_by(purchase_date, struct(forest_score, purchase_date))")
+              .as("top_forest_day"))
+      },
+      None),
+
     // ── joins ───────────────────────────────────────────────────────
     QueryDef(
       "q20_join_broadcast",

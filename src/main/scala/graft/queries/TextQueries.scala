@@ -314,8 +314,8 @@ object TextQueries {
           FROM documents),
         r AS (
           SELECT doc_id, n_tokens, shard,
-                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run_before
           FROM d),
         b AS (
           SELECT shard, doc_id, n_tokens,
@@ -323,7 +323,7 @@ object TextQueries {
           FROM r)
         SELECT shard, bin_id,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS bin_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM b

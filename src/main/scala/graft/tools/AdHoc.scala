@@ -31,6 +31,9 @@ object AdHoc {
       println(f"[adhoc] $name run $i: $n rows in $sec%.2f s")
       if (mode == "show" && i == repeat) df.show(50, truncate = false)
       if (mode == "plan" && i == repeat) df.explain("formatted")
+      // repeat runs measure the same cold-cache state (queries
+      // persist() intermediates that would otherwise accumulate)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

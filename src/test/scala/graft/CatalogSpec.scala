@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.gold.Gold
 import graft.model.Purchase
@@ -9,21 +10,74 @@ import graft.sources.ProductCsv
 class CatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  test("writeTable: tableExists-guarded create-partitioned / append (delta_to_iceberg.py:36-52)") {
+  private def onePurchase(ts: Timestamp, txn: String) = Gold.fctPurchases(
+    Seq(Purchase(ts, txn, "CS01", 4.99, 1, false, 0.0, false, 0.0)).toDS()
+      .toDF().withColumn("ingestion_timestamp", col("transaction_time")))
+
+  test("writeTable[Atomic]: create-or-append commits snapshots, catalog name is a pointer (delta_to_iceberg.py:36-52)") {
     val ts = Timestamp.valueOf("2025-06-01 10:00:00")
-    val fct = Gold.fctPurchases(
-      Seq(Purchase(ts, "1", "CS01", 4.99, 1, false, 0.0, false, 0.0)).toDS()
-        .toDF().withColumn("ingestion_timestamp", col("transaction_time")))
+    val fct = onePurchase(ts, "1")
     spark.sql("CREATE DATABASE IF NOT EXISTS ecommerce_data_lake")
     val table = "ecommerce_data_lake.fct_purchases_cat_test"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP VIEW IF EXISTS $table")
     assert(!spark.catalog.tableExists(table))
     Gold.writeTable(spark, fct, table, "purchase_date")
     assert(spark.catalog.tableExists(table))
     assert(spark.table(table).count() === 1)
     Gold.writeTable(spark, fct, table, "purchase_date") // append branch
     assert(spark.table(table).count() === 2)
-    // partitioned layout survived the v2 create
+    // the catalog name resolves to a committed snapshot: Hive
+    // partition layout on disk, partition column restored and typed
+    val root = Gold.atomicRoot(spark, table)
+    assert(graft.gold.AtomicTable.latestVersion(root) === Some(1))
+    val snap = java.nio.file.Paths.get(root, "_snap", "v1")
+    assert(java.nio.file.Files.list(snap).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("purchase_date=")))
+    val byDate = spark.table(table)
+      .filter(col("purchase_date") === java.sql.Date.valueOf("2025-06-01"))
+    assert(byDate.count() === 2)
+    // v0 export remains readable — time travel survives the repoint
+    assert(spark.read.parquet(s"$root/_snap/v0").count() === 1)
+    spark.sql(s"DROP VIEW $table")
+  }
+
+  test("writeTable[Atomic]: racing create-or-append writers both survive and the pointer converges") {
+    val table = "wt_race_test"
+    spark.sql(s"DROP VIEW IF EXISTS $table")
+    val dfs = (0 until 4).map(i =>
+      onePurchase(Timestamp.valueOf(s"2025-06-0${i + 1} 10:00:00"), s"t$i"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = dfs.map(d => pool.submit(new Runnable {
+        def run(): Unit = Gold.writeTable(spark, d, table, "purchase_date")
+      }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // every writer's row survived the commit race, and the published
+    // pointer is the newest manifest (no lost update, no stale view)
+    assert(spark.table(table).count() === 4)
+    val root = Gold.atomicRoot(spark, table)
+    assert(graft.gold.AtomicTable.latestVersion(root) === Some(3))
+    assert(spark.table(table).select("transaction_id").as[String]
+      .collect().sorted === Array("t0", "t1", "t2", "t3"))
+    spark.sql(s"DROP VIEW $table")
+  }
+
+  test("writeTable[CatalogParquet]: tableExists-guarded create-partitioned / append interop path") {
+    val ts = Timestamp.valueOf("2025-06-01 10:00:00")
+    val fct = onePurchase(ts, "1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ecommerce_data_lake")
+    val table = "ecommerce_data_lake.fct_purchases_plain_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    assert(!spark.catalog.tableExists(table))
+    Gold.writeTable(spark, fct, table, "purchase_date",
+      Gold.TableFormat.CatalogParquet)
+    assert(spark.catalog.tableExists(table))
+    assert(spark.table(table).count() === 1)
+    Gold.writeTable(spark, fct, table, "purchase_date",
+      Gold.TableFormat.CatalogParquet) // append branch
+    assert(spark.table(table).count() === 2)
+    // partitioned layout survived the create
     val part = spark.sql(s"DESCRIBE TABLE $table").collect()
       .map(_.getString(0))
     assert(part.contains("# Partition Information"))
