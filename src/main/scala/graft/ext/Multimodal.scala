@@ -67,42 +67,50 @@ object Multimodal {
   }
 
   /** STUB — deterministic fake decode (no media libs in this
-    * container). Dimensions and payloads are synthesized from a
-    * rolling hash of the input bytes, so outputs are reproducible,
+    * container). Dimensions and payloads are synthesized from a 60-bit
+    * md5 of (seed byte ++ payload), so outputs are reproducible,
     * size-plausible, and content-sensitive (different bytes → different
-    * "pixels"), which is exactly what the plumbing tests need.
+    * "pixels") — and, because the hash matches DuckDB's
+    * `CAST(('0x'||substr(md5(chr(seed)||payload),1,15)) AS BIGINT)`
+    * (the [[Dedup.md5Hash60]] convention), every synthesized
+    * dimension, sample code, and pixel byte replays exactly in ANSI
+    * SQL: the multimodal queries get hash-checked driver oracles
+    * instead of rows-only counts.
     */
   object StubCodec extends MediaCodec {
-    private def h64(bytes: Array[Byte], seed: Long): Long = {
-      var h = seed ^ 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < bytes.length) {
-        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-        i += 1
-      }
-      h
+    private def h60(bytes: Array[Byte], seed: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(seed.toByte)
+      // first 15 hex chars of the digest = top 60 bits; non-negative
+      (BigInt(1, md.digest(bytes).take(8)) >> 4).toLong
     }
-    def decodeImage(id: Long, format: String, bytes: Array[Byte]): DecodedImage = {
-      val h = h64(bytes, 1)
-      val w = 16 + (math.abs(h) % 49).toInt          // 16..64
-      val ht = 16 + (math.abs(h >> 8) % 49).toInt
+    // shared synthesis: dims and pixel bytes are pure integer
+    // arithmetic over a non-negative 60-bit h (shift/xor/mod only, so
+    // the oracle can replay them without signed-shift ambiguity)
+    private def synthImage(id: Long, h: Long): DecodedImage = {
+      val w = 16 + (h % 49).toInt          // 16..64
+      val ht = 16 + ((h >> 8) % 49).toInt
       val px = Array.tabulate[Byte](w * ht * 3)(i =>
         ((h >> (i % 56)) ^ i).toByte)
       DecodedImage(id, w, ht, 3, px)
     }
+    def decodeImage(id: Long, format: String, bytes: Array[Byte]): DecodedImage =
+      synthImage(id, h60(bytes, 1))
     def decodeAudio(id: Long, format: String, bytes: Array[Byte]): AudioClip = {
-      val h = h64(bytes, 2)
-      val n = 256 + (math.abs(h) % 769).toInt
+      val h = h60(bytes, 2)
+      val n = 256 + (h % 769).toInt
       val s = Array.tabulate(n)(i =>
         (((h >> (i % 56)) & 0xff) / 127.5f) - 1.0f)
       AudioClip(id, 16000, n, s)
     }
     def frames(id: Long, format: String, bytes: Array[Byte],
         everyNth: Int): Iterator[Frame] = {
-      val h = h64(bytes, 3)
-      val nFrames = 8 + (math.abs(h) % 25).toInt
+      val h = h60(bytes, 3)
+      val nFrames = 8 + (h % 25).toInt
       (0 until nFrames by everyNth).iterator.map { f =>
-        val img = decodeImage(id, format, bytes ++ Array(f.toByte))
+        // per-frame variation by integer mixing (not re-hashing
+        // bytes++f): stays SQL-replayable and < 2^60 (f << 17 < 2^23)
+        val img = synthImage(id, h ^ (f.toLong << 17))
         Frame(id, f, img.width, img.height, img.pixels)
       }
     }
@@ -142,6 +150,39 @@ object Multimodal {
         DecodedImage(img.media_id, w, h, img.channels, px)
       }
     }(Encoders.product[DecodedImage])
+
+  final case class MediaStat(
+      media_id: Long, kind: String, n_raw: Int, raw_checksum: Long)
+
+  /** Integer payload statistics from the decoded media: raw element
+    * count and an exact unsigned checksum (pixel bytes for visual
+    * kinds, 8-bit sample codes for audio — recovered exactly from the
+    * float samples, since (code/127.5f − 1) round-trips within half a
+    * code step). Map-side like every operator here. The all-integer
+    * contract is what makes q80 a hash-checked driver oracle: float
+    * mean-pooling ([[features]]) cannot be replayed bit-exactly by a
+    * double-arithmetic SQL engine, but counts and byte sums can.
+    */
+  def payloadStats(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaStat] =
+    asMedia(media).mapPartitions { it =>
+      it.map { m =>
+        m.kind match {
+          case "audio" =>
+            val clip = codec.decodeAudio(m.media_id, m.format, m.bytes)
+            var sum = 0L; var i = 0
+            while (i < clip.samples.length) {
+              sum += math.round((clip.samples(i) + 1.0) * 127.5)
+              i += 1
+            }
+            MediaStat(m.media_id, m.kind, clip.n_samples, sum)
+          case _ =>
+            val img = codec.decodeImage(m.media_id, m.format, m.bytes)
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+            MediaStat(m.media_id, m.kind, img.pixels.length, sum)
+        }
+      }
+    }(Encoders.product[MediaStat])
 
   /** Fixed-dim feature vector per media item: images mean-pool pixel
     * blocks, audio mean-pools sample windows — derived column is tiny,

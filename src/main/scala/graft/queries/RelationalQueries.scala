@@ -264,25 +264,29 @@ object RelationalQueries {
       "q88_anomaly_scorer_agreement",
       (s, dir) => {
         // differential check of the two M2 scorers on the same daily
-        // features: the robust-z side replays exactly in SQL, and the
-        // forest side is pinned through agreement facts that are
-        // deterministic on this corpus (seeded fit) — every z-flagged
-        // day is forest-flagged, and both scorers rank the same day
-        // most anomalous. A forest regression (seed handling, tree
-        // build, scoring) breaks one of the pinned columns and
-        // hash-fails the row, which upgrades q77's family from
-        // rows-only to a value-checked driver gate.
+        // features: the robust-z side replays exactly in SQL
+        // (n_days, n_z_flagged, top_z_day), and the forest side is
+        // pinned through agreement facts that hold deterministically on
+        // this corpus family (seeded fit): every z-flagged day is
+        // forest-flagged (n_flagged_by_both = n_z_flagged) and the
+        // z-top day is forest-flagged. A forest regression (seed
+        // handling, subsampling, tree build, scoring) breaks a pinned
+        // column and hash-fails the row — upgrading q77's family from
+        // rows-only to a value-checked driver gate while the trained
+        // ensemble itself stays engine-side. z_score is rounded to 6
+        // before the argmin so the oracle's quantile_cont replay can't
+        // flip the top day on float noise; ties break on earliest date.
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("purchase_date"))
           .agg(
             round(sum(col("o_totalprice")), 2).as("daily_total_sales"),
             count(lit(1)).as("daily_transaction_count"))
         val z = graft.analytics.Anomaly.RobustZScorer().score(daily)
-          .select(col("purchase_date"), col("anomaly_score").as("z_score"),
+          .select(col("purchase_date"),
+            round(col("anomaly_score"), 6).as("z_score"),
             col("is_anomaly").as("z_flag"))
         val f = graft.analytics.Anomaly.IsolationForestScorer().score(daily)
-          .select(col("purchase_date"), col("anomaly_score").as("forest_score"),
-            col("is_anomaly").as("forest_flag"))
+          .select(col("purchase_date"), col("is_anomaly").as("forest_flag"))
         z.join(f, Seq("purchase_date"))
           .agg(
             count(lit(1)).as("n_days"),
@@ -291,10 +295,46 @@ object RelationalQueries {
               .as("n_flagged_by_both"),
             expr("min_by(purchase_date, struct(z_score, purchase_date))")
               .as("top_z_day"),
-            expr("min_by(purchase_date, struct(forest_score, purchase_date))")
-              .as("top_forest_day"))
+            expr("min_by(forest_flag, struct(z_score, purchase_date))")
+              .as("top_z_forest_flagged"))
       },
-      None),
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS purchase_date,
+                 ROUND(SUM(o_totalprice), 2) AS daily_total_sales,
+                 COUNT(*) AS daily_transaction_count
+          FROM orders GROUP BY 1),
+        feats AS (
+          SELECT purchase_date,
+                 LN(1 + daily_total_sales) AS f1,
+                 LN(1 + daily_transaction_count) AS f2
+          FROM daily),
+        med AS (
+          SELECT quantile_cont(f1, 0.5) AS med1,
+                 quantile_cont(f2, 0.5) AS med2
+          FROM feats),
+        mad AS (
+          SELECT quantile_cont(ABS(f.f1 - med1), 0.5) AS mad1,
+                 quantile_cont(ABS(f.f2 - med2), 0.5) AS mad2
+          FROM feats f, med),
+        z AS (
+          SELECT purchase_date,
+                 ROUND(-GREATEST(
+                   COALESCE(ABS(0.6745 * (f1 - med1) / NULLIF(mad1, 0)), 0),
+                   COALESCE(ABS(0.6745 * (f2 - med2) / NULLIF(mad2, 0)), 0)), 6)
+                   AS z_score,
+                 GREATEST(
+                   COALESCE(ABS(0.6745 * (f1 - med1) / NULLIF(mad1, 0)), 0),
+                   COALESCE(ABS(0.6745 * (f2 - med2) / NULLIF(mad2, 0)), 0))
+                   > 3.5 AS z_flag
+          FROM feats, med, mad)
+        SELECT COUNT(*) AS n_days,
+               CAST(SUM(CASE WHEN z_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_z_flagged,
+               CAST(SUM(CASE WHEN z_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_by_both,
+               (SELECT purchase_date FROM z
+                ORDER BY z_score, purchase_date LIMIT 1) AS top_z_day,
+               TRUE AS top_z_forest_flagged
+        FROM z""")),
 
     // ── joins ───────────────────────────────────────────────────────
     QueryDef(
