@@ -77,7 +77,8 @@ object Bench {
       val dir10 = buildScaledCorpus(spark, sfDir, copies = 10)
       Seq("q60_dedup_exact", "q64_ngram_jaccard",
         "q65_minhash_dedup", "q72_ann_lsh",
-        "q76_dedup_clusters", "q86_curation_pipeline").map { n =>
+        "q76_dedup_clusters", "q86_curation_pipeline",
+        "q89_decontamination").map { n =>
         val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
         s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
       }

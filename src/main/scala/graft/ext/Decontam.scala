@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the train/eval n-gram overlap sweep
+  * every LLM training-data pipeline runs before a corpus ships: any
+  * training document sharing a long-enough word n-gram with an
+  * evaluation/benchmark document is flagged (and typically dropped),
+  * so downstream eval numbers measure generalization, not leakage.
+  *
+  * Shape at 100 TB: benchmark suites are tiny (10^4–10^6 docs) while
+  * the train corpus is the 100 TB side — so the EVAL side's exploded
+  * n-gram index is the broadcast build side, and the train corpus
+  * streams through one map-side hash join on the gram; the only
+  * shuffle is the per-(train,eval)-pair count aggregate, whose size is
+  * the contamination report itself (output-scale, not corpus-scale).
+  * The train corpus is never shuffled and never materialized.
+  */
+object Decontam {
+
+  /** (train_id, eval_id, n_shared_grams) for every train document
+    * sharing at least one distinct word `n`-gram with an eval
+    * document. Gram construction matches [[Dedup.explodedShingles]]
+    * (lowercase, whitespace tokens), so the whole operator replays in
+    * the DuckDB oracle.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+    val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
+      .select(col("doc_id").as("train_id"), col("s").as("gram"))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+  }
+}

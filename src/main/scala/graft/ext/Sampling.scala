@@ -68,4 +68,44 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic domain-mixture resampling — the "data mixing" stage
+    * of a training-data pipeline: downsample each stratum so the kept
+    * set approximates the target mixture `weightsPpm` (parts per
+    * million; must cover every stratum present) at the largest total
+    * the scarcest stratum allows:
+    *
+    *   N_target = min_s floor(n_s · 10^6 / w_s)   (largest N with
+    *                                               n_s ≥ w_s·N ∀s)
+    *   keep row ⇔ (md5₆₀(id) mod 10^6) · n_s < target_s · 10^6
+    *
+    * Everything is integer arithmetic over a stable 60-bit md5 of the
+    * row id ([[Dedup.md5Hash60]] convention) — no RNG state, so the
+    * decision is reproducible across runs/engines/partitionings, rows
+    * never migrate between kept/dropped as other strata grow, and the
+    * whole operator replays exactly in the DuckDB oracle.
+    *
+    * Shape at 100 TB: one tiny stratum-count aggregate, broadcast of
+    * the per-stratum gates back onto the corpus, map-side filter. The
+    * corpus itself never shuffles. (No overflow headroom issues:
+    * hash < 10^6 and n_s < 10^12 keeps the product under 2^63.)
+    */
+  def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
+      weightsPpm: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.toDF(strataCol, "w_ppm")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+      .join(w, Seq(strataCol))
+    val nTarget = counts.agg(
+      min(expr("n_stratum * 1000000 DIV w_ppm")).as("n_target_total"))
+    val gates = counts.crossJoin(nTarget)
+      .withColumn("n_target", expr("w_ppm * n_target_total DIV 1000000"))
+      .select(col(strataCol), col("n_stratum"), col("n_target"))
+    val h = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(1000000L))
+    df.join(broadcast(gates), Seq(strataCol))
+      .filter(h * col("n_stratum") < col("n_target") * lit(1000000L))
+      .drop("n_stratum", "n_target")
+  }
 }
