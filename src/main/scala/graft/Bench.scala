@@ -49,11 +49,17 @@ object Bench {
       val raw = spark.sparkContext.parallelize(
         gen.purchases.map(graft.generator.EventGenerator.toJson),
         cpus.toInt).toDF("value")
-      val out = java.nio.file.Files.createTempDirectory("bench-silver").toString
-      val t0 = System.nanoTime()
-      graft.ingest.Silver.writeSilver(
-        graft.ingest.Silver.parsePurchases(raw), out)
-      (System.nanoTime() - t0) / 1e9
+      // min-of-2 like the headline loop (fresh sink dir per run; the
+      // generator and staging above stay outside the timed region)
+      def once(): Double = {
+        val out = java.nio.file.Files.createTempDirectory("bench-silver").toString
+        val t0 = System.nanoTime()
+        graft.ingest.Silver.writeSilver(
+          graft.ingest.Silver.parsePurchases(raw), out)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once(); val t2 = once()
+      math.min(t1, t2)
     }
     // two runs, report the min: the first run pays one-time plan
     // codegen/JIT that a steady-state workload never sees

@@ -24,14 +24,21 @@ object Decontam {
     * document. Gram construction matches [[Dedup.explodedShingles]]
     * (lowercase, whitespace tokens), so the whole operator replays in
     * the DuckDB oracle.
+    *
+    * `broadcastEval = false` drops the hint for eval suites too large
+    * to broadcast (≳10^8 grams): the join degrades to a shuffle on the
+    * gram key — the train side then shuffles once, which is the
+    * unavoidable cost when the index side itself is corpus-scale.
     */
   def contaminationPairs(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      idCol: String, textCol: String, n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
       .select(col("doc_id").as("eval_id"), col("s").as("gram"))
     val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
       .select(col("doc_id").as("train_id"), col("s").as("gram"))
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+    val index = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    trainGrams.join(index, Seq("gram"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"))
   }
