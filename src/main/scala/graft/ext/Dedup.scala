@@ -241,6 +241,80 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
   }
 
+  /** LSH band-key index of a corpus: (doc_id, band_id, band_hash) —
+    * the artifact an incremental curation pipeline PERSISTS (e.g. in
+    * an [[graft.gold.AtomicTable]], appended batch by batch) so every
+    * new batch can near-dup-check against the whole history without
+    * ever rescanning it. bands×1 rows per doc, tiny next to the text.
+    */
+  def lshBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(explodedShingles(docs, idCol, textCol), k)
+      .select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rows)).as("band"))
+      .select(col("doc_id"),
+        col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** Incremental near-dup check: pairs between a NEW batch and an
+    * EXISTING corpus reached only through its band index — the
+    * daily-ingest face of [[minhashDupPairs]]. Returns
+    * (new_id, old_id, jaccard_sim), exact-Jaccard verified.
+    *
+    * Shape at 100 TB (new batch ≪ corpus — a day's crawl vs years of
+    * history): the batch's band keys equi-join the stored index (the
+    * index side shuffles on band key ONCE per batch at most — with a
+    * bucketed/pre-partitioned index table, zero times); the existing
+    * corpus' TEXT is touched only for candidate ids (broadcast
+    * semi-fetch), so history is never rescanned or reshuffled.
+    * Within-batch duplicates are [[minhashDupPairs]] on the batch —
+    * compose both for full coverage. Same hash family/banding as the
+    * batch operator, so an id indexed yesterday collides with today's
+    * near-duplicate exactly as a joint run would.
+    *
+    * @param existingIndex precomputed [[lshBandIndex]] of the corpus;
+    *        pass None to derive it from `existingDocs` (tests, small
+    *        corpora — production keeps it as a table)
+    */
+  def incrementalDupPairs(newDocs: DataFrame, existingDocs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      existingIndex: Option[DataFrame] = None,
+      broadcastPairLimit: Long = 4L << 20): DataFrame = {
+    val newBands = lshBandIndex(newDocs, idCol, textCol, k, bands)
+      .withColumnRenamed("doc_id", "new_id")
+    val index = existingIndex
+      .getOrElse(lshBandIndex(existingDocs, idCol, textCol, k, bands))
+      .withColumnRenamed("doc_id", "old_id")
+    // candidate pairs: batch band keys against the index. The batch
+    // side is the small one — broadcast it so the index never moves
+    // (an AQE-chosen shuffle join remains the fallback at the hint's
+    // size cap). Persisted + counted like minhashDupPairs: the count
+    // guards the verify-side broadcast.
+    val candidates = index.join(broadcast(newBands), Seq("band_id", "band_hash"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = candidates.count()
+    val hinted = if (nPairs <= broadcastPairLimit) broadcast(candidates)
+      else candidates
+    // texts attach candidate-side only: history streams ONE map-side
+    // semi-fetch keyed by candidate old ids; the new batch broadcasts
+    val oldTexts = existingDocs
+      .select(col(idCol).as("old_id"), col(textCol).as("old_text"))
+      .join(hinted.select(col("old_id")).distinct(), Seq("old_id"))
+    val newTexts = newDocs
+      .select(col(idCol).as("new_id"), col(textCol).as("new_text"))
+    candidates
+      .join(broadcast(newTexts), Seq("new_id"))
+      .join(oldTexts, Seq("old_id"))
+      .withColumn("jaccard_sim",
+        round(jaccard(shingles(col("new_text")), shingles(col("old_text"))), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard_sim"))
+  }
+
   // ── clustering / canonical selection ──────────────────────────────
 
   /** Connected components over near-duplicate pairs by iterative

@@ -595,6 +595,47 @@ object AtomicTable {
     (expired.length, removed)
   }
 
+  /** Small-file compaction — Iceberg's `rewrite_data_files` twin:
+    * rewrite the head snapshot into ~`targetFileBytes`-sized files and
+    * commit the SAME rows as a new version listing only the compacted
+    * files. Streaming/micro-batch appends accrete a read-amplification
+    * tax (every reader opens every tiny file); compaction pays it down
+    * without blocking readers — old versions stay readable (time
+    * travel) until vacuumed.
+    *
+    * Returns the new version, or −1 when there is nothing to do (no
+    * table, or already at/below the target file count) or the head
+    * moved mid-rewrite: compaction validates against the snapshot it
+    * read and NEVER retries over a concurrent writer's commit —
+    * recompacting the stale snapshot would silently drop the new rows.
+    * The caller simply re-runs on the new head; the abandoned staged
+    * files are unreferenced and reaped by [[vacuum]].
+    *
+    * With `partitionCol`, rows hash-repartition ON the partition
+    * column so each Hive dir gets exactly one writer → one file per
+    * partition; layout and (optional) zone-map stats are regenerated
+    * with the same knobs the writers use.
+    */
+  def compact(spark: SparkSession, root: String,
+      partitionCol: Option[String] = None, statsCol: Option[String] = None,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val v = latestVersion(root).getOrElse(return -1)
+    val prior = files(root, v)
+    val bytes = prior.map(e => Files.size(Paths.get(root, pathOf(e)))).sum
+    val targetFiles =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (prior.length <= targetFiles) return -1 // already compact
+    val snapshot = readVersion(spark, root, v)
+    val staged = partitionCol match {
+      case Some(pc) =>
+        stagePartitioned(snapshot.repartition(targetFiles, col(pc)),
+          root, pc, statsCol)
+      case None =>
+        stage(snapshot.repartition(targetFiles), root, statsCol)
+    }
+    if (tryPublish(root, v + 1, staged)) v + 1 else -1
+  }
+
   /** MERGE-shaped upsert on `key`: matched target rows are replaced by
     * their source row, unmatched source rows are inserted (copy-on-
     * write rewrite). The rewrite is validated against the snapshot it

@@ -101,6 +101,30 @@ object DedupQueries {
       headline = true),
 
     QueryDef(
+      "q91_incremental_neardup",
+      (s, dir) => {
+        // incremental-ingest split: every 5th doc plays the new batch,
+        // the rest is the already-indexed corpus. The engine reaches
+        // the "history" only through its band index + a candidate-id
+        // text fetch — the oracle is the exact-Jaccard truth set
+        // restricted to cross-(batch,history) pairs, so like q65 any
+        // recall regression in the incremental path hash-fails.
+        val docs = Tables.load(s, dir, "documents")
+        val newBatch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        Dedup.incrementalDupPairs(newBatch, existing, "doc_id", "text",
+            threshold = 0.3)
+          .orderBy(col("new_id"), col("old_id"))
+      },
+      Some("WITH " + TruthPairsBody + """
+        SELECT CASE WHEN doc_id_a % 5 = 0 THEN doc_id_a ELSE doc_id_b END AS new_id,
+               CASE WHEN doc_id_a % 5 = 0 THEN doc_id_b ELSE doc_id_a END AS old_id,
+               jaccard_sim
+        FROM truth_pairs
+        WHERE (doc_id_a % 5 = 0) != (doc_id_b % 5 = 0)
+        ORDER BY new_id, old_id""")),
+
+    QueryDef(
       "q76_dedup_clusters",
       (s, dir) =>
         Dedup.dedupClusters(Tables.load(s, dir, "documents"),

@@ -217,6 +217,54 @@ class AtomicTableSpec extends SparkSpec {
     assert(got === Set(("9", 1L))) // "50" <= "9" <= "99" lexicographically
   }
 
+  test("compact: rewrites many small files into few, same rows, time travel intact") {
+    val root = tmpDir("atomic-compact")
+    // 5 appends × multi-partition writes → many tiny files
+    (0 until 5).foreach { i =>
+      AtomicTable.append(spark,
+        Seq((i.toLong, s"v$i"), (i + 100L, s"w$i")).toDF("k", "v")
+          .repartition(4), root)
+    }
+    val vHead = AtomicTable.latestVersion(root).get
+    val before = AtomicTable.files(root, vHead).length
+    val rows = AtomicTable.read(spark, root).as[(Long, String)].collect().toSet
+    val vNew = AtomicTable.compact(spark, root)
+    assert(vNew === vHead + 1)
+    val after = AtomicTable.files(root, vNew).length
+    assert(after < before && after >= 1, s"$before -> $after")
+    assert(AtomicTable.read(spark, root).as[(Long, String)].collect().toSet === rows)
+    // pre-compaction snapshot still time-travels
+    assert(AtomicTable.readVersion(spark, root, vHead)
+      .as[(Long, String)].collect().toSet === rows)
+    // already-compact table: nothing to do, head unmoved
+    assert(AtomicTable.compact(spark, root) === -1)
+    assert(AtomicTable.latestVersion(root) === Some(vNew))
+    // vacuum reaps the pre-compaction files; the compacted head survives
+    val (droppedManifests, droppedFiles) =
+      AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
+    assert(droppedManifests === vNew && droppedFiles > 0)
+    assert(AtomicTable.read(spark, root).as[(Long, String)].collect().toSet === rows)
+  }
+
+  test("compact: partitioned table ends with one file per partition dir") {
+    val root = tmpDir("atomic-compact-part")
+    (0 until 3).foreach { i =>
+      AtomicTable.appendPartitioned(spark,
+        Seq((i.toLong, "p1"), (i + 10L, "p2")).toDF("k", "part"),
+        root, "part")
+    }
+    val rows = AtomicTable.read(spark, root).as[(Long, String)].collect().toSet
+    val v = AtomicTable.compact(spark, root, partitionCol = Some("part"))
+    assert(v > 0)
+    val entries = AtomicTable.files(root, v)
+    // one file per partition value, partition tag preserved
+    assert(entries.length === 2, entries.mkString("\n"))
+    assert(entries.forall(_.contains("\tp=")), entries.mkString("\n"))
+    val got = AtomicTable.read(spark, root)
+    assert(got.columns.contains("part"))
+    assert(got.as[(Long, String)].collect().toSet === rows)
+  }
+
   test("vacuum: expires old snapshots, keeps the live one intact and readable") {
     val root = tmpDir("atomic-vac")
     AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)

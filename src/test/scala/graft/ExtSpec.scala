@@ -70,6 +70,35 @@ class DedupSpec extends SparkSpec {
     assert(sims(key) === 1.0)
   }
 
+  test("incrementalDupPairs ≡ joint-run cross pairs; precomputed index path identical") {
+    import org.apache.spark.sql.functions.col
+    // batch = docs 2 and 4 arriving against an indexed history 1,3,5,6
+    val newBatch = docs.filter(col("doc_id").isin(2L, 4L))
+    val existing = docs.filter(!col("doc_id").isin(2L, 4L))
+    val inc = Dedup.incrementalDupPairs(newBatch, existing, "doc_id", "text",
+        threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+        r.getAs[Double]("jaccard_sim"))).toSet
+    val joint = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"),
+        r.getAs[Double]("jaccard_sim")))
+      // keep cross pairs only, oriented (new, old)
+      .flatMap { case (a, b, s) =>
+        val newSide = Set(2L, 4L)
+        if (newSide.contains(a) != newSide.contains(b))
+          Some(if (newSide.contains(a)) (a, b, s) else (b, a, s))
+        else None
+      }.toSet
+    assert(inc.nonEmpty && inc === joint)
+    // the production path: index precomputed (stored) instead of derived
+    val viaIndex = Dedup.incrementalDupPairs(newBatch, existing, "doc_id",
+        "text", threshold = 0.3,
+        existingIndex = Some(Dedup.lshBandIndex(existing, "doc_id", "text")))
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+        r.getAs[Double]("jaccard_sim"))).toSet
+    assert(viaIndex === inc)
+  }
+
   test("simhash: dup/permutation invariances + blocking join ≡ brute-force hamming ≤ 3") {
     val hashes = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

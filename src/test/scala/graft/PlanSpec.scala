@@ -89,4 +89,20 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, p) // partial + final
     assert(count(p, "Exchange") <= 2, p)      // agg shuffle (+ sort for output order)
   }
+
+  test("q89: decontamination — eval gram index broadcasts, train side never shuffles pre-join") {
+    val p = plan("q89_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchanges are the per-pair count aggregate (and
+    // its distinct pre-agg), both keyed on the output pair — the train
+    // corpus reaches the join map-side
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("q90: mixture resample — gates broadcast, corpus filter stays map-side") {
+    val p = plan("q90_domain_mixture")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
