@@ -125,6 +125,25 @@ object DedupQueries {
         ORDER BY new_id, old_id""")),
 
     QueryDef(
+      "q92_fuzzy_join",
+      (s, dir) =>
+        // fuzzy entity resolution over the part-name dictionary:
+        // deletion-neighborhood blocking + exact levenshtein verify
+        // (graft.ext.EntityResolution). The oracle is the BRUTE-FORCE
+        // all-pairs scan, so any recall loss in the blocking
+        // hash-fails — same hard-gate pattern as q65/q91.
+        graft.ext.EntityResolution
+          .fuzzySelfPairs(Tables.load(s, dir, "part"), "p_name", maxDist = 2)
+          .orderBy(col("name_a"), col("name_b")),
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b""")),
+
+    QueryDef(
       "q76_dedup_clusters",
       (s, dir) =>
         Dedup.dedupClusters(Tables.load(s, dir, "documents"),
