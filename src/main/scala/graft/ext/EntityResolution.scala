@@ -68,8 +68,10 @@ object EntityResolution {
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b")
       .distinct()
+      // threshold form runs the banded DP (O(d·n) per pair, not
+      // O(n²)) and returns -1 past the bound
       .withColumn("edit_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("bigint"))
+      .filter(col("edit_dist") >= 0)
   }
 }

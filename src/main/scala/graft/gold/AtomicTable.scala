@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import scala.util.control.NonFatal
@@ -122,6 +122,29 @@ object AtomicTable {
       lo <- fieldOf(e, "smin")
       hi <- fieldOf(e, "smax")
     } yield (c, ord, lo, hi)
+
+  /** Multi-column zone-map groups written by [[clusterBy]]: one
+    * repeated `zs=` tag per column, payload
+    * `enc(col),ord,enc(min),enc(max)` (URL-encoding escapes commas, so
+    * the 4-way split is unambiguous). Kept separate from the legacy
+    * single-column `sc=` group so pre-clustering readers parse old
+    * manifests unchanged.
+    */
+  private def zstatsOf(e: String, column: String)
+      : Option[(String, String, String)] =
+    e.split("\t").filter(_.startsWith("zs=")).iterator
+      .map(_.substring(3).split(",", -1))
+      .collectFirst {
+        case Array(c, ord, mn, mx) if dec(c) == column =>
+          (ord, dec(mn), dec(mx))
+      }
+
+  /** min/max of `column` for an entry under either stats scheme. */
+  private def statsFor(e: String, column: String)
+      : Option[(String, String, String)] =
+    statsOf(e).collect { case (c, ord, mn, mx) if c == column =>
+      (ord, mn, mx)
+    }.orElse(zstatsOf(e, column))
 
   /** Read the latest snapshot (empty schema-less read is an error —
     * callers check [[latestVersion]] for existence-dependent logic).
@@ -500,10 +523,10 @@ object AtomicTable {
       throw new IllegalStateException(s"no committed version under $root"))
     val all = files(root, v)
     val kept = all.filter { e =>
-      statsOf(e) match {
-        case Some((c, ord, mn, mx)) if c == column =>
+      statsFor(e, column) match {
+        case Some((ord, mn, mx)) =>
           !(cmpOrd(ord, mx, lo) < 0 || cmpOrd(ord, mn, hi) > 0)
-        case _ => true
+        case None => true
       }
     }
     // schema survives a total prune: resolve columns from the full
@@ -634,6 +657,151 @@ object AtomicTable {
         stage(snapshot.repartition(targetFiles), root, statsCol)
     }
     if (tryPublish(root, v + 1, staged)) v + 1 else -1
+  }
+
+  /** Incremental snapshot-diff read (the Iceberg incremental-append
+    * scan twin): rows ADDED between `fromV` (exclusive; -1 = before
+    * the first commit) and `toV` (inclusive), resolved purely from
+    * manifests — only the added files are opened, so a consumer
+    * tailing a 100 TB table pays for its delta, not the table.
+    *
+    * Defined only over append-only ranges. Manifests don't record an
+    * operation type, so rewrites are detected STRUCTURALLY: an
+    * append-only commit strictly grows the file set, while
+    * merge/compact/clusterBy/overwrite drop predecessor files — any
+    * dropped file in the range makes row-level "what's new" ambiguous
+    * (rewritten files mix carried-over and fresh rows), and this
+    * throws instead of answering wrong, exactly as Iceberg's
+    * incremental scan refuses replace/overwrite snapshots.
+    */
+  def appendedBetween(spark: SparkSession, root: String,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= -1 && fromV <= toV, s"bad version range $fromV..$toV")
+    for (v <- math.max(fromV + 1, 1) to toV) {
+      val prev = files(root, v - 1).map(pathOf).toSet
+      val cur = files(root, v).map(pathOf).toSet
+      if (!prev.subsetOf(cur))
+        throw new IllegalStateException(
+          s"version $v rewrote files (merge/compact/cluster/overwrite); " +
+            "incremental append read is undefined across it")
+    }
+    val base: Set[String] =
+      if (fromV < 0) Set.empty else files(root, fromV).map(pathOf).toSet
+    val head = files(root, toV)
+    val added = head.filterNot(e => base.contains(pathOf(e)))
+    if (added.isEmpty) // schema survives an empty delta
+      readEntries(spark, root, head).filter(lit(false))
+    else readEntries(spark, root, added)
+  }
+
+  /** Z-ORDER clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg `rewrite_data_files(sort_order => zorder(...))` twin):
+    * rewrite the latest snapshot ordered by the interleaved-bit
+    * z-value of `cols`, so rows close in EVERY clustered dimension
+    * land in the same files and the per-file multi-column zone maps
+    * ([[zstatsOf]]) prune on ANY of the clustered columns — a
+    * lexicographic sort only ever serves its leading column.
+    *
+    * Mechanics: each column is rank-bucketed through its own
+    * distributed approx-quantile boundaries (driver state =
+    * `2^bitsPerCol - 1` doubles per column, independent of row count —
+    * quantile buckets keep skewed distributions balanced where uniform
+    * width_bucket ranges would collapse); bucket bits interleave into
+    * one long; `repartitionByRange` + `sortWithinPartitions` on the
+    * z-value lay rows out contiguously (one range shuffle + local
+    * sort, the same cost shape as the built-in sort-based write).
+    * Numeric columns only (rank-bucketing strings would need a global
+    * dictionary); unpartitioned tables (Hive partition dirs already
+    * fix file placement — cluster WITHIN a partition by calling on
+    * that slice's own table). Same head-validated publish as
+    * [[compact]]: losing a race to a concurrent writer returns -1 and
+    * the caller re-runs against the new head; rows are never changed,
+    * only laid out. Old versions stay readable (time travel).
+    */
+  def clusterBy(spark: SparkSession, root: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20, bitsPerCol: Int = 8): Int = {
+    require(cols.nonEmpty && cols.size * bitsPerCol <= 62,
+      s"${cols.size} cols x $bitsPerCol bits must fit a long")
+    val v = latestVersion(root).getOrElse(return -1)
+    val prior = files(root, v)
+    val snapshot = readVersion(spark, root, v)
+    cols.foreach { c =>
+      require(snapshot.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"clusterBy needs numeric columns, $c is ${snapshot.schema(c).dataType}")
+    }
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds: Map[String, Array[Double]] = cols.map { c =>
+      c -> snapshot.select(col(c).cast("double").as(c)).na.drop()
+        .stat.approxQuantile(c, probs, 0.001)
+    }.toMap
+    val k = cols.size
+    def bucketOf(c: String): Column = {
+      // quantile-rank bucket: #boundaries <= value (codegen'd filter
+      // over a literal array; nulls rank 0). Duplicate boundaries
+      // (heavy skew) just skip codes — ordering stays monotone.
+      val b = bounds(c).distinct.sorted.toSeq
+      if (b.isEmpty) lit(0L)
+      else size(filter(typedlit(b), x => x <= col(c).cast("double")))
+        .cast("long")
+    }
+    val z = cols.zipWithIndex.flatMap { case (c, j) =>
+      val bc = bucketOf(c)
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+    val bytes = prior.map(e => Files.size(Paths.get(root, pathOf(e)))).sum
+    val targetFiles =
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val rewritten = snapshot.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val staged = stageWithZStats(rewritten, root, cols)
+    if (tryPublish(root, v + 1, staged)) v + 1 else -1
+  }
+
+  /** Stage `df` and attach per-file min/max zone-map groups for EVERY
+    * column in `statsCols` (repeated `zs=` manifest tags, see
+    * [[zstatsOf]]). One aggregation job grouped by `input_file_name()`
+    * covers all files and columns; a production writer would lift the
+    * same values from the parquet footers.
+    */
+  private def stageWithZStats(df: DataFrame, root: String,
+      statsCols: Seq[String]): Seq[String] = {
+    val id = java.util.UUID.randomUUID().toString
+    val rel = s"_staged/$id"
+    df.write.parquet(s"$root/$rel")
+    val paths = listDir(Paths.get(root, rel)) { it =>
+      it.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(n => s"$rel/$n").toSeq.sorted
+    }
+    if (statsCols.isEmpty) return paths
+    val spark = df.sparkSession
+    val staged = spark.read.parquet(s"$root/$rel")
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val rows = staged.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byPath: Map[String, Seq[String]] = rows.flatMap { r =>
+      val f = r.getString(0)
+      val i = f.indexOf("_staged/")
+      if (i < 0) None
+      else {
+        val tags = statsCols.zipWithIndex.flatMap { case (c, ci) =>
+          val (mn, mx) = (r.get(1 + ci * 2), r.get(2 + ci * 2))
+          if (mn == null || mx == null) None
+          else Some(
+            s"zs=${enc(c)},num,${enc(String.valueOf(mn))},${enc(String.valueOf(mx))}")
+        }
+        Some(f.substring(i) -> tags)
+      }
+    }.toMap
+    paths.map(p => (p +: byPath.getOrElse(p, Seq.empty)).mkString("\t"))
   }
 
   /** MERGE-shaped upsert on `key`: matched target rows are replaced by

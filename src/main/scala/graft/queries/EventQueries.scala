@@ -84,6 +84,59 @@ object EventQueries {
                ROUND(SUM(value), 2) AS session_value
         FROM sess
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    QueryDef(
+      "q93_incremental_mv",
+      (s, dir) => {
+        // incremental MATERIALIZED-VIEW maintenance: a daily-sales
+        // aggregate table kept current by merging the DELTA's partial
+        // aggregates instead of recomputing history — the incremental
+        // twin of the reference's dbt model
+        // (`pipeline/dbt/.../gold/fct_purchases.sql:1-9` is row-level
+        // incremental; this is the aggregate-level generalization).
+        // Counts/sums are mergeable partials: new = old + delta, and
+        // only keys PRESENT IN THE DELTA are read back and rewritten
+        // (left join from the delta side), so a 100 TB history costs
+        // nothing — work scales with the delta's key footprint, and
+        // AtomicTable.mergePartitioned rewrites only affected
+        // event_date partitions under an atomic commit. The cutoff
+        // splits a day mid-stream so the oracle (full recompute)
+        // hash-checks BOTH merge paths: combine (day 20 spans base and
+        // delta) and insert (days 21+ are delta-only).
+        import org.apache.spark.sql.DataFrame
+        import graft.gold.AtomicTable
+        val root = java.nio.file.Files.createTempDirectory("q93-mv").toString
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy(col("event_date"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+            .withColumn("mv_key",
+              concat_ws("|", col("event_date"), col("event_type")))
+        val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
+        AtomicTable.mergePartitioned(s,
+          partial(ev.filter(col("ts") < cutoff)), root, "mv_key", "event_date")
+        val delta = partial(ev.filter(col("ts") >= cutoff))
+        val cur = AtomicTable.read(s, root).select(col("mv_key"),
+          col("n_events").as("old_n"), col("sum_value").as("old_sum"))
+        val combined = delta.join(cur, Seq("mv_key"), "left")
+          .select(col("event_date"), col("event_type"), col("mv_key"),
+            (col("n_events") + coalesce(col("old_n"), lit(0L))).as("n_events"),
+            (col("sum_value") + coalesce(col("old_sum"), lit(0.0))).as("sum_value"))
+        AtomicTable.mergePartitioned(s, combined, root, "mv_key", "event_date")
+        AtomicTable.read(s, root)
+          .select(col("event_date"), col("event_type"), col("n_events"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("event_date"), col("event_type"))
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_date, event_type"""),
+      headline = true)
   )
 }

@@ -378,6 +378,63 @@ object TextQueries {
                MAX(n_chars) AS max_chars
         FROM documents
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    QueryDef(
+      "q94_tfidf_topk",
+      (s, dir) => {
+        // TF-IDF term ranking: top-3 distinguishing terms per document
+        // (smoothed idf = ln((N+1)/(df+1)) + 1). Shape at scale: two
+        // map-side-combinable hash aggregates (tf on (doc,tok), df on
+        // tok), one shuffle join on the token, a 1-row N crossJoin
+        // (scalar broadcast, same pattern as the robust-z stats), and
+        // a per-doc window for the top-k — no driver loops, no UDFs.
+        // Ordering ties on the ROUNDED score break on the token, so
+        // the oracle replays the ranking deterministically.
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf")
+              * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+                + lit(1.0)), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        scored
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tok) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, tok, tfidf
+        FROM r
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk"""),
+      headline = true)
   )
 }
