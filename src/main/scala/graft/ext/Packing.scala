@@ -31,4 +31,34 @@ object Packing {
       .withColumn("bin_id",
         floor(col("run_tokens_before") / lit(budget.toDouble)).cast("bigint"))
   }
+
+  /** Power-of-two length buckets on the ladder 32…`maxLen` (min 32,
+    * clamp above): the batching alternative to packing — pad each
+    * sequence to its bucket's length. Exact CASE ladder (no float
+    * log2, whose boundary rounding differs across engines).
+    */
+  def lengthBucket(tokenCol: Column, maxLen: Int = 2048): Column = {
+    val rungs = Iterator.iterate(32)(_ * 2).takeWhile(_ < maxLen).toSeq
+    rungs.foldRight(lit(maxLen.toLong): Column) { (rung, rest) =>
+      when(tokenCol <= rung, lit(rung.toLong)).otherwise(rest)
+    }
+  }
+
+  /** Per-bucket padding economics: how many docs/tokens land in each
+    * length bucket and what fraction of the padded batch is waste
+    * (1 − Σtokens / (n·seq_len)). The number a pipeline owner reads to
+    * pick packing vs padding. One map-side bucket expression + one
+    * hash aggregate over ≤ log₂(maxLen) groups.
+    */
+  def paddingStats(docs: DataFrame, tokenCol: Column, maxLen: Int = 2048)
+      : DataFrame =
+    docs
+      .withColumn("seq_len", lengthBucket(tokenCol, maxLen))
+      .groupBy(col("seq_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCol).as("sum_tokens"),
+        round(lit(1.0) - sum(tokenCol).cast("double")
+          / (count(lit(1)) * col("seq_len")).cast("double"), 4)
+          .as("pad_frac"))
 }

@@ -69,6 +69,26 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Deterministic per-stratum fixed-size sample: the k rows of each
+    * stratum with the smallest 60-bit md5 of their id — a reservoir
+    * sample whose "random" order is a content hash, so membership is
+    * reproducible across runs/engines/partitionings and replays in
+    * the DuckDB oracle ([[Dedup.md5Hash60]] convention).
+    *
+    * Shape at 100 TB: one shuffle on the stratum key; the rank filter
+    * plans as `WindowGroupLimit`, so each map task pre-prunes to its
+    * local top-k before the shuffle — per-stratum state is O(k), never
+    * stratum-scale. Returns the input plus a `sample_rank` column
+    * (1-based within stratum).
+    */
+  def groupHashSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic domain-mixture resampling — the "data mixing" stage
     * of a training-data pipeline: downsample each stratum so the kept
     * set approximates the target mixture `weightsPpm` (parts per

@@ -81,6 +81,32 @@ object CurationQueries {
                      THEN 1 ELSE 0 END AS kept
               FROM documents d JOIN g USING (lang))
         SELECT lang, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept
-        FROM k GROUP BY lang ORDER BY lang"""))
+        FROM k GROUP BY lang ORDER BY lang""")),
+
+    QueryDef(
+      "q97_group_sample",
+      (s, dir) => {
+        // fixed-size per-language inspection sample (the "eyeball 20
+        // docs per stratum" QA step), deterministic via the md5-ranked
+        // reservoir — membership replays exactly in SQL.
+        val docs = Tables.load(s, dir, "documents")
+        Sampling.groupHashSample(docs, "lang", "doc_id", k = 20)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT lang, doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              AS h60
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h60, doc_id)
+              AS sample_rank
+          FROM h)
+        SELECT lang, sample_rank, doc_id
+        FROM r WHERE sample_rank <= 20
+        ORDER BY lang, sample_rank"""))
   )
 }

@@ -231,7 +231,55 @@ object DedupQueries {
                     THEN ROUND(CAST(n_both AS DOUBLE)
                       / CAST(n_minhash + n_simhash - n_both AS DOUBLE), 6)
                     ELSE 0.0 END AS agreement_jaccard
-        FROM m, s2, b"""))
+        FROM m, s2, b""")),
+
+    QueryDef(
+      "q99_containment_dedup",
+      (s, dir) => {
+        // asymmetric containment |A∩B| / |A|: catches documents mostly
+        // QUOTED inside a larger one, which symmetric Jaccard misses
+        // (a small doc embedded in a big one has low J but containment
+        // ≈ 1). Same inverted-index shape as q64: probe slice
+        // broadcast, one hash aggregate per candidate pair — at 100 TB
+        // the corpus streams map-side through the gram join and only
+        // candidate pairs shuffle.
+        val docs = Tables.load(s, dir, "documents")
+        val exploded = Dedup.explodedShingles(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val szs = exploded.groupBy(col("doc_id"))
+          .agg(count_distinct(col("s")).as("sz"))
+        val ax = exploded.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("doc_id_a"), col("s"))
+        val bx = exploded.select(col("doc_id").as("doc_id_b"), col("s"))
+        broadcast(ax).join(bx, Seq("s"))
+          .filter(col("doc_id_a") =!= col("doc_id_b"))
+          .groupBy(col("doc_id_a"), col("doc_id_b"))
+          .agg(count_distinct(col("s")).as("inter"))
+          .join(szs.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a")),
+            Seq("doc_id_a"))
+          .withColumn("containment_r",
+            round(col("inter").cast("double") / col("sz_a").cast("double"), 6))
+          .filter(col("containment_r") >= 0.5)
+          .select(col("doc_id_a"), col("doc_id_b"), col("containment_r"))
+          .orderBy(col("doc_id_a"), col("doc_id_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        p AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+            ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(a.s) AS DOUBLE), 6) AS containment_r
+          FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+          WHERE a.doc_id < 100 AND len(a.s) > 0)
+        SELECT doc_id_a, doc_id_b, containment_r
+        FROM p WHERE containment_r >= 0.5
+        ORDER BY doc_id_a, doc_id_b"""))
   )
 
   /** The whole training-data curation workflow as ONE declarative

@@ -435,6 +435,89 @@ object TextQueries {
         FROM r
         WHERE rnk <= 3
         ORDER BY doc_id, rnk"""),
-      headline = true)
+      headline = true),
+
+    QueryDef(
+      "q95_doc_chunking",
+      (s, dir) =>
+        graft.ext.Chunking.tokenChunks(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          window = 128, stride = 96)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        c AS (
+          SELECT doc_id, toks,
+            CASE WHEN n_tokens <= 128 THEN 1
+                 ELSE (n_tokens - 128 + 95) // 96 + 1 END AS n_chunks
+          FROM n),
+        x AS (
+          SELECT doc_id, toks, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+          FROM c),
+        sl AS (
+          SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
+            list_slice(toks, chunk_id * 96 + 1, chunk_id * 96 + 128) AS chunk
+          FROM x)
+        SELECT doc_id, chunk_id, start_tok,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM sl
+        ORDER BY doc_id, chunk_id""")),
+
+    QueryDef(
+      "q96_unigram_surprisal",
+      (s, dir) =>
+        graft.ext.LanguageModel.unigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        dtf AS (SELECT doc_id, tok, COUNT(*) AS dtf FROM t GROUP BY 1, 2),
+        v AS (SELECT tok, CAST(SUM(dtf) AS BIGINT) AS tf FROM dtf GROUP BY 1),
+        n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM v)
+        SELECT dtf.doc_id,
+               CAST(SUM(dtf.dtf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(dtf.dtf * -LN(CAST(v.tf AS DOUBLE) / n.n_total))
+                 / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS mean_surprisal
+        FROM dtf JOIN v USING (tok) CROSS JOIN n
+        GROUP BY dtf.doc_id
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q98_length_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.ext.Packing.paddingStats(
+            docs, graft.ext.TextAnalysis.tokenCount(col("text")))
+          .orderBy(col("seq_len"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        b AS (
+          SELECT n_tokens,
+            CASE WHEN n_tokens <= 32 THEN 32
+                 WHEN n_tokens <= 64 THEN 64
+                 WHEN n_tokens <= 128 THEN 128
+                 WHEN n_tokens <= 256 THEN 256
+                 WHEN n_tokens <= 512 THEN 512
+                 WHEN n_tokens <= 1024 THEN 1024
+                 ELSE 2048 END AS seq_len
+          FROM n)
+        SELECT CAST(seq_len AS BIGINT) AS seq_len,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(*) * seq_len), 4) AS pad_frac
+        FROM b
+        GROUP BY seq_len
+        ORDER BY seq_len"""))
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Chunking, LanguageModel, Packing, Sampling, TextAnalysis}
+
+/** Specs for the round-3 training-prep additions: context-window
+  * chunking, unigram surprisal, padding economics, per-stratum hash
+  * sampling, containment dedup.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks: spans tile the doc, last chunk reaches the end") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, "a b c d"),                                // = window → 1 chunk
+      (3L, "a b c d e")                               // 5 toks → 2 chunks
+    ).toDF("doc_id", "text")
+    val got = Chunking.tokenChunks(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 4L),
+      (3L, 0L, 0L, 4L), (3L, 1L, 3L, 2L)))
+    // every chunk is full-width except possibly the last, and the last
+    // covers the final token: start + len == n_tokens
+    val last = got.groupBy(_._1).map(_._2.maxBy(_._2))
+    assert(last.forall { case (id, _, start, len) =>
+      start + len === (if (id == 2L) 4L else if (id == 3L) 5L else 10L)
+    })
+  }
+
+  test("tokenChunks md5 is the hash of the rejoined window") {
+    val docs = Seq((1L, "Alpha beta GAMMA")).toDF("doc_id", "text")
+    val got = Chunking.tokenChunks(docs, "doc_id", "text", 2, 1)
+      .orderBy("chunk_id").select("chunk_md5").as[String].collect()
+    val exp = Seq("alpha beta", "beta gamma").map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(got.toSeq === exp)
+  }
+
+  test("unigramSurprisal matches the hand-computed corpus distribution") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // vocab: a=2, b=1, c=1, N=4
+    val d1 = (2 * -math.log(2.0 / 4) + -math.log(1.0 / 4)) / 3
+    val d2 = -math.log(1.0 / 4)
+    assert(got === Array(
+      (1L, 3L, math.rint(d1 * 1e4) / 1e4),
+      (2L, 1L, math.rint(d2 * 1e4) / 1e4)))
+  }
+
+  test("paddingStats: exact bucket ladder and waste fractions") {
+    val docs = Seq.tabulate(3)(i => (i, Seq(10, 33, 100)(i)))
+      .map { case (i, n) => (i.toLong, (1 to n).map(_ => "w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Packing.paddingStats(docs, TextAnalysis.tokenCount(col("text")))
+      .orderBy("seq_len").as[(Long, Long, Long, Double)].collect()
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got === Array(
+      (32L, 1L, 10L, r4(1.0 - 10.0 / 32)),
+      (64L, 1L, 33L, r4(1.0 - 33.0 / 64)),
+      (128L, 1L, 100L, r4(1.0 - 100.0 / 128))))
+  }
+
+  test("groupHashSample: k per stratum, deterministic, WindowGroupLimit plan") {
+    val df = spark.range(200)
+      .select(col("id").as("doc_id"), (col("id") % 2).cast("string").as("g"))
+    val s1 = Sampling.groupHashSample(df, "g", "doc_id", k = 5)
+    val rows = s1.select("g", "sample_rank").as[(String, Long)].collect()
+    assert(rows.length === 10)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(1L to 5L)))
+    val s2 = Sampling.groupHashSample(df, "g", "doc_id", k = 5)
+    assert(s1.except(s2).count() === 0)
+    // rank filter must plan as WindowGroupLimit (map-side top-k prune)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("containment catches a small doc quoted inside a larger one") {
+    // doc 1's shingles all appear in doc 2; the reverse direction is
+    // below threshold — asymmetry is the point of the operator
+    val docs = Seq(
+      (1L, "x y z w"),
+      (2L, "p q x y z w r")).toDF("doc_id", "text")
+    val exploded = graft.ext.Dedup.explodedShingles(docs, "doc_id", "text")
+    val szs = exploded.groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("sz"))
+    val pairs = exploded.select(col("doc_id").as("doc_id_a"), col("s"))
+      .join(exploded.select(col("doc_id").as("doc_id_b"), col("s")), Seq("s"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count_distinct(col("s")).as("inter"))
+      .join(szs.select(col("doc_id").as("doc_id_a"), col("sz")), Seq("doc_id_a"))
+      .withColumn("c", col("inter").cast("double") / col("sz").cast("double"))
+      .select("doc_id_a", "doc_id_b", "c").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) === 1.0)   // 2 of 2 shingles contained
+    assert(m((2L, 1L)) === 0.4)   // 2 of 5
+  }
+}
