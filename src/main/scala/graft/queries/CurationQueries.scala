@@ -107,6 +107,106 @@ object CurationQueries {
           FROM h)
         SELECT lang, sample_rank, doc_id
         FROM r WHERE sample_rank <= 20
-        ORDER BY lang, sample_rank"""))
+        ORDER BY lang, sample_rank""")),
+
+    QueryDef(
+      "q100_source_report",
+      (s, dir) => {
+        // per-source (domain) curation report: exact-dup exposure and
+        // token share — the numbers that drive keep/drop/reweight
+        // decisions per domain. Shape: one hash join on the text
+        // digest (dup groups), one per-source aggregate, a 1-row
+        // total crossJoin; the corpus never shuffles twice.
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(
+          col("source"), md5(col("text")).as("h"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+        val dupGroups = base.groupBy(col("h"))
+          .agg(count(lit(1)).as("n_copies"))
+        val perSource = base.join(dupGroups, Seq("h"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("nt")).as("n_tokens"))
+        val total = perSource.agg(sum(col("n_tokens")).as("tok_total"))
+        perSource.crossJoin(broadcast(total))
+          .select(
+            col("source"), col("n_docs"), col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double")
+              / col("n_docs").cast("double"), 4).as("dup_frac"),
+            col("n_tokens"),
+            expr("n_tokens * 1000000 DIV tok_total").as("token_share_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source, md5(text) AS h,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        dg AS (SELECT h, COUNT(*) AS n_copies FROM base GROUP BY h),
+        ps AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens
+          FROM base JOIN dg USING (h)
+          GROUP BY source),
+        t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM ps)
+        SELECT source, n_docs, n_dup_docs,
+               ROUND(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac,
+               n_tokens,
+               n_tokens * 1000000 // tok_total AS token_share_ppm
+        FROM ps CROSS JOIN t
+        ORDER BY source""")),
+
+    QueryDef(
+      "q101_source_outlier_trim",
+      (s, dir) => {
+        // per-source Tukey fences over token counts (exact linear-
+        // interpolated quartiles, identical in both engines): the
+        // length-outlier trim step of domain curation. Quartiles are
+        // one per-source aggregate; the fence test re-joins the tiny
+        // per-source frame back (broadcast) — map-side over the
+        // corpus.
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("source"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+        val fences = base.groupBy(col("source")).agg(
+          expr("percentile(nt, 0.25)").as("q1"),
+          expr("percentile(nt, 0.5)").as("med"),
+          expr("percentile(nt, 0.75)").as("q3"))
+        base.join(broadcast(fences), Seq("source"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("nt") < col("lo") || col("nt") > col("hi"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            round(first(col("med")), 2).as("median_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        f AS (
+          SELECT source,
+                 quantile_cont(nt, 0.25) AS q1,
+                 quantile_cont(nt, 0.5) AS med,
+                 quantile_cont(nt, 0.75) AS q3
+          FROM base GROUP BY source)
+        SELECT base.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN nt < q1 - (q3 - q1) * 1.5
+                              OR nt > q3 + (q3 - q1) * 1.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(ANY_VALUE(med), 2) AS median_tokens
+        FROM base JOIN f USING (source)
+        GROUP BY base.source
+        ORDER BY source"""))
   )
 }

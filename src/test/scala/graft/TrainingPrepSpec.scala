@@ -84,6 +84,44 @@ class TrainingPrepSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q100 source report: dup exposure and token share per domain") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q100_source_report")(spark, dir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // token shares sum to ~1e6 (integer-division slack < n_sources)
+    val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    // dup_frac consistent with its numerator/denominator
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("dup_frac")
+      val expect = r.getAs[Long]("n_dup_docs").toDouble / r.getAs[Long]("n_docs")
+      assert(math.abs(frac - math.rint(expect * 1e4) / 1e4) < 1e-12)
+    }
+  }
+
+  test("q101 Tukey fences: hand-checked quartiles and outlier count") {
+    val docs = (Seq.fill(4)(10) ++ Seq(11, 12, 13, 1000))
+      .zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(_ => "w").mkString(" "), "s0") }
+      .toDF("doc_id", "text", "source")
+    val base = docs.select(col("source"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+    val fences = base.groupBy(col("source")).agg(
+      expr("percentile(nt, 0.25)").as("q1"),
+      expr("percentile(nt, 0.75)").as("q3"))
+    val r = fences.head()
+    // sorted: 10,10,10,10,11,12,13,1000 → q1 at pos 1.75 = 10,
+    // q3 at pos 5.25 = 12 + 0.25·(13−12) = 12.25
+    assert(r.getAs[Double]("q1") === 10.0)
+    assert(r.getAs[Double]("q3") === 12.25)
+    val out = base.join(broadcast(fences), Seq("source"))
+      .filter(col("nt") > col("q3") + (col("q3") - col("q1")) * 1.5 ||
+        col("nt") < col("q1") - (col("q3") - col("q1")) * 1.5)
+      .count()
+    assert(out === 1L) // only the 1000-token doc is fenced out
+  }
+
   test("containment catches a small doc quoted inside a larger one") {
     // doc 1's shingles all appear in doc 2; the reverse direction is
     // below threshold — asymmetry is the point of the operator
