@@ -105,4 +105,39 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q95: chunking is pure map-side — zero data shuffles") {
+    // the only exchange is the presentation ORDER BY (range), never a
+    // hash exchange: tokenize → explode → slice all stay in one stage
+    val p = plan("q95_doc_chunking")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q96: surprisal — vocab joins on the token key, no cartesian blowup") {
+    val p = plan("q96_unigram_surprisal")
+    // 1-row corpus total joins via broadcast; token join is hash/merge
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // the scalar total only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q97: group sample plans WindowGroupLimit (map-side top-k prune)") {
+    val p = plan("q97_group_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q99: containment — probe side broadcasts, corpus never cartesians") {
+    val p = plan("q99_containment_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100/q101: per-source fences and totals broadcast back to the corpus") {
+    val p100 = plan("q100_source_report")
+    assert(!p100.contains("CartesianProduct"), p100)
+    val p101 = plan("q101_source_outlier_trim")
+    assert(p101.contains("BroadcastHashJoin"), p101)
+    assert(!p101.contains("CartesianProduct"), p101)
+  }
 }
