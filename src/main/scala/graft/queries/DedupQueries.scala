@@ -25,20 +25,24 @@ object DedupQueries {
         // sharing no shingle can't clear the 0.05 floor, so dropping
         // them (inherent to the index join) is lossless.
         val docs = Tables.load(s, dir, "documents")
-        // persisted: consumed THREE times (sizes, probe side, corpus
-        // side) and Catalyst does not reuse plan fragments across
-        // branches — without this the tokenize+shingle pipeline runs
-        // 3×. Rows are (doc_id, lang, shingle) — a token-sized
-        // intermediate, MEMORY_AND_DISK-safe at scale.
-        val exploded = Dedup.explodedShingles(docs, "doc_id", "text",
-            extraCols = Seq("lang"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // per-doc DISTINCT shingle-set size (set semantics for Jaccard)
-        val szs = exploded.groupBy(col("doc_id"), col("lang"))
-          .agg(count_distinct(col("s")).as("sz"))
-        val ax = exploded.filter(col("doc_id") < 100)
+        // per-doc DISTINCT shingle-set size (set semantics for
+        // Jaccard) as a MAP-SIDE array expression — no shuffle: the
+        // alternative (count_distinct over the exploded rows) shuffles
+        // every shingle occurrence, which at 10× corpus scale was the
+        // query's dominant stage. With sizes off the exploded path,
+        // each remaining consumer re-derives its own (cheap, pruned)
+        // scan and nothing needs a corpus-scale persist.
+        val szs = docs.select(col("doc_id"), col("lang"),
+          size(array_distinct(
+            Dedup.shingleSeq(Dedup.tokens(col("text"))))).cast("bigint")
+            .as("sz"))
+        // probe slice: the doc_id<100 filter pushes into the scan, so
+        // this explodes ~100 docs, not the corpus
+        val ax = Dedup.explodedShingles(docs.filter(col("doc_id") < 100),
+            "doc_id", "text", extraCols = Seq("lang"))
           .select(col("doc_id").as("doc_id_a"), col("lang"), col("s"))
-        val bx = exploded
+        val bx = Dedup.explodedShingles(docs, "doc_id", "text",
+            extraCols = Seq("lang"))
           .select(col("doc_id").as("doc_id_b"), col("lang"), col("s"))
         broadcast(ax).join(bx, Seq("lang", "s"))
           .filter(col("doc_id_a") < col("doc_id_b"))

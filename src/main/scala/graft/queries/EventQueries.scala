@@ -104,26 +104,37 @@ object EventQueries {
         // splits a day mid-stream so the oracle (full recompute)
         // hash-checks BOTH merge paths: combine (day 20 spans base and
         // delta) and insert (days 21+ are delta-only).
-        import org.apache.spark.sql.DataFrame
         import graft.gold.AtomicTable
         val root = java.nio.file.Files.createTempDirectory("q93-mv").toString
         val ev = Tables.load(s, dir, "events")
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-        def partial(df: DataFrame): DataFrame =
-          df.groupBy(col("event_date"), col("event_type"))
-            .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-            .withColumn("mv_key",
-              concat_ws("|", col("event_date"), col("event_type")))
         val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
-        AtomicTable.mergePartitioned(s,
-          partial(ev.filter(col("ts") < cutoff)), root, "mv_key", "event_date")
-        val delta = partial(ev.filter(col("ts") >= cutoff))
+        // ONE events scan produces both sides' partials (split by the
+        // delta flag inside the aggregate key); the result is
+        // MV-scale (days × types), so caching it is O(output).
+        // repartition(event_date) before each merge keeps staging at
+        // one file per partition dir — the MV is tiny, and without it
+        // the hash-scattered aggregate stages a file per (task ×
+        // date), whose footer reads dominate the next merge.
+        val partials = ev
+          .groupBy(col("event_date"), col("event_type"),
+            (col("ts") >= cutoff).as("is_delta"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .withColumn("mv_key",
+            concat_ws("|", col("event_date"), col("event_type")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def side(delta: Boolean) =
+          partials.filter(col("is_delta") === delta).drop("is_delta")
+            .repartition(col("event_date"))
+        AtomicTable.mergePartitioned(s, side(delta = false), root,
+          "mv_key", "event_date")
         val cur = AtomicTable.read(s, root).select(col("mv_key"),
           col("n_events").as("old_n"), col("sum_value").as("old_sum"))
-        val combined = delta.join(cur, Seq("mv_key"), "left")
+        val combined = side(delta = true).join(cur, Seq("mv_key"), "left")
           .select(col("event_date"), col("event_type"), col("mv_key"),
             (col("n_events") + coalesce(col("old_n"), lit(0L))).as("n_events"),
             (col("sum_value") + coalesce(col("old_sum"), lit(0.0))).as("sum_value"))
+          .repartition(col("event_date"))
         AtomicTable.mergePartitioned(s, combined, root, "mv_key", "event_date")
         AtomicTable.read(s, root)
           .select(col("event_date"), col("event_type"), col("n_events"),
