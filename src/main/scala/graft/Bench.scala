@@ -22,6 +22,13 @@ object Bench {
       // the timed region; both runs of an entry then measure the
       // same cold-cache state.
       spark.catalog.clearCache()
+      // broadcast/shuffle blocks from prior entries are reclaimed by
+      // ContextCleaner only when their refs are GC'd; without a forced
+      // collection they pile up across the ~30 entries and late
+      // entries (the x10 group especially) measure allocation stalls
+      // from earlier queries' garbage, not their own work — r3 saw
+      // 3-10x wobble on x10 entries from exactly this
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

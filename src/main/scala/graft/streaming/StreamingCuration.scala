@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ext.{Chunking, TextAnalysis}
+import graft.gold.AtomicTable
+
+/** Streaming curation gate — the continuously-running face of the
+  * batch curation pipeline's front half: every micro-batch of
+  * documents is quality-gated ([[TextAnalysis.qualityFilter]]),
+  * rejects land in a keyed drop-log with their reason, survivors are
+  * context-window-chunked ([[Chunking.tokenChunks]]) and merged into
+  * the chunk store ready for tokenization/indexing.
+  *
+  * Both writes are ATOMIC KEYED MERGES into [[AtomicTable]]s, so
+  * foreachBatch's at-least-once replay CONVERGES: re-processing a
+  * batch replaces its own (doc, chunk) keys instead of appending
+  * duplicates — chunk counts are identical on first run and replay.
+  *
+  * Scale note: the gate and the chunker are both map-side column
+  * expressions, so per-batch cost is one pass over the batch plus the
+  * merge's copy-on-write. As with [[StreamingDedup]], a production
+  * deployment partitions the chunk store (ingest date) and merges with
+  * [[AtomicTable.mergePartitioned]] so a batch rewrites only its own
+  * partitions.
+  */
+object StreamingCuration {
+
+  /** Batch twin (directly testable; the streaming query below runs
+    * exactly this per micro-batch). Expects (doc_id, text) rows.
+    */
+  def processBatch(batch: DataFrame, chunksRoot: String, dropsRoot: String,
+      window: Int = 128, stride: Int = 96): Unit = {
+    val spark = batch.sparkSession
+    val gated = batch.select(col("doc_id"), col("text"),
+      TextAnalysis.qualityFilter(col("text")).as("gate"))
+    val drops = gated.filter(col("gate") =!= "keep")
+      .select(col("doc_id"), col("gate").as("drop_reason"))
+    AtomicTable.merge(spark, drops, dropsRoot, "doc_id"): Unit
+    val chunks = Chunking.tokenChunks(
+        gated.filter(col("gate") === "keep"), "doc_id", "text",
+        window, stride)
+      .withColumn("chunk_key", concat_ws(":", col("doc_id"), col("chunk_id")))
+    AtomicTable.merge(spark, chunks, chunksRoot, "chunk_key"): Unit
+  }
+
+  /** Start the gate over a streaming (doc_id, text) source. */
+  def start(docs: DataFrame, chunksRoot: String, dropsRoot: String,
+      checkpoint: String, window: Int = 128, stride: Int = 96,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, chunksRoot, dropsRoot, window, stride)
+      }
+      .start()
+}

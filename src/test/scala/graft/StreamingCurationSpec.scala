@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.gold.AtomicTable
+import graft.streaming.StreamingCuration
+
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, tag: String) =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private val batch1 = Seq(
+    (1L, words(10, "a")),   // keep → 1 chunk (10 tokens < window)
+    (2L, words(150, "b")),  // keep → 2 chunks at window=128/stride=96
+    (3L, "no"))             // too_short → drop log
+  private val batch2 = Seq(
+    (4L, words(20, "c")),   // keep → 1 chunk
+    (5L, "!!! ,,, ;;; ... !!!"))// 5 tokens, 79% punct → punct_soup
+
+  test("gate: drops logged with reasons, survivors chunked; replay converges") {
+    val (chunks, drops) = (tmpDir("sc-chunks"), tmpDir("sc-drops"))
+    StreamingCuration.processBatch(batch1.toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet === Set((3L, "too_short")))
+    val c1 = AtomicTable.read(spark, chunks)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+    assert(c1 === Set((1L, 0L), (2L, 0L), (2L, 1L)))
+
+    // at-least-once replay: keyed merges replace, never duplicate
+    StreamingCuration.processBatch(batch1.toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks).count() === 3)
+    assert(AtomicTable.read(spark, drops).count() === 1)
+
+    StreamingCuration.processBatch(batch2.toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks)
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 4L))
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet ===
+      Set((3L, "too_short"), (5L, "punct_soup")))
+  }
+
+  test("streaming wiring: MemoryStream micro-batch flows through the gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val (chunks, drops) = (tmpDir("scs-chunks"), tmpDir("scs-drops"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(batch1)
+    val q = StreamingCuration.start(
+      stream.toDF().toDF("doc_id", "text"),
+      chunks, drops, tmpDir("scs-ckpt"), trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(AtomicTable.read(spark, chunks).count() === 3)
+    assert(AtomicTable.read(spark, drops).count() === 1)
+  }
+
+  test("rollback: a bad commit is reversible with zero data I/O, history intact") {
+    val root = tmpDir("rb")
+    AtomicTable.merge(spark, Seq((1L, "good")).toDF("k", "v"), root, "k")
+    val goodV = AtomicTable.latestVersion(root).get
+    AtomicTable.merge(spark, Seq((1L, "BAD"), (2L, "BAD2")).toDF("k", "v"),
+      root, "k")
+    assert(AtomicTable.read(spark, root).count() === 2)
+    val rolledV = AtomicTable.rollback(root, goodV)
+    assert(rolledV > goodV)
+    assert(AtomicTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "good")))
+    // the bad snapshot remains time-travelable until vacuumed
+    assert(AtomicTable.readVersion(spark, root, rolledV - 1).count() === 2)
+    // rolling back to the state we're already at is a no-op
+    assert(AtomicTable.rollback(root, rolledV) === rolledV)
+  }
+}
