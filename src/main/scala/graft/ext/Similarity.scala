@@ -267,6 +267,28 @@ object Similarity {
   /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
     * cosine filters at `threshold`. Recall trades off with nPlanes.
     */
+  /** SemDeDup-style semantic dedup DECISION on top of the bucketed
+    * pair search: a vector is dropped when a LOWER-ID near-duplicate
+    * (cosine ≥ threshold) shares its hyperplane cell; the reported
+    * keeper is the smallest such id (greedy lowest-id-wins — one
+    * deterministic pass, no transitive closure; chain cases where the
+    * keeper is itself dropped resolve to ITS keeper on re-application,
+    * and [[graft.ext.Dedup.dedupClusters]] is the closure-complete
+    * alternative when full clusters are wanted). Returns
+    * (dropped_id, kept_id, kept_sim).
+    *
+    * Scale shape = [[lshNeighborPairs]]: cell equi-join for
+    * candidates, exact cosine on candidates only, then ONE
+    * output-scale aggregate keyed on the dropped id.
+    */
+  def semanticDedup(embeddings: DataFrame, dim: Int, threshold: Double,
+      nPlanes: Int = 8): DataFrame =
+    lshNeighborPairs(embeddings, dim, threshold, nPlanes)
+      .groupBy(col("vec_b").as("dropped_id"))
+      .agg(
+        min(col("vec_a")).as("kept_id"),
+        min_by(col("sim_r"), col("vec_a")).as("kept_sim"))
+
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)

@@ -167,6 +167,18 @@ object SimilarityQueries {
       Some(lshOracle),
       headline = true),
 
+    QueryDef(
+      "q102_semantic_dedup",
+      (s, dir) =>
+        // SemDeDup decision layer over the q72 pair search: which
+        // vectors drop, kept by whom, at what similarity (greedy
+        // lowest-id keeper; see Similarity.semanticDedup scaladoc)
+        Similarity.semanticDedup(
+          Tables.load(s, dir, "embeddings"), dim = 64,
+          threshold = 0.3, nPlanes = 8)
+          .orderBy(col("dropped_id")),
+      Some(semanticDedupOracle)),
+
     quantize
   )
 
@@ -236,6 +248,33 @@ object SimilarityQueries {
         SELECT DISTINCT vec_a, vec_b, sim_r
         FROM p WHERE sim_r >= 0.3
         ORDER BY vec_a, vec_b"""
+  }
+
+  /** q102 oracle: the q72 pair replay plus the greedy keep/drop
+    * aggregate — arg_min picks the same keeper the engine's min_by
+    * does ((vec_a, vec_b) is unique after DISTINCT, so no ties).
+    */
+  private def semanticDedupOracle: String = {
+    val bucketExpr = Similarity.planeValues(8, 64).zipWithIndex.map {
+      case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n            + ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v,
+            $bucketExpr AS bucket
+          FROM e),
+        p0 AS (
+          SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+            ROUND(list_dot_product(a.v, b2.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6)
+              AS sim_r
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        p AS (SELECT DISTINCT vec_a, vec_b, sim_r FROM p0 WHERE sim_r >= 0.3)
+        SELECT vec_b AS dropped_id,
+               MIN(vec_a) AS kept_id,
+               arg_min(sim_r, vec_a) AS kept_sim
+        FROM p GROUP BY vec_b ORDER BY dropped_id"""
   }
 
   /** q73 oracle: full replay of the hyperplane-IVF index + 4-probe

@@ -122,6 +122,20 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out === 1L) // only the 1000-token doc is fenced out
   }
 
+  test("semanticDedup: greedy lowest-id keeper within a cell") {
+    val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val scaled = unit.map(_ * 0.9f)
+    val emb = Seq((1L, unit), (2L, unit), (3L, scaled))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity
+      .semanticDedup(emb, dim = 64, threshold = 0.5)
+      .orderBy("dropped_id")
+      .as[(Long, Long, Double)].collect()
+    // all three share every plane sign (same direction) → one cell;
+    // cosine is 1.0 for each pair; 2 and 3 drop, both kept by 1
+    assert(got === Array((2L, 1L, 1.0), (3L, 1L, 1.0)))
+  }
+
   test("containment catches a small doc quoted inside a larger one") {
     // doc 1's shingles all appear in doc 2; the reverse direction is
     // below threshold — asymmetry is the point of the operator
