@@ -248,13 +248,17 @@ object DedupQueries {
         // the corpus streams map-side through the gram join and only
         // candidate pairs shuffle.
         val docs = Tables.load(s, dir, "documents")
-        val exploded = Dedup.explodedShingles(docs, "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val szs = exploded.groupBy(col("doc_id"))
-          .agg(count_distinct(col("s")).as("sz"))
-        val ax = exploded.filter(col("doc_id") < 100)
+        // |A| map-side as an array expression (same rework as q64: no
+        // corpus-scale count_distinct shuffle, no exploded persist)
+        val szs = docs.select(col("doc_id"),
+          size(array_distinct(
+            Dedup.shingleSeq(Dedup.tokens(col("text"))))).cast("bigint")
+            .as("sz"))
+        val ax = Dedup.explodedShingles(docs.filter(col("doc_id") < 100),
+            "doc_id", "text")
           .select(col("doc_id").as("doc_id_a"), col("s"))
-        val bx = exploded.select(col("doc_id").as("doc_id_b"), col("s"))
+        val bx = Dedup.explodedShingles(docs, "doc_id", "text")
+          .select(col("doc_id").as("doc_id_b"), col("s"))
         broadcast(ax).join(bx, Seq("s"))
           .filter(col("doc_id_a") =!= col("doc_id_b"))
           .groupBy(col("doc_id_a"), col("doc_id_b"))
