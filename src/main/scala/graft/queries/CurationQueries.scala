@@ -207,6 +207,44 @@ object CurationQueries {
                ROUND(ANY_VALUE(med), 2) AS median_tokens
         FROM base JOIN f USING (source)
         GROUP BY base.source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    QueryDef(
+      "q104_corpus_shuffle",
+      (s, dir) => {
+        // deterministic corpus shuffle into training shards — the
+        // last step before a corpus ships: every doc gets a shard
+        // (content-hash bucket) and a pseudo-random position within
+        // it (md5 of a salted id), so the training order is fully
+        // reproducible across runs/engines and re-shuffling with a
+        // different salt is one constant away. One shuffle on the
+        // shard key; position ranks parallelize per shard.
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val h = graft.ext.Dedup.md5Hash60(col("doc_id").cast("string"))
+        val pos = graft.ext.Dedup.md5Hash60(
+          concat(lit("shuffle1:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("posh"), col("doc_id"))
+        docs
+          .select(col("doc_id"), pmod(h, lit(8L)).as("shard_id"), pos.as("posh"))
+          .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
+          .select(col("shard_id"), col("pos_in_shard"), col("doc_id"))
+          .orderBy(col("shard_id"), col("pos_in_shard"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 8 AS shard_id,
+            CAST(('0x' || substr(md5('shuffle1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS posh
+          FROM documents)
+        SELECT shard_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                 ORDER BY posh, doc_id) AS BIGINT) AS pos_in_shard,
+               doc_id
+        FROM h
+        ORDER BY shard_id, pos_in_shard"""))
   )
 }

@@ -287,7 +287,63 @@ object DedupQueries {
           WHERE a.doc_id < 100 AND len(a.s) > 0)
         SELECT doc_id_a, doc_id_b, containment_r
         FROM p WHERE containment_r >= 0.5
-        ORDER BY doc_id_a, doc_id_b"""))
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    QueryDef(
+      "q103_paragraph_dedup",
+      (s, dir) => {
+        // C4/RefinedWeb-style SUB-document dedup signal: split each
+        // doc into disjoint 20-token blocks (the corpus has no
+        // newline/sentence structure, so fixed windows play the
+        // paragraph role), md5 each block, and report per doc what
+        // fraction of its blocks also appear in OTHER docs — the
+        // boilerplate score used to drop template-heavy pages. Shape:
+        // map-side blocks, one hash agg on the block digest, an
+        // equi-join back, one per-doc agg — corpus never pairs.
+        val docs = Tables.load(s, dir, "documents")
+        val blocks = graft.ext.Chunking.tokenChunks(docs, "doc_id", "text",
+          window = 20, stride = 20)
+        val spread = blocks.groupBy(col("chunk_md5"))
+          .agg(count_distinct(col("doc_id")).as("ndocs"))
+        blocks.join(spread, Seq("chunk_md5"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_blocks"),
+            sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_blocks"),
+            round(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)).cast("double"), 4).as("dup_block_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        c AS (
+          SELECT doc_id, toks,
+            CASE WHEN n_tokens <= 20 THEN 1
+                 ELSE (n_tokens - 20 + 19) // 20 + 1 END AS n_chunks
+          FROM n),
+        x AS (
+          SELECT doc_id, toks, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+          FROM c),
+        b AS (
+          SELECT doc_id, chunk_id,
+            md5(array_to_string(
+              list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 20), ' '))
+              AS chunk_md5
+          FROM x),
+        spread AS (
+          SELECT chunk_md5, COUNT(DISTINCT doc_id) AS ndocs FROM b GROUP BY 1)
+        SELECT doc_id,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_blocks,
+               ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_block_frac
+        FROM b JOIN spread USING (chunk_md5)
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 
   /** The whole training-data curation workflow as ONE declarative

@@ -122,6 +122,36 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out === 1L) // only the 1000-token doc is fenced out
   }
 
+  test("q103 paragraph dedup: shared block flags both docs, unique blocks don't") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val blocks = graft.ext.Chunking.tokenChunks(docs, "doc_id", "text", 20, 20)
+    val spread = blocks.groupBy(col("chunk_md5"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    val got = blocks.join(spread, Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("dups"),
+        count(lit(1)).as("n"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 1L, 2L), (2L, 1L, 2L), (3L, 0L, 1L)))
+  }
+
+  test("q104 corpus shuffle: dense per-shard positions, deterministic") {
+    val r1 = SparkEntry.queries("q104_corpus_shuffle")(
+      spark, "/root/testdata/sf0.001")
+    val rows = r1.as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).distinct.length === rows.length) // every doc once
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      assert(shard.map(_._2).sorted.sameElements(1L to shard.length)) // dense
+    }
+    val r2 = SparkEntry.queries("q104_corpus_shuffle")(
+      spark, "/root/testdata/sf0.001")
+    assert(r1.except(r2).count() === 0)
+  }
+
   test("semanticDedup: greedy lowest-id keeper within a cell") {
     val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val scaled = unit.map(_ * 0.9f)
