@@ -245,6 +245,56 @@ object CurationQueries {
                  ORDER BY posh, doc_id) AS BIGINT) AS pos_in_shard,
                doc_id
         FROM h
-        ORDER BY shard_id, pos_in_shard"""))
+        ORDER BY shard_id, pos_in_shard""")),
+
+    QueryDef(
+      "q105_corpus_datasheet",
+      (s, dir) => {
+        // one-row corpus datasheet — the numbers a dataset card
+        // reports: size, token volume, exact-dup exposure, source
+        // spread, and the Shannon entropy of the language mix (how
+        // diverse the corpus actually is). All 1-row aggregates
+        // crossJoined (scalar broadcasts); the corpus is scanned
+        // twice (digest pass + lang pass), never paired or collected.
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("lang"), col("source"),
+          md5(col("text")).as("h"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("nt"))
+        val dup = base.groupBy(col("h")).agg(count(lit(1)).as("nc"))
+        val counts = base.join(dup, Seq("h")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          count_distinct(col("source")).as("n_sources"))
+        val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        val entropy = langs.crossJoin(broadcast(
+            docs.agg(count(lit(1)).as("nd"))))
+          .agg(round(sum(
+            -(col("nl").cast("double") / col("nd").cast("double"))
+              * log(2.0, col("nl").cast("double") / col("nd").cast("double"))),
+            4).as("lang_entropy_bits"))
+        counts.crossJoin(entropy)
+      },
+      Some("""
+        WITH base AS (
+          SELECT lang, source, md5(text) AS h,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        dup AS (SELECT h, COUNT(*) AS nc FROM base GROUP BY h),
+        counts AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM base JOIN dup USING (h)),
+        l AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+        nd AS (SELECT COUNT(*) AS nd FROM documents),
+        e AS (
+          SELECT ROUND(SUM(
+            -(CAST(nl AS DOUBLE) / nd) * log2(CAST(nl AS DOUBLE) / nd)), 4)
+            AS lang_entropy_bits
+          FROM l CROSS JOIN nd)
+        SELECT * FROM counts CROSS JOIN e"""))
   )
 }
