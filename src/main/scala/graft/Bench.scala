@@ -91,7 +91,12 @@ object Bench {
       Seq("q60_dedup_exact", "q64_ngram_jaccard",
         "q65_minhash_dedup", "q72_ann_lsh",
         "q76_dedup_clusters", "q86_curation_pipeline",
-        "q89_decontamination").map { n =>
+        "q89_decontamination",
+        // round-3 additions: chunking (pure map-side — should scale
+        // ~linearly with docs), surprisal (vocab-key join), paragraph
+        // dedup (block-digest join)
+        "q95_doc_chunking", "q96_unigram_surprisal",
+        "q103_paragraph_dedup").map { n =>
         val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
         s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
       }

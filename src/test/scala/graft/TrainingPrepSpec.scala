@@ -33,6 +33,31 @@ class TrainingPrepSpec extends SparkSpec {
     })
   }
 
+  test("tokenChunks invariants hold for arbitrary lengths (1..500 tokens)") {
+    // property sweep in one DataFrame pass: doc i has i tokens
+    val docs = (1 to 500)
+      .map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = 64; val st = 48
+    val got = Chunking.tokenChunks(docs, "doc_id", "text", w, st)
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    (1 to 500).foreach { n =>
+      val chunks = got(n.toLong).sortBy(_._2)
+      val expect = if (n <= w) 1 else (n - w + st - 1) / st + 1
+      assert(chunks.length === expect, s"n=$n")
+      chunks.zipWithIndex.foreach { case ((_, cid, start, len), i) =>
+        assert(cid === i.toLong && start === i.toLong * st, s"n=$n")
+        // full width except possibly the last
+        if (i < chunks.length - 1) assert(len === w.toLong, s"n=$n")
+        assert(start < n, s"n=$n chunk starts past the text")
+      }
+      val (_, _, lastStart, lastLen) = chunks.last
+      assert(lastStart + lastLen === n.toLong, s"n=$n last chunk misses the end")
+    }
+  }
+
   test("tokenChunks md5 is the hash of the rejoined window") {
     val docs = Seq((1L, "Alpha beta GAMMA")).toDF("doc_id", "text")
     val got = Chunking.tokenChunks(docs, "doc_id", "text", 2, 1)
