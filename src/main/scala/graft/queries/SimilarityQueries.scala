@@ -168,6 +168,93 @@ object SimilarityQueries {
       headline = true),
 
     QueryDef(
+      "q106_semantic_decontam",
+      (s, dir) => {
+        // EMBEDDING-level benchmark decontamination: eval split =
+        // every 5th vector, train = the rest; an eval item is
+        // contaminated when a train vector shares its hyperplane cell
+        // at cosine ≥ 0.3 — the semantic complement of q89's n-gram
+        // sweep (catches paraphrased leakage n-grams miss). Shape: the
+        // (small) eval side's cell keys join the train side's cells
+        // equi-join, exact cosine on candidates only — train never
+        // pairs with itself.
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            Similarity.hyperplaneBucket(col("embedding"), 64, 8).as("bucket"))
+        val eval_ = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select(col("bucket"), col("vec_id").as("eval_id"), col("v").as("ev"))
+        val train = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+          .select(col("bucket"), col("vec_id").as("train_id"), col("v").as("tv"))
+        broadcast(eval_).join(train, Seq("bucket"))
+          .withColumn("sim_r",
+            round(Similarity.cosineNative(col("ev"), col("tv")), 6))
+          .filter(col("sim_r") >= 0.3)
+          .select(col("eval_id"), col("train_id"), col("sim_r"))
+          .distinct()
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      Some(semanticDecontamOracle)),
+
+    QueryDef(
+      "q107_quantized_knn",
+      (s, dir) => {
+        // kNN in the COMPRESSED domain: vectors are stored int8
+        // (4× smaller — the difference between an in-memory and a
+        // spilled index at 100 TB), queries run against the
+        // dequantized reconstructions. Composes q83's quantizer with
+        // q70's bounded probe shape; the oracle replays quantize →
+        // dequant → cosine → rank end to end, so reconstruction or
+        // ranking drift hash-fails.
+        graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.dequantizeInt8(
+              Similarity.quantizeInt8(col("embedding"))).as("r"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec"), col("r").as("qr"))
+        val w = Window.partitionBy(col("q_vec"))
+          .orderBy(col("sim_r").desc, col("n_vec"))
+        e.select(col("vec_id").as("n_vec"), col("r").as("nr"))
+          .crossJoin(broadcast(q))
+          .filter(col("q_vec") =!= col("n_vec"))
+          .withColumn("sim_r",
+            round(Similarity.cosineNative(col("qr"), col("nr")), 6))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 5)
+          .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
+          .orderBy(col("q_vec"), col("rn"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+        r AS (SELECT vec_id,
+                CASE WHEN scale > 0
+                     THEN list_transform(v,
+                            x -> CAST(round(x / scale) AS INTEGER) * scale)
+                     ELSE list_transform(v, x -> 0.0) END AS rv
+              FROM s),
+        q AS (SELECT vec_id AS q_vec, rv AS qr FROM r WHERE vec_id < 10),
+        n AS (SELECT vec_id AS n_vec, rv AS nr FROM r),
+        p AS (
+          SELECT q_vec, n_vec,
+            ROUND(list_dot_product(qr, nr)
+              / (sqrt(list_dot_product(qr, qr)) * sqrt(list_dot_product(nr, nr))), 6)
+              AS sim_r
+          FROM q, n WHERE q_vec <> n_vec),
+        rk AS (
+          SELECT q_vec, n_vec, sim_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec
+                   ORDER BY sim_r DESC, n_vec) AS rn
+          FROM p)
+        SELECT q_vec, n_vec, sim_r, CAST(rn AS BIGINT) AS rn
+        FROM rk WHERE rn <= 5
+        ORDER BY q_vec, rn""")),
+
+    QueryDef(
       "q102_semantic_dedup",
       (s, dir) =>
         // SemDeDup decision layer over the q72 pair search: which
@@ -248,6 +335,30 @@ object SimilarityQueries {
         SELECT DISTINCT vec_a, vec_b, sim_r
         FROM p WHERE sim_r >= 0.3
         ORDER BY vec_a, vec_b"""
+  }
+
+  /** q106 oracle: cell replay + the eval/train split predicate. */
+  private def semanticDecontamOracle: String = {
+    val bucketExpr = Similarity.planeValues(8, 64).zipWithIndex.map {
+      case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n            + ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v,
+            $bucketExpr AS bucket
+          FROM e),
+        ev AS (SELECT vec_id AS eval_id, v AS evv, bucket FROM b WHERE vec_id % 5 = 0),
+        tr AS (SELECT vec_id AS train_id, v AS tvv, bucket FROM b WHERE vec_id % 5 != 0),
+        p AS (
+          SELECT eval_id, train_id,
+            ROUND(list_dot_product(evv, tvv)
+              / (sqrt(list_dot_product(evv, evv)) * sqrt(list_dot_product(tvv, tvv))), 6)
+              AS sim_r
+          FROM ev JOIN tr USING (bucket))
+        SELECT DISTINCT eval_id, train_id, sim_r
+        FROM p WHERE sim_r >= 0.3
+        ORDER BY eval_id, train_id"""
   }
 
   /** q102 oracle: the q72 pair replay plus the greedy keep/drop
