@@ -87,6 +87,79 @@ object EventQueries {
         ORDER BY user_id, session_id""")),
 
     QueryDef(
+      "q108_funnel",
+      (s, dir) => {
+        // sequential conversion funnel view → click → purchase: each
+        // stage's per-user timestamp is the FIRST occurrence AFTER
+        // the previous stage (strict ordering, not mere presence).
+        // Three per-user aggregates chained by broadcast-joined
+        // cutoffs; at 100 TB each stage is one map-side-combinable
+        // agg over a filtered scan — no windows over whole histories,
+        // no event pairing.
+        val ev = Tables.load(s, dir, "events")
+        def stage(t: String, after: Option[org.apache.spark.sql.DataFrame])
+            : org.apache.spark.sql.DataFrame = {
+          val base = ev.filter(col("event_type") === t)
+          val gated = after match {
+            case Some(prev) => base.join(broadcast(prev), Seq("user_id"))
+              .filter(col("ts") > col("cut")).drop("cut")
+            case None => base
+          }
+          gated.groupBy(col("user_id")).agg(min(col("ts")).as("cut"))
+        }
+        val s1 = stage("view", None)
+        val s2 = stage("click", Some(s1))
+        val s3 = stage("purchase", Some(s2))
+        val rows = Seq(("1_view", s1), ("2_click_after_view", s2),
+          ("3_purchase_after_click", s3))
+        rows.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+            col("n_users"))
+        }.reduce(_ unionByName _).orderBy(col("stage"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, MIN(ts) AS cut FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS cut
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.cut
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS cut
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.cut
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click_after_view', COUNT(*) FROM c
+          UNION ALL
+          SELECT '3_purchase_after_click', COUNT(*) FROM p)
+        ORDER BY stage""")),
+
+    QueryDef(
+      "q109_json_props",
+      (s, dir) =>
+        // semi-structured extraction from the event props JSON (the
+        // F1 from_json family over a real payload column): pull $.k,
+        // aggregate per event type. get_json_object is codegen'd and
+        // map-side; one hash-agg shuffle.
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            round(avg(col("k").cast("double")), 4).as("avg_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(props->>'k' AS DOUBLE)), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    QueryDef(
       "q93_incremental_mv",
       (s, dir) => {
         // incremental MATERIALIZED-VIEW maintenance: a daily-sales
