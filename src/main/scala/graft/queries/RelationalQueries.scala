@@ -620,6 +620,79 @@ object RelationalQueries {
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    QueryDef(
+      "q110_dq_checks",
+      (s, dir) => {
+        // dbt-style data-quality suite, IMPLEMENTED (the reference's
+        // README claims unique/not_null dbt tests that don't exist in
+        // its repo — SURVEY.md §5): unique key, not-null, referential
+        // integrity, and accepted-values checks, each one aggregate /
+        // anti-join, unioned into a (check, n_violations) report.
+        // Every check is the shuffle-minimal shape: uniqueness is one
+        // hash agg on the key, the FK check is a broadcast anti-join.
+        import graft.ext.DataQuality._
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        report(Seq(
+          uniqueCheck("unique_lineitem_key", li,
+            Seq("l_orderkey", "l_linenumber")),
+          notNullCheck("not_null_o_custkey", ord, "o_custkey"),
+          fkCheck("fk_orders_customer", ord, "o_custkey", cust, "c_custkey"),
+          acceptedValuesCheck("accepted_values_o_orderstatus", ord,
+            "o_orderstatus", Seq("P", "O", "F"))))
+      },
+      Some("""
+        SELECT check_name, n_violations FROM (
+          SELECT 'unique_lineitem_key' AS check_name,
+                 COUNT(*) AS n_violations FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING COUNT(*) > 1) t
+          UNION ALL
+          SELECT 'not_null_o_custkey',
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'fk_orders_customer', COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'accepted_values_o_orderstatus', COUNT(*) FROM orders
+          WHERE o_orderstatus NOT IN ('P', 'O', 'F'))
+        ORDER BY check_name""")),
+
+    QueryDef(
+      "q111_price_histogram",
+      (s, dir) => {
+        // data-profiling histogram: 10 equi-width buckets over the
+        // order price range. Two-pass shape (1-row min/max broadcast,
+        // then a map-side bucket expression + one hash agg) — the
+        // distributed twin of a describe()/profile step.
+        val ord = Tables.load(s, dir, "orders")
+        val bounds = ord.agg(
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        ord.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            least(floor((col("o_totalprice") - col("lo")) * 10.0
+              / (col("hi") - col("lo"))), lit(9L)).cast("bigint"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(min(col("o_totalprice")), 2).as("bucket_min"),
+            round(max(col("o_totalprice")), 2).as("bucket_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                   FROM orders)
+        SELECT LEAST(CAST(floor((o_totalprice - lo) * 10.0 / (hi - lo))
+                 AS BIGINT), 9) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS bucket_min,
+               ROUND(MAX(o_totalprice), 2) AS bucket_max
+        FROM orders CROSS JOIN b
+        GROUP BY 1
+        ORDER BY bucket"""))
   )
 }
