@@ -53,4 +53,25 @@ object DataQuality {
   /** Union a suite into one (check_name, n_violations) report. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _).orderBy(col("check_name"))
+
+  /** Row-level expectations (Delta Live Tables style): each named
+    * predicate must HOLD per row; rows failing any expectation are
+    * split off with a `violation` column naming the FIRST failing
+    * expectation (declaration order — deterministic reasons, same
+    * precedence idea as [[TextAnalysis.qualityFilter]]).
+    *
+    * Returns (passed, quarantined). One map-side expression pass —
+    * no shuffle, streaming-safe (use inside foreachBatch or directly
+    * on a streaming frame; both sides share the one scan).
+    */
+  def enforce(df: DataFrame, expectations: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    val reason = expectations.foldRight(lit(null).cast("string")) {
+      case ((name, holds), rest) => when(!holds, lit(name)).otherwise(rest)
+    }
+    val tagged = df.withColumn("violation", reason)
+    (tagged.filter(col("violation").isNull).drop("violation"),
+      tagged.filter(col("violation").isNotNull))
+  }
 }

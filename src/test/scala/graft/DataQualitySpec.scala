@@ -28,6 +28,38 @@ class DataQualitySpec extends SparkSpec {
       "expr_id_pos" -> 0L))
   }
 
+  test("enforce: rows split by first failing expectation, in order") {
+    val df = Seq(
+      (1L, 10.0, "A"),   // clean
+      (2L, -5.0, "A"),   // fails price_nonneg
+      (3L, -1.0, "Z"),   // fails BOTH → first declared wins
+      (4L, 20.0, "Z")    // fails status_known
+    ).toDF("id", "price", "status")
+    val (passed, quarantined) = enforce(df, Seq(
+      "price_nonneg" -> (col("price") >= 0),
+      "status_known" -> col("status").isin("A", "B")))
+    assert(passed.select("id").as[Long].collect().toSet === Set(1L))
+    assert(quarantined.select("id", "violation").as[(Long, String)]
+      .collect().toSet === Set(
+        (2L, "price_nonneg"), (3L, "price_nonneg"), (4L, "status_known")))
+    // passed side carries no bookkeeping column
+    assert(!passed.columns.contains("violation"))
+  }
+
+  test("enforce works on a streaming frame (map-side only)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    stream.addData(Seq((1L, 5.0), (2L, -1.0)))
+    val (passed, _) = enforce(stream.toDF().toDF("id", "price"),
+      Seq("price_nonneg" -> (col("price") >= 0)))
+    val q = passed.writeStream.format("memory").queryName("dq_pass")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dq_pass").select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("q110 suite on the corpus: finds the real key collisions, rest green") {
     val rows = SparkEntry.queries("q110_dq_checks")(
       spark, "/root/testdata/sf0.001")
