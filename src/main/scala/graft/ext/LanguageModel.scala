@@ -42,4 +42,52 @@ object LanguageModel {
             -log(col("tf").cast("double") / col("n_total").cast("double")))
             / sum(col("dtf")).cast("double"), 4).as("mean_surprisal"))
   }
+
+  /** Interpolated bigram surprisal: mean of
+    *   −ln( λ·p(w_i | w_{i−1}) + (1−λ)·p(w_i) )
+    * over each document's bigram positions — the sharper LM quality
+    * signal (catches shuffled-word salad that unigram stats score as
+    * fluent). p(w|v) = corpus bigram count / corpus count of v as a
+    * bigram head; p(w) = unigram MLE; λ fixed.
+    *
+    * Shape: doc-level (bigram, count) pre-aggregation → corpus bigram
+    * model (one hash agg) → head-marginal agg → two key joins + a
+    * scalar-total broadcast. Everything count-based and deterministic,
+    * so the whole model replays in the SQL oracle.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("t"))
+    // (doc, head, tail, count) for each adjacent pair — zip-of-slices,
+    // same map-side shape as Dedup.shingleSeq
+    val docBg = toks
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => struct(a.as("head"), b.as("tail")))).as("bg"))
+      .select(col("doc_id"), col("bg.head").as("head"), col("bg.tail").as("tail"))
+      .groupBy(col("doc_id"), col("head"), col("tail"))
+      .agg(count(lit(1)).as("dbc"))
+    val bgModel = docBg.groupBy(col("head"), col("tail"))
+      .agg(sum(col("dbc")).as("bc"))
+    val heads = bgModel.groupBy(col("head")).agg(sum(col("bc")).as("hc"))
+    val uni = bgModel.groupBy(col("tail").as("w")).agg(sum(col("bc")).as("uc"))
+    val total = uni.agg(sum(col("uc")).as("n_total"))
+    docBg
+      .join(bgModel, Seq("head", "tail"))
+      .join(heads, Seq("head"))
+      .join(uni, docBg("tail") === uni("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("p",
+        lit(lambda) * (col("bc").cast("double") / col("hc").cast("double"))
+          + lit(1.0 - lambda)
+          * (col("uc").cast("double") / col("n_total").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("dbc")).as("n_bigrams"),
+        round(sum(col("dbc").cast("double") * -log(col("p")))
+          / sum(col("dbc")).cast("double"), 4).as("mean_bigram_surprisal"))
+  }
 }

@@ -489,6 +489,87 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     QueryDef(
+      "q112_oov_rate",
+      (s, dir) => {
+        // tokenizer-vocabulary coverage: per-doc out-of-vocabulary
+        // fraction against the corpus' top-100 tokens (tf desc, token
+        // asc tie-break). The number that decides whether a vocab /
+        // tokenizer fits a corpus. Global top-k is a
+        // TakeOrderedAndProject (no single-partition window); the
+        // tiny vocab broadcasts back onto the doc-tf frame.
+        val docs = Tables.load(s, dir, "documents")
+        val docTf = docs
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("dtf"))
+        val top = docTf.groupBy(col("tok")).agg(sum(col("dtf")).as("tf"))
+          .orderBy(col("tf").desc, col("tok")).limit(100)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        docTf.join(broadcast(top), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("dtf")).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("dtf")).otherwise(0L))
+              .as("n_oov"),
+            round(
+              sum(when(col("in_vocab").isNull, col("dtf")).otherwise(0L))
+                .cast("double") / sum(col("dtf")).cast("double"), 4)
+              .as("oov_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        dtf AS (SELECT doc_id, tok, COUNT(*) AS dtf FROM t GROUP BY 1, 2),
+        v AS (SELECT tok, SUM(dtf) AS tf FROM dtf GROUP BY 1
+              ORDER BY tf DESC, tok LIMIT 100)
+        SELECT doc_id,
+               CAST(SUM(dtf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN dtf ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN dtf ELSE 0 END)
+                   AS DOUBLE) / SUM(dtf), 4) AS oov_frac
+        FROM dtf LEFT JOIN v USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q113_bigram_surprisal",
+      (s, dir) =>
+        graft.ext.LanguageModel.bigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t),
+        db AS (SELECT doc_id, t[i] AS head, t[i+1] AS tail, COUNT(*) AS dbc
+               FROM x GROUP BY 1, 2, 3),
+        bg AS (SELECT head, tail, CAST(SUM(dbc) AS BIGINT) AS bc
+               FROM db GROUP BY 1, 2),
+        h AS (SELECT head, CAST(SUM(bc) AS BIGINT) AS hc FROM bg GROUP BY 1),
+        u AS (SELECT tail AS w, CAST(SUM(bc) AS BIGINT) AS uc FROM bg GROUP BY 1),
+        n AS (SELECT CAST(SUM(uc) AS BIGINT) AS n_total FROM u),
+        p AS (
+          SELECT db.doc_id, db.dbc,
+            0.75 * (CAST(bg.bc AS DOUBLE) / h.hc)
+              + 0.25 * (CAST(u.uc AS DOUBLE) / n.n_total) AS p
+          FROM db JOIN bg USING (head, tail)
+                  JOIN h USING (head)
+                  JOIN u ON db.tail = u.w
+                  CROSS JOIN n)
+        SELECT doc_id,
+               CAST(SUM(dbc) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(dbc * -LN(p)) / CAST(SUM(dbc) AS DOUBLE), 4)
+                 AS mean_bigram_surprisal
+        FROM p
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    QueryDef(
       "q98_length_buckets",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

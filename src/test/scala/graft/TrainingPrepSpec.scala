@@ -82,6 +82,16 @@ class TrainingPrepSpec extends SparkSpec {
       (2L, 1L, math.rint(d2 * 1e4) / 1e4)))
   }
 
+  test("bigramSurprisal matches the hand-computed interpolated model") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // corpus bigrams: (a,b)=2, (b,a)=2; heads a:2 b:2; tails b:2 a:2,
+    // N=4 → p = 0.75·(2/2) + 0.25·(2/4) = 0.875 for every position
+    val s = math.rint(-math.log(0.875) * 1e4) / 1e4
+    assert(got === Array((1L, 3L, s), (2L, 1L, s)))
+  }
+
   test("paddingStats: exact bucket ladder and waste fractions") {
     val docs = Seq.tabulate(3)(i => (i, Seq(10, 33, 100)(i)))
       .map { case (i, n) => (i.toLong, (1 to n).map(_ => "w").mkString(" ")) }
