@@ -87,6 +87,80 @@ object EventQueries {
         ORDER BY user_id, session_id""")),
 
     QueryDef(
+      "q114_event_trigrams",
+      (s, dir) => {
+        // behavioral sequence mining (lite): the 10 most common
+        // event-type trigrams across per-user timelines. One shuffle
+        // on user_id for the ordered window (double lead), one hash
+        // agg on the pattern, global top-k via TakeOrderedAndProject.
+        // (ts, event_id) totally orders each timeline so lead() is
+        // deterministic under ties.
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_type"),
+            lead(col("event_type"), 1).over(w).as("e2"),
+            lead(col("event_type"), 2).over(w).as("e3"))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("pattern"))
+          .groupBy(col("pattern"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pattern"))
+          .limit(10)
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type, 1) OVER w AS e2,
+                 LEAD(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p AS (
+          SELECT event_type || '>' || e2 || '>' || e3 AS pattern
+          FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        SELECT pattern, COUNT(*) AS n
+        FROM p
+        GROUP BY pattern
+        ORDER BY n DESC, pattern
+        LIMIT 10""")),
+
+    QueryDef(
+      "q115_retention_matrix",
+      (s, dir) => {
+        // weekly cohort retention matrix: users grouped by first-seen
+        // week, counted distinct in each later week offset — the BI
+        // staple behind every retention curve. Two shuffles total
+        // (first-seen agg on user, matrix agg on cohort cell); the
+        // per-user first-week frame joins back on the user key.
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).as("wk"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        ev.join(first, Seq("user_id"))
+          .withColumn("week_offset",
+            datediff(col("wk"), col("cohort_wk")).cast("bigint") / 7)
+          .groupBy(
+            date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset").cast("bigint").as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+        SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT)
+                 AS week_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset""")),
+
+    QueryDef(
       "q108_funnel",
       (s, dir) => {
         // sequential conversion funnel view → click → purchase: each
