@@ -140,4 +140,37 @@ class PlanSpec extends SparkSpec {
     assert(p101.contains("BroadcastHashJoin"), p101)
     assert(!p101.contains("CartesianProduct"), p101)
   }
+
+  test("q108: funnel stages chain through broadcast gates, no cartesian") {
+    val p = plan("q108_funnel")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q110: FK check is a broadcast anti-join") {
+    val p = plan("q110_dq_checks")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q112: vocab top-k is TakeOrdered, membership join broadcasts") {
+    val p = plan("q112_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q114: trigram top-10 is TakeOrdered over one timeline shuffle") {
+    val p = plan("q114_event_trigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q115: retention matrix reuses the user-key exchange, no cartesian") {
+    val p = plan("q115_retention_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    // first-seen agg + join + matrix agg + presentation sort: the
+    // user-key exchange must not multiply
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }
