@@ -290,6 +290,53 @@ object DedupQueries {
         ORDER BY doc_id_a, doc_id_b""")),
 
     QueryDef(
+      "q117_split_leakage",
+      (s, dir) => {
+        // split-leakage audit: after a 90/10 train/heldout hash split,
+        // which near-duplicate pairs CROSS the boundary? Every such
+        // pair leaks training content into evaluation — the reason
+        // pipelines dedup BEFORE splitting. Split gate is the
+        // oracle-replayable md5 bucket ([[Sampling.mixtureResample]]
+        // convention, not xxhash64, precisely so the decision replays
+        // in SQL); pairs come from the LSH path, checked against the
+        // exact-Jaccard truth set restricted to crossing pairs — any
+        // recall loss hash-fails, as in q65/q91.
+        val docs = Tables.load(s, dir, "documents")
+        val split = docs.select(col("doc_id"),
+          (pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)) < 9)
+            .as("is_train"))
+        val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+          threshold = 0.3)
+        pairs
+          .join(split.select(col("doc_id").as("doc_id_a"),
+            col("is_train").as("train_a")), Seq("doc_id_a"))
+          .join(split.select(col("doc_id").as("doc_id_b"),
+            col("is_train").as("train_b")), Seq("doc_id_b"))
+          .filter(col("train_a") =!= col("train_b"))
+          .select(
+            when(col("train_a"), col("doc_id_a")).otherwise(col("doc_id_b"))
+              .as("train_id"),
+            when(col("train_a"), col("doc_id_b")).otherwise(col("doc_id_a"))
+              .as("heldout_id"),
+            col("jaccard_sim"))
+          .orderBy(col("train_id"), col("heldout_id"))
+      },
+      Some("WITH " + TruthPairsBody + """,
+        s AS (
+          SELECT doc_id,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10) < 9 AS is_train
+          FROM documents)
+        SELECT CASE WHEN sa.is_train THEN doc_id_a ELSE doc_id_b END AS train_id,
+               CASE WHEN sa.is_train THEN doc_id_b ELSE doc_id_a END AS heldout_id,
+               jaccard_sim
+        FROM truth_pairs
+        JOIN s sa ON sa.doc_id = doc_id_a
+        JOIN s sb ON sb.doc_id = doc_id_b
+        WHERE sa.is_train != sb.is_train
+        ORDER BY train_id, heldout_id""")),
+
+    QueryDef(
       "q103_paragraph_dedup",
       (s, dir) => {
         // C4/RefinedWeb-style SUB-document dedup signal: split each

@@ -10,6 +10,25 @@ import graft.ext.TextAnalysis._
   */
 object TextQueries {
 
+  /** TextAnalysis.qualityScore as a self-contained SQL scalar over
+    * `text` — the same arithmetic q61's oracle builds via CTEs, for
+    * oracles that need the score inline (q116). All divisions divide
+    * exactly (replace removes whole substrings), so the BIGINT casts
+    * are value-preserving in both engines.
+    */
+  private val QualityScoreSql: String = """
+    (LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0
+     * (1.0 - LEAST(
+         (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+          / GREATEST(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))
+     * (0.5 + 0.5 * LEAST(
+         CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+            + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT)
+           AS DOUBLE)
+         / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+         * 10.0, 1.0)))"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -486,6 +505,46 @@ object TextQueries {
                  / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS mean_surprisal
         FROM dtf JOIN v USING (tok) CROSS JOIN n
         GROUP BY dtf.doc_id
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q116_quality_calibration",
+      (s, dir) => {
+        // cross-source quality calibration: raw quality scores aren't
+        // comparable across domains (different length/punct norms), so
+        // convert each doc's score to its PERCENTILE WITHIN ITS SOURCE
+        // before applying a global keep-threshold — the rank-based
+        // normalization step of domain-aware filtering. One shuffle on
+        // the source key; percent_rank shares the window sort.
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        // rank on the 4dp-ROUNDED score: raw doubles can differ in the
+        // last ulp across engines, which would flip near-tie orderings
+        // (q61 pins cross-engine equality exactly at 4dp)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality_r"), col("doc_id"))
+        docs
+          .select(col("doc_id"), col("source"),
+            round(graft.ext.TextAnalysis.qualityScore(col("text")), 4)
+              .as("quality_r"))
+          .withColumn("q_pctl", round(percent_rank().over(w), 6))
+          .withColumn("keep_calibrated", (col("q_pctl") >= 0.2).cast("int"))
+          .select(col("doc_id"), col("source"), col("quality_r"),
+            col("q_pctl"), col("keep_calibrated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT doc_id, source, ROUND($QualityScoreSql, 4) AS quality_r
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, quality_r,
+            ROUND(percent_rank() OVER (PARTITION BY source
+              ORDER BY quality_r, doc_id), 6) AS q_pctl
+          FROM q)
+        SELECT doc_id, source, quality_r, q_pctl,
+               CASE WHEN q_pctl >= 0.2 THEN 1 ELSE 0 END AS keep_calibrated
+        FROM r
         ORDER BY doc_id""")),
 
     QueryDef(
