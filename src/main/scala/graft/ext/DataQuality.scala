@@ -60,9 +60,12 @@ object DataQuality {
     * expectation (declaration order — deterministic reasons, same
     * precedence idea as [[TextAnalysis.qualityFilter]]).
     *
-    * Returns (passed, quarantined). One map-side expression pass —
-    * no shuffle, streaming-safe (use inside foreachBatch or directly
-    * on a streaming frame; both sides share the one scan).
+    * Returns (passed, quarantined) — map-side expression filters, no
+    * shuffle, streaming-safe (use inside foreachBatch or directly on
+    * a streaming frame). The two frames are independent plans: a
+    * caller consuming BOTH should persist the input (or run inside
+    * foreachBatch where the batch is already materialized) to avoid
+    * scanning the source twice.
     */
   def enforce(df: DataFrame, expectations: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
