@@ -7,9 +7,8 @@ import org.apache.spark.sql.functions._
   * reference's README claims its models are "validated through dbt
   * tests (unique, not_null)" but ships none (SURVEY.md §5 — verified
   * absent across its whole `pipeline/dbt` tree); this module
-  * implements that
-  * claimed surface for real, plus the relationship and
-  * accepted-values checks dbt users reach for next.
+  * implements that claimed surface for real, plus the relationship
+  * and accepted-values checks dbt users reach for next.
   *
   * Each check returns a 1-row (check_name, n_violations) frame;
   * [[report]] unions a suite into one result. Shapes at 100 TB:
@@ -28,18 +27,21 @@ object DataQuality {
     one(name, df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1))
 
-  /** Rows where `c` is NULL (map-side conditional count). */
+  /** Rows where `c` is NULL. */
   def notNullCheck(name: String, df: DataFrame, c: String): DataFrame =
-    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit(name).as("check_name"), col("n_violations"))
+    one(name, df.filter(col(c).isNull))
 
-  /** Child rows whose `childKey` has no match in `parent.parentKey`
-    * (referential integrity; dbt `relationships`).
+  /** NON-NULL child rows whose `childKey` has no match in
+    * `parent.parentKey` (referential integrity; dbt `relationships`).
+    * NULL child keys are excluded — they are [[notNullCheck]]'s
+    * finding, and an anti-join would otherwise count every NULL as an
+    * orphan (dbt's relationships test likewise ignores NULLs).
     */
   def fkCheck(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    one(name, child.join(broadcast(parent),
-      child(childKey) === parent(parentKey), "left_anti"))
+    one(name, child.filter(child(childKey).isNotNull)
+      .join(broadcast(parent), child(childKey) === parent(parentKey),
+        "left_anti"))
 
   /** Rows where `c` falls outside `allowed` (dbt `accepted_values`). */
   def acceptedValuesCheck(name: String, df: DataFrame, c: String,
@@ -55,8 +57,10 @@ object DataQuality {
     checks.reduce(_ unionByName _).orderBy(col("check_name"))
 
   /** Row-level expectations (Delta Live Tables style): each named
-    * predicate must HOLD per row; rows failing any expectation are
-    * split off with a `violation` column naming the FIRST failing
+    * predicate must evaluate to TRUE per row — a NULL verdict (the
+    * predicate touched a NULL) QUARANTINES the row, it does not pass
+    * it; a DQ gate that waves NULLs through is not a gate. Failing
+    * rows carry a `violation` column naming the FIRST failing
     * expectation (declaration order — deterministic reasons, same
     * precedence idea as [[TextAnalysis.qualityFilter]]).
     *
@@ -71,7 +75,10 @@ object DataQuality {
       : (DataFrame, DataFrame) = {
     require(expectations.nonEmpty, "need at least one expectation")
     val reason = expectations.foldRight(lit(null).cast("string")) {
-      case ((name, holds), rest) => when(!holds, lit(name)).otherwise(rest)
+      // null-safe: `holds <=> true` is false (not NULL) for a NULL
+      // verdict, so the row gets this expectation's name
+      case ((name, holds), rest) =>
+        when(!(holds <=> lit(true)), lit(name)).otherwise(rest)
     }
     val tagged = df.withColumn("violation", reason)
     (tagged.filter(col("violation").isNull).drop("violation"),

@@ -103,6 +103,15 @@ object Dedup {
       .filter(col("s").isNotNull)
   }
 
+  /** Per-doc DISTINCT shingle-set size as a MAP-SIDE array expression
+    * — the set-semantics denominator for Jaccard/containment, with no
+    * corpus-scale count_distinct shuffle. One definition shared by
+    * q64/q99 so both stay in lockstep with the oracles'
+    * `len(list_distinct(...))`.
+    */
+  def distinctShingleCount(textCol: Column, n: Int = 3): Column =
+    size(array_distinct(shingleSeq(tokens(textCol), n))).cast("bigint")
+
   /** Exact Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -20,17 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** (doc_id, tok, dtf) pre-aggregation — the shared first stage of
+    * every token-statistics operator (surprisal, vocab, OOV): map-side
+    * partial aggregation shrinks the shuffle to per-doc distinct
+    * tokens before any corpus-level work.
+    */
+  def docTermFreq(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("dtf"))
+
+  /** Corpus term frequencies over a [[docTermFreq]] frame. */
+  def vocabFreq(docTf: DataFrame): DataFrame =
+    docTf.groupBy(col("tok")).agg(sum(col("dtf")).as("tf"))
+
   /** (doc_id, n_tokens, mean_surprisal): mean −ln(tf_tok / N) over the
     * document's token occurrences, rounded to 4dp.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val docTf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(Dedup.tokens(col(textCol))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("dtf"))
-    val vocab = docTf.groupBy(col("tok")).agg(sum(col("dtf")).as("tf"))
+    val docTf = docTermFreq(docs, idCol, textCol)
+    val vocab = vocabFreq(docTf)
     val total = vocab.agg(sum(col("tf")).as("n_total"))
     docTf.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))

@@ -264,9 +264,6 @@ object Similarity {
       transform(quant.getField("q"), q => q.cast("double") * scale)
     }
 
-  /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
-    * cosine filters at `threshold`. Recall trades off with nPlanes.
-    */
   /** SemDeDup-style semantic dedup DECISION on top of the bucketed
     * pair search: a vector is dropped when a LOWER-ID near-duplicate
     * (cosine ≥ threshold) shares its hyperplane cell; the reported
@@ -289,6 +286,9 @@ object Similarity {
         min(col("vec_a")).as("kept_id"),
         min_by(col("sim_r"), col("vec_a")).as("kept_sim"))
 
+  /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
+    * cosine filters at `threshold`. Recall trades off with nPlanes.
+    */
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)

@@ -565,6 +565,29 @@ object AtomicTable {
     Some((s.map(_._3).min(byOrd), s.map(_._4).max(byOrd)))
   }
 
+  /** Roll the table back to the state of snapshot `v` by COMMITTING
+    * that snapshot's file list as a NEW version (Iceberg-style
+    * rollback: history is preserved — the bad versions stay
+    * time-travelable until [[vacuum]] expires them, and concurrent
+    * writers race through the same optimistic publish as any commit).
+    * Zero data I/O: only a manifest is written. No-op returning the
+    * current version when the table is already at `v`'s STATE (file
+    * list compared, not version number — so re-running a rollback,
+    * e.g. from an idempotent recovery script, never stacks redundant
+    * versions).
+    */
+  def rollback(root: String, v: Int): Int = {
+    val snapshot = files(root, v) // throws if v was never committed
+    var committed = -1
+    while (committed < 0) {
+      val cur = latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      if (files(root, cur) == snapshot) return cur
+      if (tryPublish(root, cur + 1, snapshot)) committed = cur + 1
+    }
+    committed
+  }
+
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
     * but the newest `keepLast` manifests, then delete every staged
     * data file no surviving manifest references AND older than
@@ -575,26 +598,6 @@ object AtomicTable {
     * only harmless orphans for the next vacuum. Returns
     * (#manifests dropped, #data files deleted).
     */
-  /** Roll the table back to the state of snapshot `v` by COMMITTING
-    * that snapshot's file list as a NEW version (Iceberg-style
-    * rollback: history is preserved — the bad versions stay
-    * time-travelable until [[vacuum]] expires them, and concurrent
-    * writers race through the same optimistic publish as any commit).
-    * Zero data I/O: only a manifest is written. No-op returning the
-    * current version when the table is already at `v`'s state.
-    */
-  def rollback(root: String, v: Int): Int = {
-    val snapshot = files(root, v) // throws if v was never committed
-    var committed = -1
-    while (committed < 0) {
-      val cur = latestVersion(root).getOrElse(
-        throw new IllegalStateException(s"no committed version under $root"))
-      if (cur == v) return cur
-      if (tryPublish(root, cur + 1, snapshot)) committed = cur + 1
-    }
-    committed
-  }
-
   def vacuum(root: String, keepLast: Int = 1,
       retentionMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest snapshot")

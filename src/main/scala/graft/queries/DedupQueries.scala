@@ -33,9 +33,7 @@ object DedupQueries {
         // each remaining consumer re-derives its own (cheap, pruned)
         // scan and nothing needs a corpus-scale persist.
         val szs = docs.select(col("doc_id"), col("lang"),
-          size(array_distinct(
-            Dedup.shingleSeq(Dedup.tokens(col("text"))))).cast("bigint")
-            .as("sz"))
+          Dedup.distinctShingleCount(col("text")).as("sz"))
         // probe slice: the doc_id<100 filter pushes into the scan, so
         // this explodes ~100 docs, not the corpus
         val ax = Dedup.explodedShingles(docs.filter(col("doc_id") < 100),
@@ -251,9 +249,7 @@ object DedupQueries {
         // |A| map-side as an array expression (same rework as q64: no
         // corpus-scale count_distinct shuffle, no exploded persist)
         val szs = docs.select(col("doc_id"),
-          size(array_distinct(
-            Dedup.shingleSeq(Dedup.tokens(col("text"))))).cast("bigint")
-            .as("sz"))
+          Dedup.distinctShingleCount(col("text")).as("sz"))
         val ax = Dedup.explodedShingles(docs.filter(col("doc_id") < 100),
             "doc_id", "text")
           .select(col("doc_id").as("doc_id_a"), col("s"))

@@ -656,7 +656,9 @@ object RelationalQueries {
           FROM orders
           UNION ALL
           SELECT 'fk_orders_customer', COUNT(*) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey IS NOT NULL)
           UNION ALL
           SELECT 'accepted_values_o_orderstatus', COUNT(*) FROM orders
           WHERE o_orderstatus NOT IN ('P', 'O', 'F'))

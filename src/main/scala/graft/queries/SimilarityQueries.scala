@@ -174,10 +174,12 @@ object SimilarityQueries {
         // every 5th vector, train = the rest; an eval item is
         // contaminated when a train vector shares its hyperplane cell
         // at cosine ≥ 0.3 — the semantic complement of q89's n-gram
-        // sweep (catches paraphrased leakage n-grams miss). Shape: the
-        // (small) eval side's cell keys join the train side's cells
-        // equi-join, exact cosine on candidates only — train never
-        // pairs with itself.
+        // sweep (catches paraphrased leakage n-grams miss). Shape:
+        // cell equi-join, exact cosine on candidates only; train
+        // never pairs with itself. UNHINTED: this corpus' eval side
+        // is a fifth of the table, not broadcast-small like a real
+        // benchmark suite — AQE broadcasts it when it does fit, and
+        // the join degrades to a shuffle on the cell key when not.
         graft.functions.GraftFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"),
@@ -186,7 +188,7 @@ object SimilarityQueries {
           .select(col("bucket"), col("vec_id").as("eval_id"), col("v").as("ev"))
         val train = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
           .select(col("bucket"), col("vec_id").as("train_id"), col("v").as("tv"))
-        broadcast(eval_).join(train, Seq("bucket"))
+        eval_.join(train, Seq("bucket"))
           .withColumn("sim_r",
             round(Similarity.cosineNative(col("ev"), col("tv")), 6))
           .filter(col("sim_r") >= 0.3)

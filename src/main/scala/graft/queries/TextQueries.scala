@@ -557,12 +557,8 @@ object TextQueries {
         // TakeOrderedAndProject (no single-partition window); the
         // tiny vocab broadcasts back onto the doc-tf frame.
         val docs = Tables.load(s, dir, "documents")
-        val docTf = docs
-          .select(col("doc_id"),
-            explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("dtf"))
-        val top = docTf.groupBy(col("tok")).agg(sum(col("dtf")).as("tf"))
+        val docTf = graft.ext.LanguageModel.docTermFreq(docs, "doc_id", "text")
+        val top = graft.ext.LanguageModel.vocabFreq(docTf)
           .orderBy(col("tf").desc, col("tok")).limit(100)
           .select(col("tok"), lit(1).as("in_vocab"))
         docTf.join(broadcast(top), Seq("tok"), "left")

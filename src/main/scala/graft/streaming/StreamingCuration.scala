@@ -33,16 +33,22 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, chunksRoot: String, dropsRoot: String,
       window: Int = 128, stride: Int = 96): Unit = {
     val spark = batch.sparkSession
+    // persisted: the drop-log merge and the chunk merge are separate
+    // actions — without this each re-scans the source and re-runs the
+    // quality gate (batch-scale cache, freed before return)
     val gated = batch.select(col("doc_id"), col("text"),
       TextAnalysis.qualityFilter(col("text")).as("gate"))
-    val drops = gated.filter(col("gate") =!= "keep")
-      .select(col("doc_id"), col("gate").as("drop_reason"))
-    AtomicTable.merge(spark, drops, dropsRoot, "doc_id"): Unit
-    val chunks = Chunking.tokenChunks(
-        gated.filter(col("gate") === "keep"), "doc_id", "text",
-        window, stride)
-      .withColumn("chunk_key", concat_ws(":", col("doc_id"), col("chunk_id")))
-    AtomicTable.merge(spark, chunks, chunksRoot, "chunk_key"): Unit
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val drops = gated.filter(col("gate") =!= "keep")
+        .select(col("doc_id"), col("gate").as("drop_reason"))
+      AtomicTable.merge(spark, drops, dropsRoot, "doc_id"): Unit
+      val chunks = Chunking.tokenChunks(
+          gated.filter(col("gate") === "keep"), "doc_id", "text",
+          window, stride)
+        .withColumn("chunk_key", concat_ws(":", col("doc_id"), col("chunk_id")))
+      AtomicTable.merge(spark, chunks, chunksRoot, "chunk_key"): Unit
+    } finally gated.unpersist(): Unit
   }
 
   /** Start the gate over a streaming (doc_id, text) source. */

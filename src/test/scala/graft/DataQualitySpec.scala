@@ -16,16 +16,30 @@ class DataQualitySpec extends SparkSpec {
     val got = report(Seq(
       uniqueCheck("uniq", child, Seq("id", "fk")),
       notNullCheck("notnull", child, "fk"),
-      fkCheck("fk", child.filter(col("fk").isNotNull), "fk", parent, "pk"),
+      // NULL child keys are notnull's finding, NOT fk orphans —
+      // fkCheck excludes them itself (no caller pre-filter needed)
+      fkCheck("fk", child, "fk", parent, "pk"),
       acceptedValuesCheck("vals", child, "status", Seq("A", "B")),
       expressionCheck("expr_id_pos", child, col("id") <= 0)))
       .as[(String, Long)].collect().toMap
     assert(got === Map(
       "uniq" -> 1L,      // one duplicated key combination
       "notnull" -> 1L,
-      "fk" -> 1L,
+      "fk" -> 1L,        // only the non-null orphan, not the NULL row
       "vals" -> 1L,
       "expr_id_pos" -> 0L))
+  }
+
+  test("enforce quarantines NULL-evaluating expectations instead of passing them") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)))
+      .toDF("id", "price")
+    val (passed, quarantined) = enforce(df,
+      Seq("price_nonneg" -> (col("price") >= 0)))
+    assert(passed.select("id").as[Long].collect().toSeq === Seq(1L))
+    // the NULL-price row must land in quarantine, tagged with the
+    // expectation whose verdict was NULL
+    assert(quarantined.select("id", "violation").as[(Long, String)]
+      .collect().toSet === Set((2L, "price_nonneg"), (3L, "price_nonneg")))
   }
 
   test("enforce: rows split by first failing expectation, in order") {
