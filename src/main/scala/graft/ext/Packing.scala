@@ -46,9 +46,12 @@ object Packing {
 
   /** Per-bucket padding economics: how many docs/tokens land in each
     * length bucket and what fraction of the padded batch is waste
-    * (1 − Σtokens / (n·seq_len)). The number a pipeline owner reads to
-    * pick packing vs padding. One map-side bucket expression + one
-    * hash aggregate over ≤ log₂(maxLen) groups.
+    * (1 − Σmin(tokens, seq_len) / (n·seq_len) — tokens past the top
+    * rung are TRUNCATED in a padding regime, so they never count as
+    * negative waste; `sum_tokens` stays raw so the truncation loss is
+    * visible as sum_tokens − n·seq_len). The number a pipeline owner
+    * reads to pick packing vs padding. One map-side bucket expression
+    * + one hash aggregate over ≤ log₂(maxLen) groups.
     */
   def paddingStats(docs: DataFrame, tokenCol: Column, maxLen: Int = 2048)
       : DataFrame =
@@ -58,7 +61,7 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(tokenCol).as("sum_tokens"),
-        round(lit(1.0) - sum(tokenCol).cast("double")
+        round(lit(1.0) - sum(least(tokenCol, col("seq_len"))).cast("double")
           / (count(lit(1)) * col("seq_len")).cast("double"), 4)
           .as("pad_frac"))
 }

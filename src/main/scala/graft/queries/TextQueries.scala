@@ -650,7 +650,7 @@ object TextQueries {
         SELECT CAST(seq_len AS BIGINT) AS seq_len,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-               ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+               ROUND(1.0 - CAST(SUM(LEAST(n_tokens, seq_len)) AS DOUBLE)
                  / (COUNT(*) * seq_len), 4) AS pad_frac
         FROM b
         GROUP BY seq_len
