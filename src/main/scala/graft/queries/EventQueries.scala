@@ -87,6 +87,121 @@ object EventQueries {
         ORDER BY user_id, session_id""")),
 
     QueryDef(
+      "q118_decayed_value",
+      (s, dir) => {
+        // exponentially time-decayed aggregate — the "decayed counter"
+        // behind trending/recency scoring: each event contributes
+        // value·exp(−age_days/30) relative to the corpus' max ts.
+        // One 1-row max-ts broadcast + a map-side decay expression +
+        // one hash agg; deterministic because the anchor is
+        // data-derived, not wall-clock.
+        val ev = Tables.load(s, dir, "events")
+        val anchor = ev.agg(max(col("ts")).as("t_max"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("decayed",
+            col("value") * exp((unix_millis(col("ts")).cast("double")
+              - unix_millis(col("t_max")).cast("double"))
+              / lit(30.0 * 86400000.0)))
+          .groupBy(col("event_type"))
+          .agg(
+            round(sum(col("value")), 2).as("raw_value"),
+            round(sum(col("decayed")), 2).as("decayed_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH a AS (SELECT MAX(ts) AS t_max FROM events)
+        SELECT event_type,
+               ROUND(SUM(value), 2) AS raw_value,
+               ROUND(SUM(value * exp((CAST(epoch_ms(ts) AS DOUBLE)
+                 - CAST(epoch_ms(t_max) AS DOUBLE)) / (30.0 * 86400000.0))), 2)
+                 AS decayed_value
+        FROM events CROSS JOIN a
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    QueryDef(
+      "q119_session_funnel",
+      (s, dir) => {
+        // WITHIN-session funnel: of all (user, session)s that viewed,
+        // how many clicked after the view, and purchased after that
+        // click — q108's strict ordering composed with q51's
+        // gap-sessionizer. Stage timestamps are dependent mins inside
+        // one grouped aggregate (conditional min-accumulation instead
+        // of three joins: the session is the natural unit, so the
+        // whole funnel is ONE window pass + ONE aggregate).
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val sess = Tables.load(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull
+              || unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L,
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        val staged = sess.groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            count(lit(1)).as("n_events"))
+        val clicks = sess.filter(col("event_type") === "click")
+          .join(staged.select(col("user_id"), col("session_id"), col("t_view")),
+            Seq("user_id", "session_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("t_click"))
+        val purchases = sess.filter(col("event_type") === "purchase")
+          .join(clicks, Seq("user_id", "session_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("t_purchase"))
+        staged.agg(
+            count(lit(1)).as("n_sessions"),
+            sum(when(col("t_view").isNotNull, 1L).otherwise(0L))
+              .as("n_viewed"))
+          .crossJoin(broadcast(
+            clicks.agg(count(lit(1)).as("n_clicked_after_view"))))
+          .crossJoin(broadcast(
+            purchases.agg(count(lit(1)).as("n_purchased_after_click"))))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, event_type, ts,
+                 LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_ts
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM g),
+        sess AS (
+          SELECT user_id, event_type, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS session_id
+          FROM f),
+        staged AS (
+          SELECT user_id, session_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM sess GROUP BY 1, 2),
+        clicks AS (
+          SELECT s.user_id, s.session_id, MIN(s.ts) AS t_click
+          FROM sess s JOIN staged st
+            ON s.user_id = st.user_id AND s.session_id = st.session_id
+          WHERE s.event_type = 'click' AND s.ts > st.t_view
+          GROUP BY 1, 2),
+        purch AS (
+          SELECT s.user_id, s.session_id, MIN(s.ts) AS t_purchase
+          FROM sess s JOIN clicks c
+            ON s.user_id = c.user_id AND s.session_id = c.session_id
+          WHERE s.event_type = 'purchase' AND s.ts > c.t_click
+          GROUP BY 1, 2)
+        SELECT (SELECT COUNT(*) FROM staged) AS n_sessions,
+               (SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM staged) AS n_viewed,
+               (SELECT COUNT(*) FROM clicks) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM purch) AS n_purchased_after_click""")),
+
+    QueryDef(
       "q114_event_trigrams",
       (s, dir) => {
         // behavioral sequence mining (lite): the 10 most common
