@@ -665,6 +665,57 @@ object RelationalQueries {
         ORDER BY check_name""")),
 
     QueryDef(
+      "q120_skew_report",
+      (s, dir) => {
+        // join-key skew diagnostics — the report that decides whether
+        // a key needs salting ([[graft.ext.Skew]]) before a big join:
+        // per candidate key, its distinct cardinality, the heaviest
+        // key's share, and the max/mean ratio (a p99-style skew
+        // factor). One hash agg per key column + 1-row rollups,
+        // unioned — corpus scanned once per key, never collected.
+        val li = Tables.load(s, dir, "lineitem")
+        def keyStats(c: String) = {
+          val counts = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          counts.agg(
+            count(lit(1)).as("n_keys"),
+            max(col("n")).as("max_rows"),
+            round(max(col("n")).cast("double")
+              / avg(col("n")), 2).as("skew_factor"),
+            round(max(col("n")).cast("double")
+              / sum(col("n")).cast("double"), 6).as("top_key_share"))
+            .select(lit(c).as("key_col"), col("n_keys"), col("max_rows"),
+              col("skew_factor"), col("top_key_share"))
+        }
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+          .map(keyStats).reduce(_ unionByName _)
+          .orderBy(col("key_col"))
+      },
+      Some("""
+        SELECT key_col, n_keys, max_rows, skew_factor, top_key_share
+        FROM (
+          SELECT 'l_orderkey' AS key_col, COUNT(*) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_rows,
+                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2) AS skew_factor,
+                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_key_share
+          FROM (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'l_partkey', COUNT(*), CAST(MAX(n) AS BIGINT),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+          FROM (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'l_suppkey', COUNT(*), CAST(MAX(n) AS BIGINT),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+          FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*), CAST(MAX(n) AS BIGINT),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
+                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+          FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1))
+        ORDER BY key_col""")),
+
+    QueryDef(
       "q111_price_histogram",
       (s, dir) => {
         // data-profiling histogram: 10 equi-width buckets over the
