@@ -125,10 +125,10 @@ object EventQueries {
         // WITHIN-session funnel: of all (user, session)s that viewed,
         // how many clicked after the view, and purchased after that
         // click — q108's strict ordering composed with q51's
-        // gap-sessionizer. Stage timestamps are dependent mins inside
-        // one grouped aggregate (conditional min-accumulation instead
-        // of three joins: the session is the natural unit, so the
-        // whole funnel is ONE window pass + ONE aggregate).
+        // gap-sessionizer. One window pass assigns sessions; each
+        // later stage is a grouped min gated on the previous stage's
+        // timestamp (the dependency chain forces per-stage joins, but
+        // they all key on (user, session) so the exchanges line up).
         import org.apache.spark.sql.expressions.Window
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         val sess = Tables.load(s, dir, "events")
@@ -139,9 +139,7 @@ object EventQueries {
               lit(1L)).otherwise(lit(0L)))
           .withColumn("session_id", sum(col("new_sess")).over(byUser))
         val staged = sess.groupBy(col("user_id"), col("session_id"))
-          .agg(
-            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-            count(lit(1)).as("n_events"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
         val clicks = sess.filter(col("event_type") === "click")
           .join(staged.select(col("user_id"), col("session_id"), col("t_view")),
             Seq("user_id", "session_id"))

@@ -651,9 +651,8 @@ object RelationalQueries {
             SELECT l_orderkey, l_linenumber FROM lineitem
             GROUP BY 1, 2 HAVING COUNT(*) > 1) t
           UNION ALL
-          SELECT 'not_null_o_custkey',
-                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-          FROM orders
+          SELECT 'not_null_o_custkey', COUNT(*)
+          FROM orders WHERE o_custkey IS NULL
           UNION ALL
           SELECT 'fk_orders_customer', COUNT(*) FROM orders
           WHERE o_custkey IS NOT NULL
