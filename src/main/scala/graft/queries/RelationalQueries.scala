@@ -672,16 +672,25 @@ object RelationalQueries {
         // key's share, and the max/mean ratio (a p99-style skew
         // factor). One hash agg per key column + 1-row rollups,
         // unioned — corpus scanned once per key, never collected.
+        // ratios are kept in exact integer space until a single
+        // correctly-rounded double division + floor: round(max/avg)
+        // diverges between engines when the true value sits on a
+        // .xx5 boundary (Spark rounds the shortest decimal repr,
+        // DuckDB the binary value), while floor((max*k*C)/sum) is
+        // bit-identical everywhere because both operands are exactly
+        // representable integers.
         val li = Tables.load(s, dir, "lineitem")
         def keyStats(c: String) = {
           val counts = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
           counts.agg(
             count(lit(1)).as("n_keys"),
             max(col("n")).as("max_rows"),
-            round(max(col("n")).cast("double")
-              / avg(col("n")), 2).as("skew_factor"),
-            round(max(col("n")).cast("double")
-              / sum(col("n")).cast("double"), 6).as("top_key_share"))
+            (floor((max(col("n")) * count(lit(1)) * lit(100L)).cast("double")
+              / sum(col("n")).cast("double")) / lit(100.0))
+              .as("skew_factor"),
+            (floor((max(col("n")) * lit(1000000L)).cast("double")
+              / sum(col("n")).cast("double")) / lit(1000000.0))
+              .as("top_key_share"))
             .select(lit(c).as("key_col"), col("n_keys"), col("max_rows"),
               col("skew_factor"), col("top_key_share"))
         }
@@ -694,25 +703,55 @@ object RelationalQueries {
         FROM (
           SELECT 'l_orderkey' AS key_col, COUNT(*) AS n_keys,
                  CAST(MAX(n) AS BIGINT) AS max_rows,
-                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2) AS skew_factor,
-                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_key_share
+                 FLOOR(CAST(MAX(n) * COUNT(*) * 100 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 100.0 AS skew_factor,
+                 FLOOR(CAST(MAX(n) * 1000000 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 1000000.0 AS top_key_share
           FROM (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
           UNION ALL
           SELECT 'l_partkey', COUNT(*), CAST(MAX(n) AS BIGINT),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+                 FLOOR(CAST(MAX(n) * COUNT(*) * 100 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 100.0,
+                 FLOOR(CAST(MAX(n) * 1000000 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 1000000.0
           FROM (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
           UNION ALL
           SELECT 'l_suppkey', COUNT(*), CAST(MAX(n) AS BIGINT),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+                 FLOOR(CAST(MAX(n) * COUNT(*) * 100 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 100.0,
+                 FLOOR(CAST(MAX(n) * 1000000 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 1000000.0
           FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
           UNION ALL
           SELECT 'l_returnflag', COUNT(*), CAST(MAX(n) AS BIGINT),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 2),
-                 ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+                 FLOOR(CAST(MAX(n) * COUNT(*) * 100 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 100.0,
+                 FLOOR(CAST(MAX(n) * 1000000 AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) / 1000000.0
           FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1))
         ORDER BY key_col""")),
+
+    QueryDef(
+      "q121_salted_agg",
+      (s, dir) =>
+        // the explicit two-phase salted aggregation under the driver's
+        // hash gate: l_returnflag is a 3-value hot key (the q120 skew
+        // report's worst case), the salted partial/final split must
+        // reproduce the plain GROUP BY exactly — the oracle IS the
+        // plain GROUP BY, so any partial/merge mistake hash-fails.
+        graft.ext.Skew.saltedSumCount(
+            Tables.load(s, dir, "lineitem"),
+            col("l_returnflag"), col("l_quantity"))
+          .select(col("key").as("l_returnflag"),
+            round(col("total"), 2).as("sum_qty"), col("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     QueryDef(
       "q111_price_histogram",
