@@ -166,6 +166,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q118: decay anchor is a 1-row broadcast, one data shuffle") {
+    val p = plan("q118_decayed_value")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // the scalar anchor only
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q119: session funnel — stage joins all key on (user, session), no cartesian") {
+    val p = plan("q119_session_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the final 1-row scalar assembly
+    // (count × count × count), never a data-sized side
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    // sessionizer window (user) + staged/click/purchase joins (user, session):
+    // the per-stage exchanges must stay on the funnel keys, never multiply
+    assert(count(p, "Exchange hashpartitioning") <= 6, p)
+  }
+
+  test("q120: skew report is 4 independent hash-agg passes, nothing collected") {
+    val p = plan("q120_skew_report")
+    assert(!p.contains("CartesianProduct"), p)
+    // one per-key-column groupBy exchange; the 1-row rollups are
+    // SinglePartition exchanges, not data shuffles
+    assert(count(p, "Exchange hashpartitioning") === 4, p)
+  }
+
+  test("q121: salted agg is exactly two shuffles — (key,salt) partial then key final") {
+    val p = plan("q121_salted_agg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") === 2, p)
+    assert(count(p, "HashAggregate") >= 4, p) // partial+final per phase
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
