@@ -96,7 +96,10 @@ object Bench {
         // ~linearly with docs), surprisal (vocab-key join), paragraph
         // dedup (block-digest join)
         "q95_doc_chunking", "q96_unigram_surprisal",
-        "q103_paragraph_dedup").map { n =>
+        "q103_paragraph_dedup",
+        // stride-1 shingle mining: the heaviest joinless linear op —
+        // 8× corpus bytes through one map-side-combined agg
+        "q122_repeated_ngrams").map { n =>
         val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
         s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
       }

@@ -654,6 +654,118 @@ object TextQueries {
                  / (COUNT(*) * seq_len), 4) AS pad_frac
         FROM b
         GROUP BY seq_len
-        ORDER BY seq_len"""))
+        ORDER BY seq_len""")),
+
+    QueryDef(
+      "q122_repeated_ngrams",
+      (s, dir) => {
+        // corpus-wide repeated n-gram mining (the Lee-et-al-style
+        // boilerplate signal at n-gram granularity): every stride-1
+        // 8-token window, counted across the corpus, kept when it
+        // appears in ≥2 distinct docs — the template/header phrases an
+        // exact-substring dedup pass would target. Shape: shingles
+        // form map-side ([[graft.ext.Dedup.shingleSeq]], zip of
+        // shifted slices), ONE hash agg on the n-gram (map-side
+        // partials collapse within-partition repeats before the
+        // shuffle), TakeOrderedAndProject top-k — no joins, no pairs.
+        // At 100 TB you'd shuffle a 64-bit digest instead of the
+        // phrase and semi-join the top digests back for display; at
+        // registry scale the phrase itself keeps the oracle exact.
+        val docs = Tables.load(s, dir, "documents")
+        docs
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.shingleSeq(
+              graft.ext.Dedup.tokens(col("text")), 8)).as("ngram"))
+          .groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n_total"),
+            count_distinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_total").desc, col("ngram"))
+          .limit(15)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS ngram
+          FROM (SELECT doc_id, toks, CAST(unnest(range(len(toks) - 7)) AS BIGINT) AS i
+                FROM t WHERE len(toks) >= 8))
+        SELECT ngram, COUNT(*) AS n_total,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM g
+        GROUP BY ngram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_total DESC, ngram
+        LIMIT 15"""),
+      headline = true),
+
+    QueryDef(
+      "q123_collocations",
+      (s, dir) => {
+        // PMI-style collocation mining: adjacent word pairs ranked by
+        // lift = p(ab) / (p(a)·p(b)) — the exp of pointwise mutual
+        // information, so the ranking is identical to PMI without
+        // putting a transcendental (engine-varying libm ln) under the
+        // hash gate. The lift is floor-truncated after a fixed
+        // left-associated double expression over exact integer counts,
+        // so both engines compute bit-identical values (same guard as
+        // q120). Shape: two corpus-scan hash aggs (unigrams, bigrams),
+        // two key joins of the bigram table against the vocab, 1-row
+        // total broadcasts, TakeOrdered top-k — no pairs, no cartesian
+        // on data.
+        val docs = Tables.load(s, dir, "documents")
+        val toks = graft.ext.Dedup.tokens(col("text"))
+        val uni = docs.select(explode(toks).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+        val bg = docs
+          .select(explode(graft.ext.Dedup.bound(toks) { tt =>
+            val m = size(tt) - 1
+            when(size(tt) >= 2,
+              zip_with(slice(tt, lit(1), m), slice(tt, lit(2), m),
+                (a, b) => struct(a.as("wa"), b.as("wb"))))
+              .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+          }).as("p"))
+          .select(col("p.wa").as("word_a"), col("p.wb").as("word_b"))
+          .groupBy(col("word_a"), col("word_b"))
+          .agg(count(lit(1)).as("bc"))
+        val n = uni.agg(sum(col("uc")).as("n_total"))
+        val m = bg.agg(sum(col("bc")).as("m_total"))
+        val ua = uni.select(col("w").as("word_a"), col("uc").as("ua"))
+        val ub = uni.select(col("w").as("word_b"), col("uc").as("ub"))
+        bg.filter(col("bc") >= 5)
+          .join(ua, Seq("word_a"))
+          .join(ub, Seq("word_b"))
+          .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+          .select(col("word_a"), col("word_b"), col("bc").as("n_pair"),
+            (floor(col("bc").cast("double") * col("n_total") * col("n_total")
+              / (col("m_total").cast("double") * col("ua") * col("ub"))
+              * lit(10000.0)) / lit(10000.0)).as("lift"))
+          .orderBy(col("lift").desc, col("word_a"), col("word_b"))
+          .limit(15)
+      },
+      Some("""
+        WITH t AS (
+          SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        x AS (SELECT t, unnest(range(1, len(t))) AS i FROM t),
+        bg AS (SELECT t[i] AS word_a, t[i+1] AS word_b, COUNT(*) AS bc
+               FROM x GROUP BY 1, 2),
+        tok AS (SELECT unnest(t) AS w FROM t),
+        u AS (SELECT w, COUNT(*) AS uc FROM tok GROUP BY 1),
+        n AS (SELECT CAST(SUM(uc) AS BIGINT) AS n_total FROM u),
+        m AS (SELECT CAST(SUM(bc) AS BIGINT) AS m_total FROM bg)
+        SELECT word_a, word_b, CAST(bc AS BIGINT) AS n_pair,
+               FLOOR(CAST(bc AS DOUBLE) * n_total * n_total
+                     / (CAST(m_total AS DOUBLE) * ua.uc * ub.uc)
+                     * 10000) / 10000.0 AS lift
+        FROM bg
+        JOIN u ua ON bg.word_a = ua.w
+        JOIN u ub ON bg.word_b = ub.w
+        CROSS JOIN n CROSS JOIN m
+        WHERE bc >= 5
+        ORDER BY lift DESC, word_a, word_b
+        LIMIT 15"""))
   )
 }

@@ -199,6 +199,20 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 4, p) // partial+final per phase
   }
 
+  test("q122: repeated n-grams — joinless map-side shingles into one agg + TakeOrdered") {
+    val p = plan("q122_repeated_ngrams")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q123: collocations — vocab joins on the word key, totals broadcast, top-k") {
+    val p = plan("q123_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p) // the 1-row N/M totals only
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
