@@ -54,6 +54,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(gs.count() === weird.length) // k > stratum size → whole stratum
   }
 
+  test("8-gram shingles: sub-8-token docs yield no shingles, 50k doc tiles") {
+    val got = docs.select(col("doc_id"),
+      size(graft.ext.Dedup.shingleSeq(graft.ext.Dedup.tokens(col("text")), 8))
+        .as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) === 0 && got(2L) === 0 && got(4L) === 0)
+    assert(got(5L) === 50000 - 7) // stride-1 windows cover the doc
+  }
+
+  test("adjacent-pair builder: sub-2-token docs pair nothing, never throw") {
+    // the q123 bigram shape: zip of two shifted slices under a size guard
+    val toks = graft.ext.Dedup.tokens(col("text"))
+    val pairs = docs.select(col("doc_id"),
+      size(graft.ext.Dedup.bound(toks) { tt =>
+        val m = size(tt) - 1
+        when(size(tt) >= 2,
+          zip_with(slice(tt, lit(1), m), slice(tt, lit(2), m),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+      }).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(pairs(1L) === 0 && pairs(2L) === 0)
+    assert(pairs(3L) === 2 && pairs(5L) === 49999)
+  }
+
   test("quality/langId/fingerprint expressions never throw on weird input") {
     val got = docs.select(
       TextAnalysis.qualityScore(col("text")).as("q"),
