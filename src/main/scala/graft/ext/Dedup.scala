@@ -103,6 +103,21 @@ object Dedup {
       .filter(col("s").isNotNull)
   }
 
+  /** Ordered adjacent token pairs as (wa, wb) structs — the bigram
+    * builder behind collocation mining (q123). Same zip-of-shifted-
+    * slices discipline as [[shingleSeq]] (lambdas reference only their
+    * bound variables, O(|tokens|) map-side); empty for sub-2-token
+    * docs. Kept here so the production expression and its edge-case
+    * spec exercise ONE definition.
+    */
+  def pairSeq(t: Column): Column = bound(t) { tt =>
+    val m = size(tt) - 1
+    when(size(tt) >= 2,
+      zip_with(slice(tt, lit(1), m), slice(tt, lit(2), m),
+        (a, b) => struct(a.as("wa"), b.as("wb"))))
+      .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+  }
+
   /** Per-doc DISTINCT shingle-set size as a MAP-SIDE array expression
     * — the set-semantics denominator for Jaccard/containment, with no
     * corpus-scale count_distinct shuffle. One definition shared by

@@ -663,19 +663,20 @@ object TextQueries {
         // boilerplate signal at n-gram granularity): every stride-1
         // 8-token window, counted across the corpus, kept when it
         // appears in ≥2 distinct docs — the template/header phrases an
-        // exact-substring dedup pass would target. Shape: shingles
-        // form map-side ([[graft.ext.Dedup.shingleSeq]], zip of
-        // shifted slices), ONE hash agg on the n-gram (map-side
-        // partials collapse within-partition repeats before the
-        // shuffle), TakeOrderedAndProject top-k — no joins, no pairs.
-        // At 100 TB you'd shuffle a 64-bit digest instead of the
-        // phrase and semi-join the top digests back for display; at
-        // registry scale the phrase itself keeps the oracle exact.
+        // exact-substring dedup pass would target. Shape: shingle rows
+        // form map-side ([[graft.ext.Dedup.explodedShingles]], zip of
+        // shifted slices + outer explode), then the distinct aggregate
+        // plans its standard two exchanges — (ngram, doc_id) partials
+        // first (within-partition repeats collapse map-side; the
+        // shuffle carries near-shingle-stream volume, the honest cost
+        // of an exact cross-doc count), per-ngram finals second —
+        // TakeOrderedAndProject top-k. No joins, no pairs. At 100 TB
+        // you'd shuffle a 64-bit digest instead of the phrase and
+        // semi-join the top digests back for display; at registry
+        // scale the phrase itself keeps the oracle exact.
         val docs = Tables.load(s, dir, "documents")
-        docs
-          .select(col("doc_id"),
-            explode(graft.ext.Dedup.shingleSeq(
-              graft.ext.Dedup.tokens(col("text")), 8)).as("ngram"))
+        graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 8)
+          .withColumnRenamed("s", "ngram")
           .groupBy(col("ngram"))
           .agg(count(lit(1)).as("n_total"),
             count_distinct(col("doc_id")).as("n_docs"))
@@ -720,13 +721,7 @@ object TextQueries {
         val uni = docs.select(explode(toks).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("uc"))
         val bg = docs
-          .select(explode(graft.ext.Dedup.bound(toks) { tt =>
-            val m = size(tt) - 1
-            when(size(tt) >= 2,
-              zip_with(slice(tt, lit(1), m), slice(tt, lit(2), m),
-                (a, b) => struct(a.as("wa"), b.as("wb"))))
-              .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
-          }).as("p"))
+          .select(explode(graft.ext.Dedup.pairSeq(toks)).as("p"))
           .select(col("p.wa").as("word_a"), col("p.wb").as("word_b"))
           .groupBy(col("word_a"), col("word_b"))
           .agg(count(lit(1)).as("bc"))

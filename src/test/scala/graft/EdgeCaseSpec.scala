@@ -64,16 +64,10 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("adjacent-pair builder: sub-2-token docs pair nothing, never throw") {
-    // the q123 bigram shape: zip of two shifted slices under a size guard
+    // the exact production expression behind q123's bigram rows
     val toks = graft.ext.Dedup.tokens(col("text"))
     val pairs = docs.select(col("doc_id"),
-      size(graft.ext.Dedup.bound(toks) { tt =>
-        val m = size(tt) - 1
-        when(size(tt) >= 2,
-          zip_with(slice(tt, lit(1), m), slice(tt, lit(2), m),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>"))
-      }).as("n"))
+      size(graft.ext.Dedup.pairSeq(toks)).as("n"))
       .as[(Long, Int)].collect().toMap
     assert(pairs(1L) === 0 && pairs(2L) === 0)
     assert(pairs(3L) === 2 && pairs(5L) === 49999)
