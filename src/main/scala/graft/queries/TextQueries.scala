@@ -761,6 +761,44 @@ object TextQueries {
         CROSS JOIN n CROSS JOIN m
         WHERE bc >= 5
         ORDER BY lift DESC, word_a, word_b
-        LIMIT 15"""))
+        LIMIT 15""")),
+
+    QueryDef(
+      "q124_heavy_hitters",
+      (s, dir) => {
+        // sketch-then-verify heavy hitters: a Misra–Gries pass
+        // ([[graft.functions.HeavyHitters]], k=50 counters) shuffles
+        // at most k counters per partition instead of the whole
+        // vocabulary, its candidate set (GUARANTEED ⊇ every word with
+        // count > N/51) broadcasts back, and only candidates are
+        // exact-counted. The final filter cnt > N/50 sits strictly
+        // above the sketch's N/51 miss bound, so the output equals the
+        // plain GROUP BY ... HAVING — which IS the oracle: any sketch
+        // bug that loses a true heavy hitter hash-fails the row.
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs
+          .select(explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+        val cand = toks
+          .agg(graft.functions.HeavyHitters.mgCandidates(50)(col("w")).as("c"))
+          .select(explode(col("c.words")).as("w"))
+        val n = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cand), Seq("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(n))
+          .filter(col("cnt") > col("n_total") / lit(50))
+          .select(col("w").as("word"), col("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+          FROM documents),
+        n AS (SELECT COUNT(*) AS n_total FROM tok)
+        SELECT word, COUNT(*) AS cnt
+        FROM tok CROSS JOIN n
+        GROUP BY word, n_total
+        HAVING COUNT(*) > n_total / 50
+        ORDER BY cnt DESC, word"""))
   )
 }

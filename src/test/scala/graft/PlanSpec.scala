@@ -213,6 +213,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q124: heavy hitters — candidate set broadcasts back, totals 1-row, no cartesian") {
+    val p = plan("q124_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // the 1-row N total only
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)

@@ -64,6 +64,37 @@ class WinnowSpec extends SparkSpec {
     else hs.sliding(w).map(_.min).toSet
   }
 
+  test("Misra-Gries: candidate set ⊇ true heavy hitters under any partitioning") {
+    import graft.functions.HeavyHitters
+    // zipf-ish stream: word i appears 2^(12-i) times for i in 0..11,
+    // plus 5000 singleton rare words — N = 8191 + 5000
+    val rows = (0 until 12).flatMap(i => Seq.fill(1 << (12 - i))(s"hot$i")) ++
+      (0 until 5000).map(i => s"rare$i")
+    val n = rows.length.toLong
+    val k = 20
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = exact.collect { case (w, c) if c > n / k => w }.toSet
+    assert(heavy.nonEmpty)
+    for (parts <- Seq(1, 7, 32)) {
+      val cand = spark.sparkContext.parallelize(rows, parts).toDF("w")
+        .agg(HeavyHitters.mgCandidates(k)(col("w")).as("c"))
+        .select(explode(col("c.words")).as("w"))
+        .as[String].collect().toSet
+      assert(cand.size <= k, s"parts=$parts kept ${cand.size}")
+      assert(heavy.subsetOf(cand), s"parts=$parts missed ${heavy -- cand}")
+    }
+  }
+
+  test("Misra-Gries: exact (no decrements) when vocab fits the k counters") {
+    import graft.functions.HeavyHitters
+    val rows = (0 until 1000).map(i => s"w${i % 10}")
+    val cand = rows.toDF("w")
+      .agg(HeavyHitters.mgCandidates(50)(col("w")).as("c"))
+      .select(explode(col("c.words")).as("w"))
+      .as[String].collect().toSet
+    assert(cand === (0 until 10).map(i => s"w$i").toSet)
+  }
+
   test("winnowing ≡ plain-Scala reference; co-derived docs share fingerprints") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog by the river"),
