@@ -53,7 +53,7 @@ object HeavyHitters {
       }
 
     override def merge(b1: Buf, b2: Buf): Buf = {
-      val k = math.max(b1.k, b2.k).max(1)
+      val k = b1.k // every buffer carries this instance's constructor k
       val sum = b2.counts.foldLeft(b1.counts) { case (m, (w, c)) =>
         m.updated(w, m.getOrElse(w, 0L) + c)
       }

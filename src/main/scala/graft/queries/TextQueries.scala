@@ -778,14 +778,18 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val toks = docs
           .select(explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+        // sketch and corpus total in ONE aggregate, and n_total rides
+        // the exploded candidate rows (a constant column) — the 1-row
+        // sketch is referenced once, so the whole query is two corpus
+        // scans: one for the sketch+total, one to count candidates
         val cand = toks
-          .agg(graft.functions.HeavyHitters.mgCandidates(50)(col("w")).as("c"))
-          .select(explode(col("c.words")).as("w"))
-        val n = toks.agg(count(lit(1)).as("n_total"))
+          .agg(
+            graft.functions.HeavyHitters.mgCandidates(50)(col("w")).as("c"),
+            count(lit(1)).as("n_total"))
+          .select(explode(col("c.words")).as("w"), col("n_total"))
         toks.join(broadcast(cand), Seq("w"))
-          .groupBy(col("w"))
+          .groupBy(col("w"), col("n_total"))
           .agg(count(lit(1)).as("cnt"))
-          .crossJoin(broadcast(n))
           .filter(col("cnt") > col("n_total") / lit(50))
           .select(col("w").as("word"), col("cnt"))
           .orderBy(col("cnt").desc, col("word"))

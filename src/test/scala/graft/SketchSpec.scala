@@ -67,7 +67,7 @@ class WinnowSpec extends SparkSpec {
   test("Misra-Gries: candidate set ⊇ true heavy hitters under any partitioning") {
     import graft.functions.HeavyHitters
     // zipf-ish stream: word i appears 2^(12-i) times for i in 0..11,
-    // plus 5000 singleton rare words — N = 8191 + 5000
+    // plus 5000 singleton rare words — N = 8190 + 5000
     val rows = (0 until 12).flatMap(i => Seq.fill(1 << (12 - i))(s"hot$i")) ++
       (0 until 5000).map(i => s"rare$i")
     val n = rows.length.toLong
