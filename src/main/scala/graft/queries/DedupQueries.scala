@@ -386,7 +386,100 @@ object DedupQueries {
                  / COUNT(*), 4) AS dup_block_frac
         FROM b JOIN spread USING (chunk_md5)
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    QueryDef(
+      "q125_substring_spans",
+      (s, dir) => {
+        // exact-substring dedup accounting (the Lee-et-al ExactSubstr
+        // policy: every repeat of a ≥20-token span loses all but ONE
+        // canonical copy): stride-1 positioned 20-gram digests, a
+        // per-digest window keeps the lexicographically first
+        // (doc_id, pos) occurrence and marks the rest removable, and a
+        // per-doc interval-union sweep (sort by span start, running
+        // max of span end, clamp overlap) counts exactly how many
+        // token positions the removable spans cover. All integer
+        // arithmetic under the hash gate. Shape: digests form
+        // map-side, ONE shuffle on the digest for the canonical
+        // window, ONE shuffle on doc_id for the sweep — no pairs, and
+        // the corpus text itself never reshuffles.
+        import org.apache.spark.sql.expressions.Window
+        val W = 20
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+            Dedup.tokens(col("text")).as("toks"))
+          .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+        val occ = base
+          .select(col("doc_id"),
+            posexplode(Dedup.bound(col("toks")) { tt =>
+              when(size(tt) >= W,
+                transform(sequence(lit(0), (size(tt) - W).cast("int")),
+                  i => md5(array_join(slice(tt, i + 1, lit(W)), " "))))
+                .otherwise(array().cast("array<string>"))
+            }))
+          .select(col("doc_id"), col("pos").cast("bigint").as("i"),
+            col("col").as("g"))
+        val wCanon = Window.partitionBy(col("g"))
+          .orderBy(col("doc_id"), col("i"))
+        val rm = occ
+          .withColumn("rn", row_number().over(wCanon))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), col("i").as("s"),
+            (col("i") + lit(W - 1)).as("e"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        val cov = rm
+          .withColumn("prev_max_e", max(col("e"))
+            .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("contrib",
+            greatest(col("e")
+              - greatest(col("s"), coalesce(col("prev_max_e") + 1, col("s")))
+              + 1, lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("n_dup_tokens"))
+        base.select(col("doc_id"), col("n_tokens"))
+          .join(cov, Seq("doc_id"), "left")
+          .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+          .withColumn("dup_frac",
+            floor((col("n_dup_tokens") * lit(1000000L)).cast("double")
+              / col("n_tokens").cast("double")) / lit(1000000.0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        occ AS (
+          SELECT doc_id, i,
+                 md5(array_to_string(list_slice(toks, i + 1, i + 20), ' ')) AS g
+          FROM (SELECT doc_id, toks,
+                       CAST(unnest(range(len(toks) - 19)) AS BIGINT) AS i
+                FROM b WHERE n_tokens >= 20)),
+        rm AS (
+          SELECT doc_id, i AS s, i + 19 AS e
+          FROM (SELECT doc_id, i,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i)
+                         AS rn
+                FROM occ)
+          WHERE rn > 1),
+        mg AS (
+          SELECT doc_id, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max_e
+          FROM rm),
+        cov AS (
+          SELECT doc_id,
+                 CAST(SUM(GREATEST(
+                   e - GREATEST(s, COALESCE(prev_max_e + 1, s)) + 1, 0))
+                   AS BIGINT) AS n_dup_tokens
+          FROM mg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens,
+               FLOOR(CAST(COALESCE(cov.n_dup_tokens, 0) * 1000000 AS DOUBLE)
+                     / CAST(b.n_tokens AS DOUBLE)) / 1000000.0 AS dup_frac
+        FROM b LEFT JOIN cov USING (doc_id)
+        ORDER BY b.doc_id"""))
   )
 
   /** The whole training-data curation workflow as ONE declarative

@@ -220,6 +220,13 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // the 1-row N total only
   }
 
+  test("q125: substring spans — digest window + doc sweep, two data shuffles, no pairs") {
+    val p = plan("q125_substring_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Window") === 2, p) // canonical pick + interval sweep
+    assert(count(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
