@@ -99,7 +99,11 @@ object Bench {
         "q103_paragraph_dedup",
         // stride-1 shingle mining: the heaviest joinless linear op —
         // 8× corpus bytes through one map-side-combined agg
-        "q122_repeated_ngrams").map { n =>
+        "q122_repeated_ngrams",
+        // positioned-digest window + doc-keyed interval sweep: dup
+        // structure stays within copies, so output rows grow 10×
+        // while the removable-span mass per doc is unchanged
+        "q125_substring_spans").map { n =>
         val t1 = runIn(n, dir10); val t2 = runIn(n, dir10)
         s"x10_$n" -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
       }

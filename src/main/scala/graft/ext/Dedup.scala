@@ -118,6 +118,60 @@ object Dedup {
       .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
   }
 
+  /** Exact-substring dedup span accounting (Lee et al.'s ExactSubstr
+    * keep-one policy): every repeat of a ≥`w`-token span loses all but
+    * one canonical copy. Returns one row per doc:
+    * (doc_id, n_tokens, n_dup_tokens, dup_frac) where n_dup_tokens is
+    * the EXACT number of token positions covered by removable (non-
+    * canonical) duplicated `w`-gram occurrences — overlapping spans
+    * merged by a per-doc interval-union sweep (sort by start, running
+    * max of end, clamp overlap).
+    *
+    * Scale shape: positioned digests form map-side, ONE shuffle on the
+    * digest for the canonical-pick window, ONE shuffle on doc_id for
+    * the sweep; no pair generation and the corpus text itself never
+    * reshuffles. All-integer arithmetic (the fraction is floor-scaled)
+    * so results hash-compare bit-identically across engines.
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+    val occ = base
+      .select(col("doc_id"),
+        posexplode(bound(col("toks")) { tt =>
+          when(size(tt) >= w,
+            transform(sequence(lit(0), (size(tt) - w).cast("int")),
+              i => md5(array_join(slice(tt, i + 1, lit(w)), " "))))
+            .otherwise(array().cast("array<string>"))
+        }))
+      .select(col("doc_id"), col("pos").cast("bigint").as("i"),
+        col("col").as("g"))
+    val wCanon = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))
+    val rm = occ
+      .withColumn("rn", row_number().over(wCanon))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("i").as("s"), (col("i") + lit(w - 1)).as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val cov = rm
+      .withColumn("prev_max_e", max(col("e"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("contrib",
+        greatest(col("e")
+          - greatest(col("s"), coalesce(col("prev_max_e") + 1, col("s")))
+          + 1, lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        floor((col("n_dup_tokens") * lit(1000000L)).cast("double")
+          / col("n_tokens").cast("double")) / lit(1000000.0))
+  }
+
   /** Per-doc DISTINCT shingle-set size as a MAP-SIDE array expression
     * — the set-semantics denominator for Jaccard/containment, with no
     * corpus-scale count_distinct shuffle. One definition shared by

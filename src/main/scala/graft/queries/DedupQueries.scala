@@ -391,57 +391,12 @@ object DedupQueries {
     QueryDef(
       "q125_substring_spans",
       (s, dir) => {
-        // exact-substring dedup accounting (the Lee-et-al ExactSubstr
-        // policy: every repeat of a ≥20-token span loses all but ONE
-        // canonical copy): stride-1 positioned 20-gram digests, a
-        // per-digest window keeps the lexicographically first
-        // (doc_id, pos) occurrence and marks the rest removable, and a
-        // per-doc interval-union sweep (sort by span start, running
-        // max of span end, clamp overlap) counts exactly how many
-        // token positions the removable spans cover. All integer
-        // arithmetic under the hash gate. Shape: digests form
-        // map-side, ONE shuffle on the digest for the canonical
-        // window, ONE shuffle on doc_id for the sweep — no pairs, and
-        // the corpus text itself never reshuffles.
-        import org.apache.spark.sql.expressions.Window
-        val W = 20
-        val docs = Tables.load(s, dir, "documents")
-        val base = docs.select(col("doc_id"),
-            Dedup.tokens(col("text")).as("toks"))
-          .withColumn("n_tokens", size(col("toks")).cast("bigint"))
-        val occ = base
-          .select(col("doc_id"),
-            posexplode(Dedup.bound(col("toks")) { tt =>
-              when(size(tt) >= W,
-                transform(sequence(lit(0), (size(tt) - W).cast("int")),
-                  i => md5(array_join(slice(tt, i + 1, lit(W)), " "))))
-                .otherwise(array().cast("array<string>"))
-            }))
-          .select(col("doc_id"), col("pos").cast("bigint").as("i"),
-            col("col").as("g"))
-        val wCanon = Window.partitionBy(col("g"))
-          .orderBy(col("doc_id"), col("i"))
-        val rm = occ
-          .withColumn("rn", row_number().over(wCanon))
-          .filter(col("rn") > 1)
-          .select(col("doc_id"), col("i").as("s"),
-            (col("i") + lit(W - 1)).as("e"))
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-        val cov = rm
-          .withColumn("prev_max_e", max(col("e"))
-            .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("contrib",
-            greatest(col("e")
-              - greatest(col("s"), coalesce(col("prev_max_e") + 1, col("s")))
-              + 1, lit(0L)))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("contrib")).as("n_dup_tokens"))
-        base.select(col("doc_id"), col("n_tokens"))
-          .join(cov, Seq("doc_id"), "left")
-          .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
-          .withColumn("dup_frac",
-            floor((col("n_dup_tokens") * lit(1000000L)).cast("double")
-              / col("n_tokens").cast("double")) / lit(1000000.0))
+        // exact-substring dedup accounting — see
+        // [[graft.ext.Dedup.substringDupSpans]] for the algorithm and
+        // the 100 TB shape (digest window + doc-keyed interval sweep,
+        // no pair generation)
+        Dedup.substringDupSpans(Tables.load(s, dir, "documents"),
+            "doc_id", "text", w = 20)
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -479,7 +434,8 @@ object DedupQueries {
                FLOOR(CAST(COALESCE(cov.n_dup_tokens, 0) * 1000000 AS DOUBLE)
                      / CAST(b.n_tokens AS DOUBLE)) / 1000000.0 AS dup_frac
         FROM b LEFT JOIN cov USING (doc_id)
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id"""),
+      headline = true)
   )
 
   /** The whole training-data curation workflow as ONE declarative

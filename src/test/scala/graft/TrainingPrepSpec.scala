@@ -10,6 +10,28 @@ import graft.ext.{Chunking, LanguageModel, Packing, Sampling, TextAnalysis}
 class TrainingPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("substringDupSpans: hand-computed coverage, overlap merge, within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // canonical source for docs 2/3
+      (2L, "a b c d e f"),        // exact copy → fully covered
+      (3L, "x y a b c z"),        // shares one 3-gram with doc 1
+      (4L, "p q r"),              // unique single 3-gram
+      (5L, "a b"),                // shorter than the window
+      (6L, "m n o m n o m n o")   // within-doc repeats past the first
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringDupSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, 6L, 0L, 0.0),      // every occurrence canonical
+      (2L, 6L, 6L, 1.0),      // spans [0,2][1,3][2,4][3,5] union = whole doc
+      (3L, 6L, 3L, 0.5),      // one removable span [2,4]
+      (4L, 3L, 0L, 0.0),
+      (5L, 2L, 0L, 0.0),
+      (6L, 9L, 6L, 0.666666)  // repeats at pos 3..6 union to [3,8]
+    ))
+  }
+
   test("tokenChunks: spans tile the doc, last chunk reaches the end") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks → 3 chunks
