@@ -408,6 +408,66 @@ object EventQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY event_date, event_type"""),
-      headline = true)
+      headline = true),
+
+    QueryDef(
+      "q126_item_cooccurrence",
+      (s, dir) => {
+        // "viewed X, also viewed Y" co-occurrence mining — the
+        // recommender/association-rule support count, built the way it
+        // survives 100 TB: each user's item set is CAPPED to their
+        // first K=20 distinct items (deterministic first-seen order)
+        // BEFORE the within-user self-join, so pair generation is
+        // bounded at K²/2 per user regardless of how heavy a power
+        // user is — the cap is the skew guard, not a sampling
+        // approximation of it (the cap semantics are part of the
+        // operator contract and replayed exactly by the oracle).
+        // Shape: one hash agg (first-seen), one user-keyed window, one
+        // user-keyed self-join of the capped sets, one pair agg,
+        // TakeOrdered top-k.
+        import org.apache.spark.sql.expressions.Window
+        val items = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("item"),
+            col("ts"))
+        val firstSeen = items.groupBy(col("user_id"), col("item"))
+          .agg(min(col("ts")).as("first_ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("first_ts"), col("item"))
+        val capped = firstSeen
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("user_id"), col("item"))
+        val a = capped.select(col("user_id"), col("item").as("item_a"))
+        val b = capped.select(col("user_id"), col("item").as("item_b"))
+        a.join(b, Seq("user_id"))
+          .filter(col("item_a") < col("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(col("support").desc, col("item_a"), col("item_b"))
+          .limit(15)
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
+          FROM events WHERE event_type = 'view'),
+        fs AS (SELECT user_id, item, MIN(ts) AS first_ts
+               FROM v GROUP BY 1, 2),
+        capped AS (
+          SELECT user_id, item
+          FROM (SELECT user_id, item,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY first_ts, item) AS rn
+                FROM fs)
+          WHERE rn <= 20)
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        FROM capped a JOIN capped b USING (user_id)
+        WHERE a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+        ORDER BY support DESC, item_a, item_b
+        LIMIT 15"""))
   )
 }

@@ -227,6 +227,16 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 4, p)
   }
 
+  test("q126: co-occurrence — capped sets self-join on the user key, never cartesian") {
+    val p = plan("q126_item_cooccurrence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the K=20 cap pushes down as a map-side group limit on BOTH
+    // self-join branches — the property that bounds pair generation
+    assert(count(p, "WindowGroupLimit") >= 2, p)
+    assert(count(p, "Exchange hashpartitioning") <= 6, p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
