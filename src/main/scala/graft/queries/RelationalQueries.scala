@@ -754,6 +754,70 @@ object RelationalQueries {
         ORDER BY l_returnflag""")),
 
     QueryDef(
+      "q127_gap_fill",
+      (s, dir) => {
+        // calendar gap-fill + forward-fill: densify sparse per-nation
+        // daily order facts onto a generated date spine (every nation
+        // × every day of 1995-01), zero-fill the gaps, and carry the
+        // last ACTIVE day's revenue forward with an ignoreNulls
+        // last() window — the standard time-series densification a
+        // BI layer runs before charting/joining. Shape: the spine is
+        // generated (nations × sequence(), no source scan), facts
+        // aggregate once, the left join keys on (nation, day), and
+        // the fill window rides the same partitioning — map-side
+        // after one exchange.
+        import org.apache.spark.sql.expressions.Window
+        val nation = Tables.load(s, dir, "nation")
+        val spine = nation.select(col("n_name").as("nation"),
+          explode(expr(
+            "sequence(date'1995-01-01', date'1995-01-31', interval 1 day)"))
+            .as("day"))
+        val daily = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate")
+            .between(lit("1995-01-01"), lit("1995-01-31")))
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+        val w = Window.partitionBy(col("nation")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("nation", "day"), "left")
+          .withColumn("last_active_revenue",
+            last(col("revenue"), ignoreNulls = true).over(w))
+          .select(col("nation"), col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"),
+            col("last_active_revenue"))
+          .orderBy(col("nation"), col("day"))
+      },
+      Some("""
+        WITH spine AS (
+          SELECT n_name AS nation, CAST(t.d AS DATE) AS day
+          FROM nation,
+               generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                               INTERVAL 1 DAY) AS t(d)),
+        daily AS (
+          SELECT n_name AS nation, o_orderdate AS day,
+                 COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+          GROUP BY 1, 2)
+        SELECT spine.nation, spine.day,
+               COALESCE(d.n_orders, 0) AS n_orders,
+               COALESCE(d.revenue, 0.0) AS revenue,
+               LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+                 PARTITION BY spine.nation ORDER BY spine.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_active_revenue
+        FROM spine LEFT JOIN daily d USING (nation, day)
+        ORDER BY spine.nation, spine.day""")),
+
+    QueryDef(
       "q111_price_histogram",
       (s, dir) => {
         // data-profiling histogram: 10 equi-width buckets over the

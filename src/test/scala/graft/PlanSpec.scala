@@ -237,6 +237,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 6, p)
   }
 
+  test("q127: gap fill — spine joins facts without cartesian, one fill window") {
+    val p = plan("q127_gap_fill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Window") === 1, p)
+    // orders scan prunes to the spine month
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
