@@ -818,6 +818,46 @@ object RelationalQueries {
         ORDER BY spine.nation, spine.day""")),
 
     QueryDef(
+      "q128_equidepth_histogram",
+      (s, dir) => {
+        // equi-DEPTH histogram (deciles) of order value per order
+        // priority — the profiling twin of q111's equi-width buckets:
+        // ntile(10) over (price, key) so every bucket holds the same
+        // row count and the bucket EDGES reveal the distribution.
+        // The window partitions by priority, so the sort is per-group
+        // and parallel — the global-ntile variant would need a total
+        // sort, which is why a 100 TB profiler switches to
+        // approx-quantile cuts (the q101 pattern) for ungrouped data.
+        // The (price, key) tiebreak makes tile assignment a total
+        // order, so both engines bucket identically.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            round(sum(col("o_totalprice")), 2).as("bucket_revenue"))
+          .orderBy(col("o_orderpriority"), col("decile"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderpriority, o_totalprice,
+                 NTILE(10) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi,
+               ROUND(SUM(o_totalprice), 2) AS bucket_revenue
+        FROM t
+        GROUP BY 1, 2
+        ORDER BY o_orderpriority, decile""")),
+
+    QueryDef(
       "q111_price_histogram",
       (s, dir) => {
         // data-profiling histogram: 10 equi-width buckets over the

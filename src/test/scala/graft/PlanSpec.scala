@@ -245,6 +245,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("q128: equi-depth deciles — one partitioned window, agg reuses its exchange") {
+    val p = plan("q128_equidepth_histogram")
+    assert(count(p, "Window") === 1, p)
+    // window sort keys on priority; the following group-by is on
+    // (priority, decile) — only the presentation sort adds a range
+    // exchange beyond these two
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
