@@ -75,6 +75,52 @@ object AdvancedQueries {
         ORDER BY o_orderpriority""")),
 
     QueryDef(
+      "q129_unpivot",
+      (s, dir) => {
+        // UNPIVOT (melt) — the inverse of q07's pivot, closing the
+        // wide↔long reshaping pair: event counts pivot wide per
+        // status, zero-fill, then `Dataset.unpivot` melts the measure
+        // columns back to (priority, status, n_orders) rows. Both
+        // reshapes are map-side after the one pivot aggregation; the
+        // zero-fill before melting makes the long form dense and
+        // deterministic (no null-row drop semantics in play).
+        val wide = Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+        wide.unpivot(
+            ids = Array(col("o_orderpriority")),
+            values = Array(col("F"), col("O"), col("P")),
+            variableColumnName = "o_orderstatus",
+            valueColumnName = "n_orders")
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+      },
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                   AS f,
+                 COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                   AS o,
+                 COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                   AS p
+          FROM orders
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(n_orders AS BIGINT) AS n_orders
+        FROM (
+          SELECT o_orderpriority, 'F' AS o_orderstatus, f AS n_orders FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'O', o FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'P', p FROM wide)
+        ORDER BY o_orderpriority, o_orderstatus""")),
+
+    QueryDef(
       "q08_stat_aggs",
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
