@@ -168,8 +168,11 @@ object Dedup {
       .join(cov, Seq("doc_id"), "left")
       .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
       .withColumn("dup_frac",
-        floor((col("n_dup_tokens") * lit(1000000L)).cast("double")
-          / col("n_tokens").cast("double")) / lit(1000000.0))
+        // TRUE integer division (not floor of a double quotient), so
+        // the all-integer claim above holds by construction rather
+        // than by IEEE agreement
+        expr("(n_dup_tokens * CAST(1000000 AS BIGINT)) div n_tokens")
+          / lit(1000000.0))
   }
 
   /** Per-doc DISTINCT shingle-set size as a MAP-SIDE array expression

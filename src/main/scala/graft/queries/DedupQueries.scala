@@ -431,8 +431,8 @@ object DedupQueries {
           FROM mg GROUP BY doc_id)
         SELECT b.doc_id, b.n_tokens,
                COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens,
-               FLOOR(CAST(COALESCE(cov.n_dup_tokens, 0) * 1000000 AS DOUBLE)
-                     / CAST(b.n_tokens AS DOUBLE)) / 1000000.0 AS dup_frac
+               (COALESCE(cov.n_dup_tokens, 0) * 1000000 // b.n_tokens)
+                 / 1000000.0 AS dup_frac
         FROM b LEFT JOIN cov USING (doc_id)
         ORDER BY b.doc_id"""),
       headline = true)

@@ -431,6 +431,11 @@ object EventQueries {
           .select(col("user_id"),
             get_json_object(col("props"), "$.k").cast("bigint").as("item"),
             col("ts"))
+          // a NULL item (missing $.k) must not consume a cap slot —
+          // and Spark (NULLS FIRST asc) and DuckDB (NULLS LAST) would
+          // rank it differently in the cap window, diverging the
+          // capped sets on corpora with absent properties
+          .filter(col("item").isNotNull)
         val firstSeen = items.groupBy(col("user_id"), col("item"))
           .agg(min(col("ts")).as("first_ts"))
         val w = Window.partitionBy(col("user_id"))
@@ -452,7 +457,8 @@ object EventQueries {
       Some("""
         WITH v AS (
           SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
-          FROM events WHERE event_type = 'view'),
+          FROM events
+          WHERE event_type = 'view' AND (props->>'k') IS NOT NULL),
         fs AS (SELECT user_id, item, MIN(ts) AS first_ts
                FROM v GROUP BY 1, 2),
         capped AS (
