@@ -474,6 +474,58 @@ object EventQueries {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
         ORDER BY support DESC, item_a, item_b
-        LIMIT 15"""))
+        LIMIT 15""")),
+
+    QueryDef(
+      "q130_longest_streak",
+      (s, dir) => {
+        // gaps-and-islands: longest run of CONSECUTIVE active days per
+        // user, via the row-number-difference technique — consecutive
+        // days share (day − row_number) as an island key, so streaks
+        // fall out of two hash aggs and two user-keyed windows with no
+        // self-join and no iteration. All-integer/date arithmetic
+        // under the hash gate; every exchange keys on user_id, so the
+        // distinct, both windows, and the island agg line up on one
+        // partitioning.
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = days
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).cast("bigint").as("streak_len"),
+            min(col("day")).as("streak_start"))
+        val best = Window.partitionBy(col("user_id"))
+          .orderBy(col("streak_len").desc, col("streak_start"))
+        islands
+          .withColumn("rn", row_number().over(best))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("streak_len"), col("streak_start"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        islands AS (
+          SELECT user_id,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER)
+                   AS grp,
+                 day
+          FROM days),
+        agg AS (
+          SELECT user_id, grp, COUNT(*) AS streak_len,
+                 MIN(day) AS streak_start
+          FROM islands GROUP BY 1, 2)
+        SELECT user_id, streak_len, streak_start
+        FROM (SELECT user_id, streak_len, streak_start,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY streak_len DESC,
+                                                 streak_start) AS rn
+              FROM agg)
+        WHERE rn = 1
+        ORDER BY user_id"""))
   )
 }

@@ -254,6 +254,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q130: gaps-and-islands — every exchange keys on user_id, no self-join") {
+    val p = plan("q130_longest_streak")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window [") === 2, p) // island numbering + best pick
+    assert(p.contains("WindowGroupLimit"), p) // best-streak pick is top-1 pushed
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
