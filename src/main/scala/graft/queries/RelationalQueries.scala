@@ -888,6 +888,62 @@ object RelationalQueries {
                ROUND(MAX(o_totalprice), 2) AS bucket_max
         FROM orders CROSS JOIN b
         GROUP BY 1
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    QueryDef(
+      "q131_scd2_priority",
+      (s, dir) => {
+        // SCD Type-2 dimension build: turn the append-only orders log
+        // into a slowly-changing history of each customer's order
+        // priority — keep only observations where the priority CHANGED
+        // (null-safe lag compare), then derive [valid_from, valid_to)
+        // intervals with lead() plus a version number; valid_to stays
+        // NULL on the open current version. Both windows ride the same
+        // (custkey → date, orderkey) sort, so the whole build is one
+        // exchange + per-group sorts, joinless; the (date, orderkey)
+        // tiebreak totalizes the order so both engines pick identical
+        // change points. All integer/string/date arithmetic under the
+        // hash gate; the open current version closes with the SCD2
+        // high-date sentinel (2099-12-31) rather than NULL — nullable
+        // non-float columns diverge in the driver's string-compare
+        // (None vs NaT), and the sentinel is the warehouse convention
+        // anyway.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("obs_date"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("obs_date"),
+            col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(!(col("prev") <=> col("o_orderpriority")))
+          .withColumn("version", row_number().over(w).cast("bigint"))
+          .withColumn("valid_to", coalesce(
+            lead(col("obs_date"), 1).over(w), lit("2099-12-31").cast("date")))
+          .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+            col("obs_date").as("valid_from"), col("valid_to"))
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+                 o_orderkey, o_orderpriority
+          FROM orders),
+        changed AS (
+          SELECT * FROM (
+            SELECT o_custkey, obs_date, o_orderkey, o_orderpriority,
+                   LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                     ORDER BY obs_date, o_orderkey) AS prev
+            FROM obs)
+          WHERE prev IS DISTINCT FROM o_orderpriority)
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY obs_date, o_orderkey) AS version,
+               o_orderpriority,
+               obs_date AS valid_from,
+               COALESCE(LEAD(obs_date) OVER (PARTITION BY o_custkey
+                 ORDER BY obs_date, o_orderkey), DATE '2099-12-31')
+                 AS valid_to
+        FROM changed
+        ORDER BY o_custkey, version"""))
   )
 }

@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q131: SCD2 build is joinless, one customer-key exchange") {
+    val p = plan("q131_scd2_priority")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("q115: retention matrix reuses the user-key exchange, no cartesian") {
     val p = plan("q115_retention_matrix")
     assert(!p.contains("CartesianProduct"), p)
