@@ -14,6 +14,51 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** Per-user first-K distinct viewed items (K=20, deterministic
+    * first-seen order) — the skew-guarded building block shared by the
+    * co-occurrence (q126) and item-graph (q132) queries. NULL items
+    * (missing $.k) are dropped BEFORE the cap window so they never
+    * consume a slot — and so the Spark/DuckDB null-ordering divergence
+    * (NULLS FIRST vs LAST) can't change which items make the cut.
+    */
+  private def cappedItemSets(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"),
+        col("ts"))
+      .filter(col("item").isNotNull)
+    val firstSeen = items.groupBy(col("user_id"), col("item"))
+      .agg(min(col("ts")).as("first_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("first_ts"), col("item"))
+    firstSeen
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("user_id"), col("item"))
+  }
+
+  /** The SQL twin of [[cappedItemSets]], shared by the q126/q132
+    * oracles (CTEs `v`, `fs`, `capped`).
+    */
+  private val CappedSql = """
+        WITH v AS (
+          SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
+          FROM events
+          WHERE event_type = 'view' AND (props->>'k') IS NOT NULL),
+        fs AS (SELECT user_id, item, MIN(ts) AS first_ts
+               FROM v GROUP BY 1, 2),
+        capped AS (
+          SELECT user_id, item
+          FROM (SELECT user_id, item,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY first_ts, item) AS rn
+                FROM fs)
+          WHERE rn <= 20)"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -425,25 +470,7 @@ object EventQueries {
         // Shape: one hash agg (first-seen), one user-keyed window, one
         // user-keyed self-join of the capped sets, one pair agg,
         // TakeOrdered top-k.
-        import org.apache.spark.sql.expressions.Window
-        val items = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "view")
-          .select(col("user_id"),
-            get_json_object(col("props"), "$.k").cast("bigint").as("item"),
-            col("ts"))
-          // a NULL item (missing $.k) must not consume a cap slot —
-          // and Spark (NULLS FIRST asc) and DuckDB (NULLS LAST) would
-          // rank it differently in the cap window, diverging the
-          // capped sets on corpora with absent properties
-          .filter(col("item").isNotNull)
-        val firstSeen = items.groupBy(col("user_id"), col("item"))
-          .agg(min(col("ts")).as("first_ts"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("first_ts"), col("item"))
-        val capped = firstSeen
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 20)
-          .select(col("user_id"), col("item"))
+        val capped = cappedItemSets(s, dir)
         val a = capped.select(col("user_id"), col("item").as("item_a"))
         val b = capped.select(col("user_id"), col("item").as("item_b"))
         a.join(b, Seq("user_id"))
@@ -454,20 +481,7 @@ object EventQueries {
           .orderBy(col("support").desc, col("item_a"), col("item_b"))
           .limit(15)
       },
-      Some("""
-        WITH v AS (
-          SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
-          FROM events
-          WHERE event_type = 'view' AND (props->>'k') IS NOT NULL),
-        fs AS (SELECT user_id, item, MIN(ts) AS first_ts
-               FROM v GROUP BY 1, 2),
-        capped AS (
-          SELECT user_id, item
-          FROM (SELECT user_id, item,
-                       ROW_NUMBER() OVER (PARTITION BY user_id
-                                          ORDER BY first_ts, item) AS rn
-                FROM fs)
-          WHERE rn <= 20)
+      Some(CappedSql + """
         SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
         FROM capped a JOIN capped b USING (user_id)
         WHERE a.item < b.item
@@ -526,6 +540,93 @@ object EventQueries {
                                                  streak_start) AS rn
               FROM agg)
         WHERE rn = 1
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    QueryDef(
+      "q132_triangle_count",
+      (s, dir) => {
+        // per-item triangle participation in the item co-occurrence
+        // graph (support ≥ 2 edges over the q126 capped sets) — the
+        // canonical bounded-shuffle graph pattern: orient every edge
+        // from its lower-(degree, id) endpoint to the higher, so each
+        // triangle is found EXACTLY once as a wedge at its lowest-rank
+        // vertex closed by one oriented edge. Orientation bounds the
+        // wedge fan-out by the graph's arboricity instead of the max
+        // degree — the celebrity node never enumerates its d² wedge
+        // pairs, which is what makes triangle counting survive a
+        // power-law graph at 100 TB. All joins are equi-joins on
+        // vertex keys; every count is integer-exact under the hash
+        // gate.
+        val capped = cappedItemSets(s, dir)
+        val a = capped.select(col("user_id"), col("item").as("ia"))
+        val b = capped.select(col("user_id"), col("item").as("ib"))
+        val edges = a.join(b, Seq("user_id"))
+          .filter(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("ia"), col("ib"))
+        val deg = edges.select(col("ia").as("node"))
+          .unionAll(edges.select(col("ib").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("ia"), col("deg").as("da")), Seq("ia"))
+          .join(deg.select(col("node").as("ib"), col("deg").as("db")), Seq("ib"))
+        val ltAB = struct(col("da"), col("ia")) < struct(col("db"), col("ib"))
+        val oriented = withDeg.select(
+          when(ltAB, col("ia")).otherwise(col("ib")).as("src"),
+          when(ltAB, col("ib")).otherwise(col("ia")).as("dst"),
+          when(ltAB, col("db")).otherwise(col("da")).as("dd"))
+        val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+        val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+        val wedges = o1.join(o2, Seq("src"))
+          .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+        val tris = wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+          .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+        tris.select(col("x").as("item"))
+          .unionAll(tris.select(col("y").as("item")))
+          .unionAll(tris.select(col("z").as("item")))
+          .groupBy(col("item")).agg(count(lit(1)).as("n_triangles"))
+          .join(deg, col("item") === col("node"))
+          .select(col("item"), col("deg"), col("n_triangles"))
+          .orderBy(col("item"))
+      },
+      Some(CappedSql + """,
+        edges AS (
+          SELECT a.item AS ia, b.item AS ib
+          FROM capped a JOIN capped b USING (user_id)
+          WHERE a.item < b.item
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2),
+        deg AS (
+          SELECT node, COUNT(*) AS deg
+          FROM (SELECT ia AS node FROM edges
+                UNION ALL SELECT ib FROM edges)
+          GROUP BY 1),
+        oriented AS (
+          SELECT CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
+                      THEN e.ia ELSE e.ib END AS src,
+                 CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
+                      THEN e.ib ELSE e.ia END AS dst,
+                 CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
+                      THEN db.deg ELSE da.deg END AS dd
+          FROM edges e
+          JOIN deg da ON e.ia = da.node
+          JOIN deg db ON e.ib = db.node),
+        tri AS (
+          SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+          FROM oriented o1
+          JOIN oriented o2 ON o1.src = o2.src
+          JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+          WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst))
+        SELECT t.item, deg.deg, t.n_triangles
+        FROM (SELECT item, COUNT(*) AS n_triangles
+              FROM (SELECT x AS item FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+              GROUP BY 1) t
+        JOIN deg ON t.item = deg.node
+        ORDER BY t.item"""))
   )
 }

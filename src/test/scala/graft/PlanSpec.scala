@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q132: triangle counting closes wedges with equi-joins only") {
+    val p = plan("q132_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q131: SCD2 build is joinless, one customer-key exchange") {
     val p = plan("q131_scd2_priority")
     assert(!p.contains("Join"), p)
