@@ -627,6 +627,61 @@ object EventQueries {
                     UNION ALL SELECT z FROM tri)
               GROUP BY 1) t
         JOIN deg ON t.item = deg.node
-        ORDER BY t.item"""))
+        ORDER BY t.item""")),
+
+    QueryDef(
+      "q133_peak_concurrency",
+      (s, dir) => {
+        // peak concurrent users per day via the boundary-sweep trick:
+        // each user-day activity span [min ts, max ts] emits a +1 at
+        // its start and a −1 at its end, and a day-keyed running sum
+        // over the ordered boundaries gives the live concurrency at
+        // every instant — max of that is the peak. This is interval
+        // stabbing WITHOUT the interval self-join (the naive
+        // overlap-join is O(n²) per day and unshardable); the sweep is
+        // one union, one window, one agg, all partitioned by day. Ties
+        // order +1 before −1 (delta DESC) so touching spans count as
+        // overlapping; the user_id tiebreak totalizes the order. The
+        // peak is order-invariant among equal deltas, so the output is
+        // engine-stable; sums stay integer under the hash gate (DuckDB
+        // HUGEINT cast back to BIGINT in the oracle).
+        import org.apache.spark.sql.expressions.Window
+        val spans = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        val deltas = spans.select(col("day"), col("start_ts").as("ts"),
+            lit(1).as("delta"), col("user_id"))
+          .unionAll(spans.select(col("day"), col("end_ts").as("ts"),
+            lit(-1).as("delta"), col("user_id")))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("ts"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("c", sum(col("delta")).over(w))
+          .groupBy(col("day"))
+          .agg(max(col("c")).as("peak_concurrency"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH spans AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 MIN(ts) AS start_ts, MAX(ts) AS end_ts
+          FROM events GROUP BY 1, 2),
+        deltas AS (
+          SELECT day, start_ts AS ts, 1 AS delta, user_id FROM spans
+          UNION ALL
+          SELECT day, end_ts AS ts, -1 AS delta, user_id FROM spans),
+        conc AS (
+          SELECT day, user_id,
+                 SUM(delta) OVER (PARTITION BY day
+                   ORDER BY ts, delta DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM deltas)
+        SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM conc
+        GROUP BY 1
+        ORDER BY day"""))
   )
 }

@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q133: concurrency sweep is joinless, day-partitioned") {
+    val p = plan("q133_peak_concurrency")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window [") === 1, p)
+  }
+
   test("q132: triangle counting closes wedges with equi-joins only") {
     val p = plan("q132_triangle_count")
     assert(!p.contains("CartesianProduct"), p)
