@@ -566,30 +566,7 @@ object EventQueries {
           .agg(count(lit(1)).as("sup"))
           .filter(col("sup") >= 2)
           .select(col("ia"), col("ib"))
-        val deg = edges.select(col("ia").as("node"))
-          .unionAll(edges.select(col("ib").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val withDeg = edges
-          .join(deg.select(col("node").as("ia"), col("deg").as("da")), Seq("ia"))
-          .join(deg.select(col("node").as("ib"), col("deg").as("db")), Seq("ib"))
-        val ltAB = struct(col("da"), col("ia")) < struct(col("db"), col("ib"))
-        val oriented = withDeg.select(
-          when(ltAB, col("ia")).otherwise(col("ib")).as("src"),
-          when(ltAB, col("ib")).otherwise(col("ia")).as("dst"),
-          when(ltAB, col("db")).otherwise(col("da")).as("dd"))
-        val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-        val o2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
-        val wedges = o1.join(o2, Seq("src"))
-          .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
-        val tris = wedges.join(
-          oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-          .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
-        tris.select(col("x").as("item"))
-          .unionAll(tris.select(col("y").as("item")))
-          .unionAll(tris.select(col("z").as("item")))
-          .groupBy(col("item")).agg(count(lit(1)).as("n_triangles"))
-          .join(deg, col("item") === col("node"))
-          .select(col("item"), col("deg"), col("n_triangles"))
+        graft.ext.Graphs.triangleCounts(edges)
           .orderBy(col("item"))
       },
       Some(CappedSql + """,
@@ -604,22 +581,14 @@ object EventQueries {
           FROM (SELECT ia AS node FROM edges
                 UNION ALL SELECT ib FROM edges)
           GROUP BY 1),
-        oriented AS (
-          SELECT CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
-                      THEN e.ia ELSE e.ib END AS src,
-                 CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
-                      THEN e.ib ELSE e.ia END AS dst,
-                 CASE WHEN (da.deg, e.ia) < (db.deg, e.ib)
-                      THEN db.deg ELSE da.deg END AS dd
-          FROM edges e
-          JOIN deg da ON e.ia = da.node
-          JOIN deg db ON e.ib = db.node),
         tri AS (
-          SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
-          FROM oriented o1
-          JOIN oriented o2 ON o1.src = o2.src
-          JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
-          WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst))
+          -- naive a<b<c enumeration: INDEPENDENT of the engine's
+          -- degree-orientation trick, so an orientation bug (double
+          -- count, dropped wedge) hash-fails rather than replaying
+          SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+          FROM edges e1
+          JOIN edges e2 ON e1.ia = e2.ia AND e1.ib < e2.ib
+          JOIN edges e3 ON e3.ia = e1.ib AND e3.ib = e2.ib)
         SELECT t.item, deg.deg, t.n_triangles
         FROM (SELECT item, COUNT(*) AS n_triangles
               FROM (SELECT x AS item FROM tri
