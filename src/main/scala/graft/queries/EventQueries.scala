@@ -651,6 +651,57 @@ object EventQueries {
                COUNT(DISTINCT user_id) AS n_users
         FROM conc
         GROUP BY 1
+        ORDER BY day""")),
+
+    QueryDef(
+      "q134_user_growth",
+      (s, dir) => {
+        // growth accounting: split each day's actives into NEW (first
+        // ever seen that day) vs RETURNING, plus the cumulative
+        // distinct-user count — which needs no distinct-over-window at
+        // all, because cumulative uniques ≡ running sum of daily new
+        // users. first-seen is a user-keyed window min (no join-back);
+        // the final cumulative window runs over the ~day-count rows of
+        // the AGGREGATED frame, so its single-partition sort is over
+        // the date dimension, not the data (bounded by calendar, the
+        // q127 spine argument). All-integer/date under the hash gate.
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val wu = Window.partitionBy(col("user_id"))
+        val daily = days
+          .withColumn("first_day", min(col("day")).over(wu))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("n_new"))
+        val wd = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(col("day"), col("n_active"), col("n_new"),
+            (col("n_active") - col("n_new")).as("n_returning"),
+            sum(col("n_new")).over(wd).as("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        flagged AS (
+          SELECT day,
+                 CASE WHEN day = MIN(day) OVER (PARTITION BY user_id)
+                      THEN 1 ELSE 0 END AS is_new
+          FROM days),
+        daily AS (
+          SELECT day, COUNT(*) AS n_active,
+                 CAST(SUM(is_new) AS BIGINT) AS n_new
+          FROM flagged GROUP BY 1)
+        SELECT day, n_active, n_new,
+               n_active - n_new AS n_returning,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM daily
         ORDER BY day"""))
   )
 }

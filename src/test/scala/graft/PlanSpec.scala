@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q134: growth accounting is joinless; cumulative window rides the aggregated frame") {
+    val p = plan("q134_user_growth")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window [") === 2, p) // first-seen min + cumulative sum
+  }
+
   test("q133: concurrency sweep is joinless, day-partitioned") {
     val p = plan("q133_peak_concurrency")
     assert(!p.contains("Join"), p)
