@@ -702,6 +702,57 @@ object EventQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_users
         FROM daily
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    QueryDef(
+      "q135_rolling_actives",
+      (s, dir) => {
+        // EXACT rolling 7-day active users (WAU) per day, via the
+        // contribution-explode trick: each (user, day) activity row
+        // fans out map-side to the ≤7 window-end days it contributes
+        // to, and one distinct-agg per window-end day does the rest —
+        // distinct counts don't compose across a sliding frame, so the
+        // window-function route is unavailable and the naive
+        // alternative (a date-RANGE self-join per day) rescans 7× and
+        // skews on hot days. Explode cost is a fixed ×7 on the
+        // DEDUPED user-day frame, not the raw events. DAU joins back
+        // on the day key; stickiness is integer-exact permille
+        // (div, not float division, per the hash-gate rules).
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val maxDay = ud.agg(max(col("day")).as("max_day"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("x"), col("day"))
+          .select(col("user_id"), expr("date_add(day, x)").as("rday"))
+          .crossJoin(broadcast(maxDay))
+          .filter(col("rday") <= col("max_day"))
+          .groupBy(col("rday"))
+          .agg(count_distinct(col("user_id")).as("wau"))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        wau.join(dau, col("rday") === col("day"), "left")
+          .select(col("rday"), coalesce(col("dau"), lit(0L)).as("dau"),
+            col("wau"),
+            expr("coalesce(dau, 0L) * 1000 div wau").as("stickiness_permille"))
+          .orderBy(col("rday"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        mx AS (SELECT MAX(day) AS max_day FROM ud),
+        contrib AS (
+          SELECT user_id, day + CAST(t.x AS INTEGER) AS rday
+          FROM ud, range(0, 7) t(x)),
+        wau AS (
+          SELECT rday, COUNT(DISTINCT user_id) AS wau
+          FROM contrib, mx
+          WHERE rday <= max_day
+          GROUP BY 1),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        SELECT rday, COALESCE(dau.dau, 0) AS dau, wau.wau,
+               COALESCE(dau.dau, 0) * 1000 // wau.wau AS stickiness_permille
+        FROM wau LEFT JOIN dau ON rday = dau.day
+        ORDER BY rday"""))
   )
 }

@@ -262,6 +262,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q135: rolling actives explodes map-side; only the 1-row bound and day key join") {
+    val p = plan("q135_rolling_actives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), p) // the ×7 contribution fan-out
+    // the only nested-loop is the 1-row max_day broadcast
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
   test("q134: growth accounting is joinless; cumulative window rides the aggregated frame") {
     val p = plan("q134_user_growth")
     assert(!p.contains("Join"), p)
