@@ -753,6 +753,60 @@ object EventQueries {
         SELECT rday, COALESCE(dau.dau, 0) AS dau, wau.wau,
                COALESCE(dau.dau, 0) * 1000 // wau.wau AS stickiness_permille
         FROM wau LEFT JOIN dau ON rday = dau.day
-        ORDER BY rday"""))
+        ORDER BY rday""")),
+
+    QueryDef(
+      "q136_last_touch_attribution",
+      (s, dir) => {
+        // last-touch attribution: credit each purchase to the item of
+        // the user's most recent PRIOR view, by carrying the viewed
+        // item forward over the user's event timeline with an
+        // ignoreNulls last() window (the q127 forward-fill trick on
+        // the behavioral stream) — no event-to-event self-join, no
+        // per-purchase lookback scan; one user-keyed window, one agg.
+        // The (ts, event_id) tiebreak totalizes the timeline so both
+        // engines pick the same touch when a view and a purchase share
+        // a timestamp. Unattributed purchases (no prior view) keep a
+        // -1 bucket instead of NULL — a NULL bigint group would read
+        // back as pandas float64 and wobble the driver's dtype-based
+        // compare.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            when(col("event_type") === "view",
+              get_json_object(col("props"), "$.k").cast("bigint"))
+              .as("viewed_item"))
+          .withColumn("attr_item",
+            last(col("viewed_item"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attr_item"), lit(-1L)).as("item"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 2).as("attributed_value"))
+          .orderBy(col("item"))
+      },
+      Some("""
+        WITH tl AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN event_type = 'view'
+                      THEN CAST(props->>'k' AS BIGINT) END AS viewed_item
+          FROM events),
+        attr AS (
+          SELECT event_type, value,
+                 LAST_VALUE(viewed_item IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS attr_item
+          FROM tl)
+        SELECT COALESCE(attr_item, -1) AS item,
+               COUNT(*) AS n_purchases,
+               ROUND(SUM(value), 2) AS attributed_value
+        FROM attr
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY item"""))
   )
 }

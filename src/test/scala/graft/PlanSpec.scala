@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q136: last-touch attribution is joinless — carry-forward, not per-purchase lookback") {
+    val p = plan("q136_last_touch_attribution")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window [") === 1, p)
+  }
+
   test("q135: rolling actives explodes map-side; only the 1-row bound and day key join") {
     val p = plan("q135_rolling_actives")
     assert(!p.contains("CartesianProduct"), p)
