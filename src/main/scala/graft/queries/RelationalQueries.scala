@@ -944,6 +944,68 @@ object RelationalQueries {
                  ORDER BY obs_date, o_orderkey), DATE '2099-12-31')
                  AS valid_to
         FROM changed
-        ORDER BY o_custkey, version"""))
+        ORDER BY o_custkey, version""")),
+
+    QueryDef(
+      "q137_pareto_abc",
+      (s, dir) => {
+        // Pareto / ABC analysis: rank customers by revenue, classify
+        // by cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail),
+        // and summarize each class. Determinism care: per-customer
+        // revenue is rounded to 2dp BEFORE the running sum (hash-agg
+        // summation order differs across engines; 2dp rounding
+        // absorbs it), the running sum rides a totally-ordered window
+        // (revenue DESC, custkey), and the TOTAL is max(cum) over the
+        // full frame — the last prefix value — rather than a separate
+        // unordered SUM, so the permille boundary sees bit-identical
+        // doubles in both engines. The global-order window here rides
+        // the customer-aggregated frame; at 100 TB-dimension scale the
+        // same prefix sum runs as a two-pass range-partitioned scan
+        // (per-partition partials + offset broadcast) instead of a
+        // single-partition sort.
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        val wCum = Window.orderBy(col("revenue").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("revenue").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        rev
+          .withColumn("cum", sum(col("revenue")).over(wCum))
+          .withColumn("permille",
+            floor(col("cum") * 1000.0 / max(col("cum")).over(wAll))
+              .cast("bigint"))
+          .withColumn("abc_class",
+            when(col("permille") <= 800, "A")
+              .when(col("permille") <= 950, "B").otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("revenue")), 2).as("class_revenue"))
+          .orderBy(col("abc_class"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1),
+        cums AS (
+          SELECT o_custkey, revenue,
+                 SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM rev),
+        shares AS (
+          SELECT revenue,
+                 CAST(FLOOR(cum * 1000.0 / MAX(cum) OVER ()) AS BIGINT)
+                   AS permille
+          FROM cums)
+        SELECT CASE WHEN permille <= 800 THEN 'A'
+                    WHEN permille <= 950 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(revenue), 2) AS class_revenue
+        FROM shares
+        GROUP BY 1
+        ORDER BY abc_class"""))
   )
 }
