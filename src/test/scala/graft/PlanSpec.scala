@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
 
+  test("q137: Pareto classification is joinless; both windows share one global sort") {
+    val p = plan("q137_pareto_abc")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Sort [revenue") === 1, p) // cum + total ride one sort
+  }
+
   test("q136: last-touch attribution is joinless — carry-forward, not per-purchase lookback") {
     val p = plan("q136_last_touch_attribution")
     assert(!p.contains("Join"), p)
