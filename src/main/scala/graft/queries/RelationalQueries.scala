@@ -1006,6 +1006,62 @@ object RelationalQueries {
                ROUND(SUM(revenue), 2) AS class_revenue
         FROM shares
         GROUP BY 1
-        ORDER BY abc_class"""))
+        ORDER BY abc_class""")),
+
+    QueryDef(
+      "q138_benford_screen",
+      (s, dir) => {
+        // Benford first-digit screen over order totals — the fraud /
+        // fabricated-data smoke test: compare the observed first-digit
+        // distribution against Benford's law and report the permille
+        // deviation per digit. Everything under the hash gate is
+        // integer or string: FLOOR before the bigint cast (Spark casts
+        // double→bigint by truncation, DuckDB by rounding — floor
+        // makes them agree), observed share via integer-div permille
+        // over a 9-row full-frame window sum, and the expected shares
+        // are the ROUNDED-permille Benford constants as shared
+        // literals on both sides — no log10 anywhere near the gate.
+        // Shape: map-side digit extract, one hash agg, a 9-row window
+        // + broadcast join.
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val expected = Seq(
+          ("1", 301L), ("2", 176L), ("3", 125L), ("4", 97L), ("5", 79L),
+          ("6", 67L), ("7", 58L), ("8", 51L), ("9", 46L))
+          .toDF("digit", "expected_permille")
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("bigint")
+            .cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("observed_permille",
+            expr("n * 1000 div sum(n) over ()"))
+          .join(broadcast(expected), Seq("digit"))
+          .select(col("digit"), col("n"), col("observed_permille"),
+            col("expected_permille"),
+            abs(col("observed_permille") - col("expected_permille"))
+              .as("deviation_permille"))
+          .orderBy(col("digit"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS digit
+          FROM orders),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT digit, n,
+                     n * 1000 // CAST(SUM(n) OVER () AS BIGINT)
+                       AS observed_permille
+              FROM c),
+        e(digit, expected_permille) AS (VALUES
+          ('1', 301), ('2', 176), ('3', 125), ('4', 97), ('5', 79),
+          ('6', 67), ('7', 58), ('8', 51), ('9', 46))
+        SELECT t.digit, n, observed_permille,
+               CAST(expected_permille AS BIGINT) AS expected_permille,
+               ABS(observed_permille - expected_permille)
+                 AS deviation_permille
+        FROM t JOIN e ON t.digit = e.digit
+        ORDER BY t.digit"""))
   )
 }
