@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] is one JVM playing driver AND all 32
+  // executor threads; at 8g the bench's x10/x30 corpus entries ran
+  // with little headroom over Spark's unified memory region, and a
+  // squeezed old-gen shows up as multi-x wall-clock wobble (BENCH_r03
+  // x10_q65) long before an OOM. The sandbox has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -25,6 +25,11 @@ object GraftSession {
       // raw longs engine-wide (Tables.load converts) — set here, not in
       // the loader, so loading never mutates a shared session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner reclaims shuffle files / broadcast blocks only
+      // after their JVM refs are collected; a long multi-query session
+      // can otherwise run dozens of entries before the default 30min
+      // periodic GC lets any of it go (the r3 bench-wobble post-mortem)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

@@ -36,11 +36,17 @@ object DataQuality {
     * NULL child keys are excluded — they are [[notNullCheck]]'s
     * finding, and an anti-join would otherwise count every NULL as an
     * orphan (dbt's relationships test likewise ignores NULLs).
+    *
+    * No broadcast hint: the parent is a DIMENSION in the common case
+    * but nothing enforces that, and a forced broadcast of a large
+    * parent would OOM the driver. Left unhinted, Catalyst/AQE
+    * broadcasts a small parent anyway (runtime size stats) and plans
+    * a shuffled anti-join for a large one — both complete.
     */
   def fkCheck(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
     one(name, child.filter(child(childKey).isNotNull)
-      .join(broadcast(parent), child(childKey) === parent(parentKey),
+      .join(parent, child(childKey) === parent(parentKey),
         "left_anti"))
 
   /** Rows where `c` falls outside `allowed` (dbt `accepted_values`). */

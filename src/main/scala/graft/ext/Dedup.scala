@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** What the last [[minhashDupPairs]]/[[incrementalDupPairs]] verify
+    * join actually did: how many candidate pairs survived banding, and
+    * whether the guarded broadcast hint was applied or dropped for the
+    * exchange-based fallback. Surfaced so a bench/ops tail can record
+    * the decision — a silent hint-drop is a plan change that would
+    * otherwise be invisible in a wall-clock number (the round-3
+    * x10_q65 post-mortem's ask).
+    */
+  final case class MinhashDiag(nPairs: Long, verifyJoin: String)
+  @volatile var lastMinhashDiag: Option[MinhashDiag] = None
+
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** 60-bit deterministic content hash computable in BOTH engines: the
@@ -274,12 +285,13 @@ object Dedup {
     val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
-    // persisted + counted: the count is the broadcast-safety guard
-    // below, and the persist makes the verify join read the (tiny,
-    // output-scale) pair set from cache instead of re-running the
-    // whole LSH pipeline. Callers/harnesses clear the cache once the
-    // query's result materializes (Verify/Bench do).
-    val candidates = withSig
+    // staged + counted: the count is the broadcast-safety guard below,
+    // and the disk stage ([[graft.Staging.checkpoint]]) makes the
+    // verify join read the (tiny, output-scale) pair set from a file
+    // instead of re-running the whole LSH pipeline — with no cache
+    // entry left behind in the caller's session, and no eviction race
+    // between the counted set and the joined set.
+    val candidates = graft.Staging.checkpoint(withSig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("doc_id"),
@@ -290,9 +302,10 @@ object Dedup {
       .select(explode(col("ids")).as("doc_id_a"), col("ids"))
       .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct(), "mh-cands")
     val nPairs = candidates.count()
+    lastMinhashDiag = Some(MinhashDiag(nPairs,
+      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle"))
     // single-scan text attach: explode each pair into its two sides,
     // broadcast-join the corpus once, re-pair with a tiny aggregation
     // keyed on the pair. The broadcast side is the operator's OUTPUT
@@ -372,12 +385,15 @@ object Dedup {
     // candidate pairs: batch band keys against the index. The batch
     // side is the small one — broadcast it so the index never moves
     // (an AQE-chosen shuffle join remains the fallback at the hint's
-    // size cap). Persisted + counted like minhashDupPairs: the count
-    // guards the verify-side broadcast.
-    val candidates = index.join(broadcast(newBands), Seq("band_id", "band_hash"))
-      .select(col("new_id"), col("old_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size cap). Disk-staged + counted like minhashDupPairs: the count
+    // guards the verify-side broadcast, and no cache entry survives
+    // the call.
+    val candidates = graft.Staging.checkpoint(
+      index.join(broadcast(newBands), Seq("band_id", "band_hash"))
+        .select(col("new_id"), col("old_id")).distinct(), "inc-cands")
     val nPairs = candidates.count()
+    lastMinhashDiag = Some(MinhashDiag(nPairs,
+      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle"))
     val hinted = if (nPairs <= broadcastPairLimit) broadcast(candidates)
       else candidates
     // texts attach candidate-side only: history streams ONE map-side
@@ -412,45 +428,45 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverLimit: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
-    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // disk-staged: consumed by the count below plus either the collect
+    // (small path) or the edge build (iterative path); no cache entry
+    // survives the call either way
+    val p = graft.Staging.checkpoint(
+      pairs.select(col("doc_id_a"), col("doc_id_b")), "cc-pairs")
     // LSH + threshold leave a SPARSE pair set (pairs ≪ docs); below
     // the cutoff a driver-side union-find replaces ~diameter Spark
     // jobs with one collect — the standard hybrid in production dedup
     // pipelines. The iterative path below remains the unbounded-scale
     // fallback.
     if (p.count() <= driverLimit) {
-      try {
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
-          }
-          r
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
         }
-        p.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val keys = parent.keySet ++ parent.values
-        val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
-        import spark.implicits._
-        return assignments.toDF("doc_id", "cluster_id")
-      } finally p.unpersist() // fully consumed by count + collect
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val keys = parent.keySet ++ parent.values
+      val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
+      import spark.implicits._
+      return assignments.toDF("doc_id", "cluster_id")
     }
     // undirected edge list, both directions
-    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.Staging.checkpoint(
+      p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+        .distinct(), "cc-edges")
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -459,25 +475,22 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // staged per round: one materialization serves the convergence
+      // probe AND the next round's join, and the read-back truncates
+      // lineage — the plan stays O(1) per round where persist() would
+      // let it grow with the iteration count
+      val next = graft.Staging.checkpoint(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+              .as("cluster_id")), s"cc-labels-$i")
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    // the loop's `changed` counts materialized the final labels cache;
-    // the inputs are dead weight now (labels stays persisted — it is
-    // the returned result; harness-level cache clearing reaps it once
-    // the caller's query materializes)
-    edges.unpersist()
-    p.unpersist()
     labels
   }
 
@@ -532,15 +545,16 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "pigeonhole blocking uses 4 chunks ⇒ maxDist ≤ 3")
     val withSim = simhashes(docs, idCol, textCol)
-    // persisted: the blocking self-join reads it twice (see minhash)
-    val chunked = withSim.select(col("doc_id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk_id"),
-          call_function("shiftright", col("simhash"), c * 15)
-            .bitwiseAND(0x7FFFL).as("chunk_value")))).as("ch"))
+    // disk-staged: the blocking self-join reads it twice (see minhash)
+    val chunked = graft.Staging.checkpoint(
+      withSim.select(col("doc_id"), col("simhash"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk_id"),
+            call_function("shiftright", col("simhash"), c * 15)
+              .bitwiseAND(0x7FFFL).as("chunk_value")))).as("ch"))
       .select(col("doc_id"), col("simhash"),
-        col("ch.chunk_id").as("chunk_id"), col("ch.chunk_value").as("chunk_value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("ch.chunk_id").as("chunk_id"), col("ch.chunk_value").as("chunk_value")),
+      "sh-chunks")
     val a = chunked.select(col("chunk_id"), col("chunk_value"),
       col("doc_id").as("doc_id_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk_id"), col("chunk_value"),

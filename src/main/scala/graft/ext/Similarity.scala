@@ -292,11 +292,12 @@ object Similarity {
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // persisted: the bucket self-join reads it twice (no cross-branch
+    // disk-staged: the bucket self-join reads it twice (no cross-branch
     // exchange reuse); one row per vector, so small relative to a scan
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Staging.checkpoint(
+      embeddings.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes)),
+      "lsh-vecs")
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))

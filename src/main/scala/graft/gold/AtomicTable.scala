@@ -293,10 +293,14 @@ object AtomicTable {
   def append(spark: SparkSession, df: DataFrame, root: String,
       statsCol: Option[String] = None): Int = {
     val staged = stage(df, root, statsCol)
-    // nothing staged → no commit: an empty first write must not create
-    // an empty (schema-less) table, and on an existing table
-    // republishing `prev` alone would bump the version for a no-op
-    if (staged.isEmpty) return latestVersion(root).getOrElse(-1)
+    // no rows staged → no commit: an empty first write must not create
+    // a row-less table, and on an existing table appending an empty
+    // file (or republishing `prev` alone) would bump the version for a
+    // no-op. Row-level check, not files-level: a plain parquet write
+    // of an empty frame still emits one schema-bearing part file, so
+    // `staged.isEmpty` alone misses the common empty-append case.
+    if (stagedRowless(spark, root, staged))
+      return latestVersion(root).getOrElse(-1)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -307,17 +311,32 @@ object AtomicTable {
     committed
   }
 
-  /** Overwrite: new snapshot = staged files only. An EMPTY overwrite
-    * never commits (returns -1), existing table or not: a zero-file
-    * manifest reads back as a schema-less `emptyDataFrame`, wedging
-    * every caller that selects columns — the exact failure the empty
-    * first-write guard in [[append]] exists to prevent. Truncation,
-    * if ever needed, must keep schema (write one empty part file),
-    * not publish an empty manifest.
+  /** True when the staged write carries no rows — either no files at
+    * all (partitionBy of an empty frame emits none) or only the
+    * schema-bearing empty part file a plain parquet write of an empty
+    * frame produces. One cheap scan over the (tiny) staged files.
+    */
+  private def stagedRowless(spark: SparkSession, root: String,
+      staged: Seq[String]): Boolean =
+    staged.isEmpty ||
+      spark.read.parquet(staged.map(e => s"$root/${pathOf(e)}"): _*).isEmpty
+
+  /** Overwrite: new snapshot = staged files only. An empty overwrite
+    * of an EXISTING table is a SCHEMA-PRESERVING TRUNCATE: the commit
+    * keeps the empty part file the parquet writer produced, so the
+    * 0-row snapshot still reads with the incoming frame's schema —
+    * never a schema-less zero-file manifest (Iceberg-faithful: a
+    * truncated table remains a table; cf. the reference's
+    * `delta_to_iceberg.py:43-52`, whose tables always carry schema).
+    * An empty FIRST write still refuses (-1): creating a table that
+    * has never seen a row is almost always a caller bug, and it keeps
+    * [[append]]'s no-empty-first-commit rule uniform.
     */
   def overwrite(spark: SparkSession, df: DataFrame, root: String): Int = {
     val staged = stage(df, root)
-    if (staged.isEmpty) return -1
+    if (staged.isEmpty) return -1 // partitionless writer emitted nothing
+    if (latestVersion(root).isEmpty && stagedRowless(spark, root, staged))
+      return -1
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -841,12 +860,49 @@ object AtomicTable {
       latestVersion(root) match {
         case None =>
           val staged = stage(df, root)
-          if (staged.isEmpty) return -1 // nothing to commit — never wedge
+          // no rows to commit — never create a row-less table
+          if (stagedRowless(spark, root, staged)) return -1
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
           val target = readVersion(spark, root, v)
           val kept = target
             .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+          val staged = stage(
+            kept.unionByName(df, allowMissingColumns = true), root)
+          if (tryPublish(root, v + 1, staged)) committed = v + 1
+      }
+    }
+    committed
+  }
+
+  /** Group-replacement MERGE: delete every target row whose `groupCol`
+    * value appears in `groups`, then insert ALL of `df` — the
+    * "replace this document's whole chunk set" semantics a row-keyed
+    * upsert cannot express: a re-ingested doc with FEWER rows leaves
+    * its stale higher-keyed rows behind under [[merge]], and a doc
+    * that flipped from keep to drop leaves every old row. `groups`
+    * may contain keys with no rows in `df` (a pure delete), and the
+    * result may legitimately be EMPTY — that commits as a
+    * schema-preserving 0-row snapshot (see [[overwrite]]), not a
+    * schema-less manifest. Same optimistic protocol as [[merge]]:
+    * losing the commit race recomputes against the new latest
+    * snapshot; replaying the same call is idempotent by content.
+    * Returns the committed version, or -1 when there is nothing to
+    * commit (empty source on a nonexistent table).
+    */
+  def replaceGroups(spark: SparkSession, df: DataFrame, root: String,
+      groupCol: String, groups: DataFrame): Int = {
+    val g = groups.select(col(groupCol)).distinct()
+    var committed = -1
+    while (committed < 0) {
+      latestVersion(root) match {
+        case None =>
+          val staged = stage(df, root)
+          if (stagedRowless(spark, root, staged)) return -1
+          if (tryPublish(root, 0, staged)) committed = 0
+        case Some(v) =>
+          val target = readVersion(spark, root, v)
+          val kept = target.join(g, Seq(groupCol), "left_anti")
           val staged = stage(
             kept.unionByName(df, allowMissingColumns = true), root)
           if (tryPublish(root, v + 1, staged)) committed = v + 1

@@ -22,7 +22,13 @@ object Pipeline {
       nEvents: Int = 500,
       seed: Long = 42L,
       factTable: String = "fct_purchases",
-      policy: StepPolicy = StepPolicy())
+      policy: StepPolicy = StepPolicy(),
+      /** Extra raw envelopes unioned into the generated feed — the
+        * corrupt-producer injection point (tests/chaos): malformed
+        * payloads here must land in the quarantine DLQ, not in Silver
+        * and not as a pipeline failure.
+        */
+      rawExtra: Seq[String] = Nil)
 
   /** The Airflow task policy re-expressed
     * (`pipeline/dags/sales_pipeline_dag.py:70-76`: `retries`,
@@ -88,6 +94,7 @@ object Pipeline {
 
   final case class Result(
       silverRows: Long,
+      quarantinedRows: Long,
       factRowsAppended: Long,
       daily: DataFrame,
       anomalies: DataFrame)
@@ -105,7 +112,8 @@ object Pipeline {
     // produce (the generator stands in for Kafka; SURVEY.md §2.2 K7)
     val gen = EventGenerator.generate(
       EventGenerator.defaultProducts, cfg.nEvents, cfg.seed)
-    val raw = gen.purchases.map(EventGenerator.toJson).toDF("value")
+    val raw = (gen.purchases.map(EventGenerator.toJson) ++ cfg.rawExtra)
+      .toDF("value")
 
     // ingest → Silver (deterministic ingestion stamp = event time here;
     // streaming path covered by StreamingSilver + tests). Row/parse
@@ -122,16 +130,25 @@ object Pipeline {
         try body finally spark.sparkContext.clearJobGroup()
       }
 
-    val ingestedRows = sparkStep("ingest_silver") {
+    val (ingestedRows, quarantinedRows) = sparkStep("ingest_silver") {
+      // dead-letter split (F1 + DLQ, SURVEY.md §2): malformed
+      // envelopes are ROUTED to the quarantine store with their raw
+      // payload + reason and SURFACED as a step output — the run
+      // keeps going, mirroring the reference's console sink that
+      // shows malformed rows without killing the consumer
+      // (`streaming_consumer.py:75-78`). The old behavior (fail the
+      // step on any unparsed row) punished the whole pipeline for one
+      // corrupt producer message.
       val obs = new org.apache.spark.sql.Observation()
-      val parsed = Silver
-        .parsePurchases(raw, ingestionTs = col("transaction_time"))
-        .observe(obs, count(lit(1)).as("n_rows"),
-          sum(when(col("transaction_id").isNull, 1).otherwise(0)).as("n_unparsed"))
-      Silver.writeSilver(parsed, silverPath)
-      require(obs.get("n_unparsed").asInstanceOf[Long] == 0L,
-        "malformed events reached Silver")
-      obs.get("n_rows").asInstanceOf[Long]
+      val (valid, quarantine) = Silver.parseWithQuarantine(
+        raw, ingestionTs = col("data.transaction_time"))
+      Silver.writeSilver(
+        valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)
+      val nq = quarantine.count()
+      if (nq > 0)
+        quarantine.write.mode(SaveMode.Append)
+          .parquet(s"${cfg.lakeDir}/silver/quarantine")
+      (obs.get("n_rows").asInstanceOf[Long], nq)
     }
     val silver = Silver.readSilver(spark, silverPath)
 
@@ -157,6 +174,6 @@ object Pipeline {
         .option("header", "true")
         .csv(s"${cfg.lakeDir}/ml_results/anomaly_detections")
     }
-    Result(ingestedRows, appended, daily, anomalies)
+    Result(ingestedRows, quarantinedRows, appended, daily, anomalies)
   }
 }

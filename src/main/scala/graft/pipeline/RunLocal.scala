@@ -18,7 +18,7 @@ object RunLocal {
     spark.sparkContext.setLogLevel("WARN")
     val res = Pipeline.run(spark, Pipeline.Config(lakeDir, nEvents))
     println(s"[pipeline] lake=$lakeDir silverRows=${res.silverRows} " +
-      s"factAppended=${res.factRowsAppended}")
+      s"quarantined=${res.quarantinedRows} factAppended=${res.factRowsAppended}")
     res.anomalies.show(50, truncate = false)
     val res2 = Pipeline.run(spark, Pipeline.Config(lakeDir, nEvents))
     println(s"[pipeline] re-run factAppended=${res2.factRowsAppended} (expect 0)")

@@ -200,14 +200,14 @@ object DedupQueries {
         // method on a corpus slice. Both pair sets and their overlap
         // are exact here, so the whole comparison hash-checks.
         val docs = Tables.load(s, dir, "documents")
-        // persisted: each pair pipeline is consumed twice (count +
+        // disk-staged: each pair pipeline is consumed twice (count +
         // intersect) and plan fragments don't reuse across branches
-        val mh = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
-          .select(col("doc_id_a"), col("doc_id_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sh = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
-          .select(col("doc_id_a"), col("doc_id_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mh = graft.Staging.checkpoint(
+          Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.3)
+            .select(col("doc_id_a"), col("doc_id_b")), "q87-mh")
+        val sh = graft.Staging.checkpoint(
+          Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+            .select(col("doc_id_a"), col("doc_id_b")), "q87-sh")
         val both = mh.intersect(sh)
         mh.agg(count(lit(1)).as("n_minhash"))
           .crossJoin(sh.agg(count(lit(1)).as("n_simhash")))
@@ -463,10 +463,10 @@ object DedupQueries {
         .groupBy(md5(col("text")).as("hsh"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      // persisted: the survivor set feeds BOTH the LSH pair pipeline
+      // disk-staged: the survivor set feeds BOTH the LSH pair pipeline
       // and the final packing pass (no cross-branch plan reuse)
-      val s0 = kept.join(exactWinners, Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s0 = graft.Staging.checkpoint(
+        kept.join(exactWinners, Seq("doc_id"), "left_semi"), "cur-s0")
       // 3. near-dup removal: keep each cluster's canonical (min) doc
       val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
       val losers = Dedup.connectedComponents(pairs)

@@ -868,9 +868,14 @@ object RelationalQueries {
         val bounds = ord.agg(
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         ord.crossJoin(broadcast(bounds))
+          // hi==lo guard: a single-valued corpus makes the width 0 and
+          // the unguarded division 0/0 → NaN, which Spark's BIGINT cast
+          // nulls while DuckDB's errors — the two engines would diverge
+          // instead of both putting everything in bucket 0
           .withColumn("bucket",
-            least(floor((col("o_totalprice") - col("lo")) * 10.0
-              / (col("hi") - col("lo"))), lit(9L)).cast("bigint"))
+            when(col("hi") === col("lo"), lit(0L)).otherwise(
+              least(floor((col("o_totalprice") - col("lo")) * 10.0
+                / (col("hi") - col("lo"))), lit(9L))).cast("bigint"))
           .groupBy(col("bucket"))
           .agg(
             count(lit(1)).as("n_orders"),
@@ -881,8 +886,9 @@ object RelationalQueries {
       Some("""
         WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                    FROM orders)
-        SELECT LEAST(CAST(floor((o_totalprice - lo) * 10.0 / (hi - lo))
-                 AS BIGINT), 9) AS bucket,
+        SELECT CASE WHEN hi = lo THEN 0
+               ELSE LEAST(CAST(floor((o_totalprice - lo) * 10.0 / (hi - lo))
+                 AS BIGINT), 9) END AS bucket,
                COUNT(*) AS n_orders,
                ROUND(MIN(o_totalprice), 2) AS bucket_min,
                ROUND(MAX(o_totalprice), 2) AS bucket_max
@@ -1062,6 +1068,132 @@ object RelationalQueries {
                ABS(observed_permille - expected_permille)
                  AS deviation_permille
         FROM t JOIN e ON t.digit = e.digit
-        ORDER BY t.digit"""))
+        ORDER BY t.digit""")),
+
+    QueryDef(
+      "q139_pareto_twopass",
+      (s, dir) => paretoAbcTwoPass(s, dir),
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1),
+        cums AS (
+          SELECT o_custkey, revenue,
+                 ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cum
+          FROM rev),
+        shares AS (
+          SELECT revenue,
+                 CAST(FLOOR(cum * 1000.0 / MAX(cum) OVER ()) AS BIGINT)
+                   AS permille
+          FROM cums)
+        SELECT CASE WHEN permille <= 800 THEN 'A'
+                    WHEN permille <= 950 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(revenue), 2) AS class_revenue
+        FROM shares
+        GROUP BY 1
+        ORDER BY abc_class"""))
   )
+
+  /** q137's promised 100×-scale path, as code (r3 VERDICT ask #4): the
+    * global running sum WITHOUT a single-partition window. Classic
+    * two-pass range-partitioned prefix sum:
+    *
+    *  1. `repartitionByRange` on the global sort key (revenue DESC,
+    *     custkey) — each partition holds a contiguous slice of the
+    *     global order. The assignment is FROZEN by staging to parquet
+    *     ([[graft.Staging.checkpoint]]): `spark_partition_id()` is
+    *     nondeterministic across re-executions (range bounds are
+    *     sampled per run), so both consumers below must read the same
+    *     materialization.
+    *  2. Per-partition LOCAL prefix sums via a window PARTITIONED BY
+    *     pid — every partition sorts independently in parallel; no
+    *     Exchange SinglePartition anywhere in the plan
+    *     (PlanSpec-asserted).
+    *  3. Per-partition totals — ≤ `partitions` rows, driver-bounded BY
+    *     CONSTRUCTION — accumulate sequentially into partition
+    *     offsets; global cum = local cum + broadcast offset.
+    *
+    * Determinism across engines AND across partitionings: the
+    * per-customer revenue is 2dp-rounded before summing, and the
+    * global cum is 2dp-rounded after assembly — accumulated fp error
+    * over any realistic customer count is ≪ half a cent, so the
+    * rounded cum is bit-identical to DuckDB's strictly-sequential
+    * window sum no matter how the doubles were grouped. (q137 itself
+    * keeps the raw-double prefix sum + max(cum) trick; this variant's
+    * oracle mirrors its extra ROUND.)
+    */
+  def paretoAbcTwoPass(s: org.apache.spark.sql.SparkSession, dir: String,
+      partitions: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val ranged = graft.Staging.checkpoint(
+      rev.repartitionByRange(partitions, col("revenue").desc, col("o_custkey"))
+        .withColumn("pid", spark_partition_id()), "pareto-ranged")
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 1.5: partition totals → offsets. ≤ `partitions` rows; the
+    // sequential fold preserves the left-to-right addition order of
+    // the single-window formulation.
+    val parts = ranged.groupBy(col("pid"))
+      .agg(sum(col("revenue")).as("pt"))
+      .orderBy(col("pid")).collect()
+    var acc = 0.0
+    val offsetRows = parts.toSeq.map { r =>
+      val o = acc; acc += r.getDouble(1); (r.getInt(0), o)
+    }
+    val grandTotal = BigDecimal(acc)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    val offsets = offsetRows.toDF("pid", "cum_offset")
+    ranged
+      .withColumn("local_cum", sum(col("revenue")).over(wLocal))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", round(col("local_cum") + col("cum_offset"), 2))
+      .withColumn("permille",
+        floor(col("cum") * 1000.0 / lit(grandTotal)).cast("bigint"))
+      .withColumn("abc_class",
+        when(col("permille") <= 800, "A")
+          .when(col("permille") <= 950, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("revenue")), 2).as("class_revenue"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** q128's promised ungrouped-at-scale path, as code (r3 VERDICT ask
+    * #4): a GLOBAL equi-depth histogram without the total sort that
+    * exact global ntile() needs. One `percentile_approx` aggregate
+    * (mergeable sketch, map-side combinable) produces the cut points;
+    * bucket assignment is then a map-side array scan against the
+    * broadcast 1-row cuts — two passes over the data, zero sorts,
+    * zero windows (PlanSpec-asserted). Buckets are equi-depth up to
+    * sketch error and value ties (a value equal to a cut lands
+    * entirely in one bucket — ties are never split, the same contract
+    * exact ntile gives only via its arbitrary-but-total tiebreak).
+    */
+  def equidepthApproxGlobal(s: org.apache.spark.sql.SparkSession, dir: String,
+      buckets: Int = 10, accuracy: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = ord.agg(percentile_approx(col("o_totalprice"),
+      array(probs.map(lit): _*), lit(accuracy)).as("cuts"))
+    ord.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(0),
+          (n, c) => n + when(col("o_totalprice") > c, 1).otherwise(0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        round(sum(col("o_totalprice")), 2).as("bucket_revenue"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -13,10 +13,16 @@ import graft.gold.AtomicTable
   * context-window-chunked ([[Chunking.tokenChunks]]) and merged into
   * the chunk store ready for tokenization/indexing.
   *
-  * Both writes are ATOMIC KEYED MERGES into [[AtomicTable]]s, so
-  * foreachBatch's at-least-once replay CONVERGES: re-processing a
-  * batch replaces its own (doc, chunk) keys instead of appending
-  * duplicates — chunk counts are identical on first run and replay.
+  * Both writes are ATOMIC GROUP-REPLACEMENT MERGES
+  * ([[AtomicTable.replaceGroups]]) keyed on doc_id over the batch's
+  * FULL doc set, so foreachBatch's at-least-once replay CONVERGES —
+  * and not just for byte-identical replays: a doc re-ingested with
+  * shorter text sheds its stale higher chunk_id rows (the whole chunk
+  * set is replaced, not upserted row-by-row), a doc that flips from
+  * keep to drop loses all its chunks and gains a drop-log row, and a
+  * doc that flips from drop to keep loses its stale drop-log row —
+  * the stores always reflect the LATEST observation of every doc the
+  * batch touched.
   *
   * Scale note: the gate and the chunker are both map-side column
   * expressions, so per-batch cost is one pass over the batch plus the
@@ -40,14 +46,21 @@ object StreamingCuration {
       TextAnalysis.qualityFilter(col("text")).as("gate"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // replace-by-doc over the batch's FULL doc set on BOTH stores:
+      // the delete side must cover docs with no new rows in that store
+      // (a keep→drop flip deletes chunks; drop→keep deletes the old
+      // drop-log row), which is exactly what a row-keyed merge can't do
+      val batchDocs = gated.select(col("doc_id"))
       val drops = gated.filter(col("gate") =!= "keep")
         .select(col("doc_id"), col("gate").as("drop_reason"))
-      AtomicTable.merge(spark, drops, dropsRoot, "doc_id"): Unit
+      AtomicTable.replaceGroups(spark, drops, dropsRoot,
+        "doc_id", batchDocs): Unit
       val chunks = Chunking.tokenChunks(
           gated.filter(col("gate") === "keep"), "doc_id", "text",
           window, stride)
         .withColumn("chunk_key", concat_ws(":", col("doc_id"), col("chunk_id")))
-      AtomicTable.merge(spark, chunks, chunksRoot, "chunk_key"): Unit
+      AtomicTable.replaceGroups(spark, chunks, chunksRoot,
+        "doc_id", batchDocs): Unit
     } finally gated.unpersist(): Unit
   }
 

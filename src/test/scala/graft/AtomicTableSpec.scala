@@ -309,4 +309,68 @@ class AtomicTableSpec extends SparkSpec {
     assert(java.sql.Timestamp.valueOf(
       bounds.get._2 + (if (bounds.get._2.contains(".")) "" else ".0")) === t1)
   }
+
+  test("empty overwrite on an existing table = schema-preserving truncate") {
+    val root = tmpDir("atomic-trunc")
+    AtomicTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // truncate commits a NEW version whose snapshot is 0 rows but
+    // still reads with the schema — never a schema-less manifest
+    val tv = AtomicTable.overwrite(spark, empty, root)
+    assert(tv === 1)
+    val snap = AtomicTable.read(spark, root)
+    assert(snap.count() === 0)
+    assert(snap.select(col("k"), col("v")).schema.fieldNames.toSeq
+      === Seq("k", "v"))
+    // history is intact: the pre-truncate snapshot time-travels
+    assert(AtomicTable.readVersion(spark, root, 0).count() === 2)
+    // data comes back after a truncate, normally
+    AtomicTable.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    assert(AtomicTable.read(spark, root).as[(Long, String)]
+      .collect().toSet === Set((3L, "c")))
+    // an empty FIRST write still refuses — no never-written tables
+    assert(AtomicTable.overwrite(spark, empty, tmpDir("atomic-trunc2")) === -1)
+  }
+
+  test("empty append is a version-stable no-op on an existing table") {
+    val root = tmpDir("atomic-noop")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    val v = AtomicTable.append(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), root)
+    assert(v === 0) // reports the standing version, commits nothing
+    assert(AtomicTable.latestVersion(root) === Some(0))
+    assert(AtomicTable.read(spark, root).count() === 1)
+  }
+
+  test("replaceGroups: whole-group replacement, pure deletes, empty result stays readable") {
+    val root = tmpDir("atomic-rg")
+    AtomicTable.append(spark,
+      Seq((1L, 0L, "1a"), (1L, 1L, "1b"), (2L, 0L, "2a"))
+        .toDF("doc_id", "chunk_id", "payload"), root)
+    // doc 1 re-ingested with FEWER rows: stale chunk 1 must vanish —
+    // the case a row-keyed merge cannot express
+    AtomicTable.replaceGroups(spark,
+      Seq((1L, 0L, "1a'")).toDF("doc_id", "chunk_id", "payload"),
+      root, "doc_id", Seq(Tuple1(1L)).toDF("doc_id"))
+    assert(AtomicTable.read(spark, root).as[(Long, Long, String)]
+      .collect().toSet === Set((1L, 0L, "1a'"), (2L, 0L, "2a")))
+    // pure delete: doc 2 in the group set with no new rows
+    AtomicTable.replaceGroups(spark,
+      Seq.empty[(Long, Long, String)].toDF("doc_id", "chunk_id", "payload"),
+      root, "doc_id", Seq(Tuple1(2L)).toDF("doc_id"))
+    assert(AtomicTable.read(spark, root).as[(Long, Long, String)]
+      .collect().toSet === Set((1L, 0L, "1a'")))
+    // deleting the last group leaves a READABLE 0-row snapshot
+    AtomicTable.replaceGroups(spark,
+      Seq.empty[(Long, Long, String)].toDF("doc_id", "chunk_id", "payload"),
+      root, "doc_id", Seq(Tuple1(1L)).toDF("doc_id"))
+    val snap = AtomicTable.read(spark, root)
+    assert(snap.count() === 0)
+    assert(snap.schema.fieldNames.contains("payload"))
+    // replay of the same call is idempotent (still 0 rows, reads fine)
+    AtomicTable.replaceGroups(spark,
+      Seq.empty[(Long, Long, String)].toDF("doc_id", "chunk_id", "payload"),
+      root, "doc_id", Seq(Tuple1(1L)).toDF("doc_id"))
+    assert(AtomicTable.read(spark, root).count() === 0)
+  }
 }

@@ -313,4 +313,26 @@ class PlanSpec extends SparkSpec {
     // user-key exchange must not multiply
     assert(count(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("q139: two-pass prefix sum — NO single-partition exchange anywhere") {
+    // the whole point of the variant: the global running sum runs as
+    // per-partition windows (hash exchange on pid) + a broadcast
+    // offset join; q137's Exchange SinglePartition must be absent
+    val p = plan("q139_pareto_twopass")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p) // the pid-partitioned local prefix
+    assert(p.contains("BroadcastHashJoin"), p) // offsets ride broadcast
+  }
+
+  test("equi-depth approx variant: zero windows; only the 1-row sketch merge is global") {
+    val df = graft.queries.RelationalQueries.equidepthApproxGlobal(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // no total sort of the data, no window at all — exact global
+    // ntile would need both
+    assert(!p.contains("Window"), p)
+    // the one permitted single-partition exchange is the mergeable
+    // percentile sketch's final combine: O(partitions × sketch) rows,
+    // never data rows
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+  }
 }

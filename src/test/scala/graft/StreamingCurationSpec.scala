@@ -42,6 +42,39 @@ class StreamingCurationSpec extends SparkSpec {
       Set((3L, "too_short"), (5L, "punct_soup")))
   }
 
+  test("re-ingest convergence: shorter docs shed stale chunks, keep/drop flips replace state") {
+    val (chunks, drops) = (tmpDir("scr-chunks"), tmpDir("scr-drops"))
+    StreamingCuration.processBatch(batch1.toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 0L), (2L, 0L), (2L, 1L)))
+
+    // doc 2 re-ingested SHORTER (150 → 10 tokens): 2 chunks → 1, and
+    // the stale (2,1) row must be gone — the r3 ADVICE failure mode
+    StreamingCuration.processBatch(
+      Seq((2L, words(10, "b"))).toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 0L), (2L, 0L)))
+
+    // doc 2 flips keep → drop: all its chunks vanish, drop row appears
+    StreamingCuration.processBatch(
+      Seq((2L, "no")).toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks)
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L))
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet
+      === Set((2L, "too_short"), (3L, "too_short")))
+
+    // doc 3 flips drop → keep: its stale drop-log row is replaced too
+    StreamingCuration.processBatch(
+      Seq((3L, words(25, "c"))).toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks)
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 3L))
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet === Set((2L, "too_short")))
+  }
+
   test("streaming wiring: MemoryStream micro-batch flows through the gate") {
     implicit val sqlCtx = spark.sqlContext
     val (chunks, drops) = (tmpDir("scs-chunks"), tmpDir("scs-drops"))

@@ -332,6 +332,7 @@ class EndToEndPipelineSpec extends SparkSpec {
     val cfg = graft.pipeline.Pipeline.Config(lakeDir = lake, nEvents = 400)
     val r1 = graft.pipeline.Pipeline.run(spark, cfg)
     assert(r1.silverRows === 400)
+    assert(r1.quarantinedRows === 0)
     assert(r1.factRowsAppended > 0)
     assert(r1.daily.count() > 0)
     // idempotent re-run: watermark + anti-join admit nothing new
@@ -340,5 +341,28 @@ class EndToEndPipelineSpec extends SparkSpec {
     // fact row count = distinct transaction ids (honest unique_key)
     val fct = spark.read.parquet(s"$lake/gold/fct_purchases")
     assert(fct.count() === fct.select("transaction_id").distinct().count())
+  }
+
+  test("malformed envelope in the feed → quarantine DLQ, run completes (r3 VERDICT ask #7)") {
+    val lake = tmpDir("lake-dlq")
+    val garbage = Seq("""{"oops": not even json""",
+      """{"customer_id":"C1","quantity":1}""") // parseable, key missing
+    val cfg = graft.pipeline.Pipeline.Config(
+      lakeDir = lake, nEvents = 50, rawExtra = garbage)
+    val r = graft.pipeline.Pipeline.run(spark, cfg)
+    // the corrupt messages do NOT fail the step, do NOT reach Silver,
+    // and DO land in the DLQ with their raw payload + reason
+    assert(r.silverRows === 50)
+    assert(r.quarantinedRows === 2)
+    assert(r.factRowsAppended > 0)
+    val dlq = spark.read.parquet(s"$lake/silver/quarantine")
+    assert(dlq.count() === 2)
+    val rows = dlq.collect().map(x =>
+      (x.getAs[String]("raw_payload"), x.getAs[String]("reason"))).toSet
+    assert(rows.map(_._1) === garbage.toSet)
+    assert(rows.forall(_._2 === "unparseable_or_missing_key"))
+    // silver stays clean: no null transaction ids slipped through
+    val silver = spark.read.parquet(s"$lake/silver/purchases")
+    assert(silver.filter(silver("transaction_id").isNull).count() === 0)
   }
 }
