@@ -42,4 +42,39 @@ object Decontam {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"))
   }
+
+  /** [[contaminationPairs]] for the regime where the eval gram index
+    * has outgrown broadcast: the exact join runs as a SHUFFLE join on
+    * the gram key, and a Bloom filter of the eval grams
+    * ([[graft.functions.BloomSketch]], a few hundred KB broadcast as a
+    * 1-row frame) prefilters the train side MAP-SIDE first — so the
+    * gram shuffle carries true hits plus a tunable trickle of false
+    * positives instead of the whole corpus's gram stream. The output
+    * is EXACT regardless of the fp rate: false positives die in the
+    * exact join (they match no eval gram), and Bloom filters have no
+    * false negatives — which is why this query hash-checks against the
+    * same oracle as the broadcast-index path.
+    *
+    * (At this test scale Catalyst/AQE may still pick a broadcast for
+    * the exact join — the operator forces the shuffle-join shape with
+    * a merge hint so the plan under test is the 100 TB plan.)
+    */
+  def bloomContaminationPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomSketch
+    val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+    val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
+      .select(col("doc_id").as("train_id"), col("s").as("gram"))
+    val bloom = evalGrams.select(col("gram")).distinct()
+      .agg(BloomSketch.bloomAgg(numBits, numHashes)(col("gram")).as("bf"))
+    trainGrams
+      .crossJoin(broadcast(bloom)) // 1 row: the bitmap
+      .filter(BloomSketch.mightContain(col("gram"), col("bf"), numBits, numHashes))
+      .drop("bf")
+      .join(evalGrams.hint("merge"), Seq("gram"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+  }
 }

@@ -295,6 +295,41 @@ object CurationQueries {
             -(CAST(nl AS DOUBLE) / nd) * log2(CAST(nl AS DOUBLE) / nd)), 4)
             AS lang_entropy_bits
           FROM l CROSS JOIN nd)
-        SELECT * FROM counts CROSS JOIN e"""))
+        SELECT * FROM counts CROSS JOIN e""")),
+
+    QueryDef(
+      "q140_bloom_decontam",
+      (s, dir) => {
+        // q89's sweep through the LARGE-EVAL-SET path: a Bloom filter
+        // of the eval grams prefilters the train side map-side, then a
+        // forced shuffle join verifies exactly — the plan for the
+        // regime where the eval index outgrows broadcast. Output (and
+        // therefore oracle) is IDENTICAL to q89 by construction: the
+        // bloom has no false negatives and the exact join kills its
+        // false positives, so any sketch bug that drops a true pair
+        // hash-fails this gate.
+        val docs = Tables.load(s, dir, "documents")
+        val evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        Decontam.bloomContaminationPairs(train, evalSet, "doc_id", "text", n = 4)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+              AS g
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        ev AS (SELECT doc_id AS eval_id, gram FROM ex WHERE doc_id % 20 = 0),
+        tr AS (SELECT doc_id AS train_id, gram FROM ex WHERE doc_id % 20 != 0)
+        SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared_grams
+        FROM tr JOIN ev USING (gram)
+        GROUP BY train_id, eval_id
+        ORDER BY train_id, eval_id"""))
   )
 }

@@ -324,6 +324,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // offsets ride broadcast
   }
 
+  test("q140: bloom prefilter sits map-side; exact verify join is the shuffle shape") {
+    val p = plan("q140_bloom_decontam")
+    // the membership test must be a plain Filter over builtin
+    // expressions (xxhash64 + shiftright) — in the stage, not a UDF
+    assert(p.contains("xxhash64"), p)
+    // the verify join is forced to the large-eval-regime shape: a
+    // shuffle join on the gram key, not a broadcast of the eval index
+    assert(p.contains("SortMergeJoin"), p)
+    // the only broadcast is the 1-row bitmap ride-along
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("equi-depth approx variant: zero windows; only the 1-row sketch merge is global") {
     val df = graft.queries.RelationalQueries.equidepthApproxGlobal(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -117,3 +117,59 @@ class WinnowSpec extends SparkSpec {
     assert(got(4L).isEmpty) // < 3 tokens
   }
 }
+
+class BloomSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.BloomSketch
+
+  private val Bits = 1 << 16
+  private val K = 5
+
+  private def bloomOf(df: org.apache.spark.sql.DataFrame) =
+    df.agg(BloomSketch.bloomAgg(Bits, K)(col("v")).as("bf"))
+
+  test("no false negatives: every built value passes mightContain") {
+    val members = spark.range(5000).select(concat(lit("m-"), col("id")).as("v"))
+    val misses = members
+      .crossJoin(broadcast(bloomOf(members)))
+      .filter(!BloomSketch.mightContain(col("v"), col("bf"), Bits, K))
+      .count()
+    assert(misses === 0)
+  }
+
+  test("false-positive rate stays near theory (not a degenerate all-pass)") {
+    val members = spark.range(5000).select(concat(lit("m-"), col("id")).as("v"))
+    val outsiders = spark.range(20000).select(concat(lit("x-"), col("id")).as("v"))
+    val fp = outsiders
+      .crossJoin(broadcast(bloomOf(members)))
+      .filter(BloomSketch.mightContain(col("v"), col("bf"), Bits, K))
+      .count()
+    // 5000 keys in 2^16 bits, k=5 → theoretical fp ≈ (1-e^(-5·5000/65536))^5
+    // ≈ 0.6%; allow generous slack, but far below all-pass
+    assert(fp < 20000 * 0.05, s"fp=$fp")
+    assert(fp > 0) // at this load a few fps are expected; 0 would be suspicious
+  }
+
+  test("bitmap is bit-identical under repartitioning (mergeable OR)") {
+    val vals = spark.range(3000).select(concat(lit("k-"), col("id")).as("v"))
+    val a = bloomOf(vals.repartition(1)).head().getSeq[Long](0)
+    val b = bloomOf(vals.repartition(13).orderBy(rand(7))).head().getSeq[Long](0)
+    assert(a === b)
+  }
+
+  test("bloom-prefiltered decontamination ≡ exact broadcast-index path (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val docs = graft.queries.Tables.load(spark, dir, "documents")
+    val ev = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val tr = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val exact = graft.ext.Decontam
+      .contaminationPairs(tr, ev, "doc_id", "text", n = 4)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    val bloom = graft.ext.Decontam
+      .bloomContaminationPairs(tr, ev, "doc_id", "text", n = 4)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the corpus must actually exercise the sweep
+  }
+}
