@@ -161,7 +161,7 @@ object Bench {
       Seq("q60_dedup_exact", "q64_ngram_jaccard",
         "q65_minhash_dedup", "q72_ann_lsh",
         "q76_dedup_clusters", "q86_curation_pipeline",
-        "q89_decontamination",
+        "q89_decontamination", "q140_bloom_decontam",
         "q95_doc_chunking", "q96_unigram_surprisal",
         "q103_paragraph_dedup",
         "q122_repeated_ngrams",

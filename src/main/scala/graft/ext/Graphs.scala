@@ -51,4 +51,55 @@ object Graphs {
       .join(deg, col("item") === col("node"))
       .select(col("item"), col("deg"), col("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list — INTEGER
+    * fixed-point throughout, which is what makes a distributed rank
+    * hash-comparable across engines and partitionings: total mass is
+    * `massUnits` (10¹²), every per-edge contribution is an integer
+    * `DIV` of the source's mass by its out-degree, and each
+    * iteration's score is
+    * `((1000−damp)·(massUnits DIV n) + damp·Σcontrib) DIV 1000` —
+    * BIGINT sums are exactly associative, so the result is
+    * independent of aggregation order (a double-valued PageRank
+    * would differ in the last ulps between runs AND between engines).
+    * Dangling-node mass is dropped (the standard simplified variant);
+    * every value stays ≤ 10¹⁵, far from Long overflow under ANSI.
+    *
+    * Shape at 100 TB: the classic join-based power iteration — each
+    * round is one equi-join of the score vector with the edge list on
+    * the source key plus one hash aggregate on the destination key;
+    * shuffles carry O(edges) rows, no adjacency ever materializes,
+    * and a bounded iteration count keeps the plan finite (callers
+    * wanting convergence detection can stage scores per round the way
+    * [[Dedup.connectedComponents]] does).
+    *
+    * Input: `(src, dst)` BIGINT pairs, one row per distinct edge.
+    * Output: `(item, pr_units)` — one row per vertex, rank in units
+    * of 10⁻¹² of the total mass.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      dampPermille: Long = 850L,
+      massUnits: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("item"))
+      .union(edges.select(col("dst").as("item"))).distinct()
+    // vertex count rides a broadcast 1-row frame — no driver collect
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = expr(s"$massUnits DIV n_nodes")
+    var scores = nodes.crossJoin(broadcast(nRow))
+      .select(col("item"), base.as("pr_units"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(scores.select(col("item").as("src"), col("pr_units")), Seq("src"))
+        .join(outd, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr_units DIV outdeg")).as("c"))
+      scores = nodes.crossJoin(broadcast(nRow))
+        .join(contrib, col("item") === col("dst"), "left")
+        .select(col("item"), expr(
+          s"(${1000L - dampPermille} * ($massUnits DIV n_nodes) + " +
+            s"$dampPermille * coalesce(c, 0)) DIV 1000").as("pr_units"))
+    }
+    scores
+  }
 }

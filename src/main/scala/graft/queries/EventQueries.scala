@@ -620,6 +620,168 @@ object EventQueries {
         ORDER BY t.item""")),
 
     QueryDef(
+      "q141_pagerank",
+      (s, dir) => {
+        // PageRank over the item-transition graph: per-user view
+        // timelines (ts, event_id total order) yield consecutive
+        // item→item hops; distinct hops are the directed edges, and
+        // graft.ext.Graphs.pageRank runs 3 unrolled power iterations
+        // in INTEGER fixed-point (10¹² mass units, integer DIV
+        // everywhere) — the choice that makes an iterative double-
+        // typed algorithm land under the cross-engine hash gate:
+        // BIGINT sums are associative, so the scores are independent
+        // of partitioning AND identical in DuckDB's strictly
+        // sequential replay. Top-20 with the (score DESC, item)
+        // total-order tiebreak.
+        import org.apache.spark.sql.expressions.Window
+        val views = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("item"),
+            col("ts"), col("event_id"))
+          .filter(col("item").isNotNull)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = views
+          .withColumn("src", lag(col("item"), 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("item"))
+          .select(col("src"), col("item").as("dst"))
+          .distinct()
+        graft.ext.Graphs.pageRank(edges, iterations = 3)
+          .orderBy(col("pr_units").desc, col("item"))
+          .limit(20)
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, CAST(props->>'k' AS BIGINT) AS item,
+                 ts, event_id
+          FROM events
+          WHERE event_type = 'view' AND (props->>'k') IS NOT NULL),
+        hops AS (
+          SELECT user_id, item,
+                 LAG(item) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src
+          FROM v),
+        edges AS (
+          SELECT DISTINCT src, item AS dst
+          FROM hops WHERE src IS NOT NULL AND src != item),
+        nodes AS (SELECT src AS item FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        s0 AS (SELECT item, (1000000000000 // n) AS pr FROM nodes CROSS JOIN nn),
+        c1 AS (SELECT e.dst, CAST(SUM(s.pr // o.outdeg) AS BIGINT) AS c
+               FROM edges e JOIN s0 s ON e.src = s.item
+               JOIN outd o ON e.src = o.src GROUP BY 1),
+        s1 AS (SELECT item, (150 * (1000000000000 // n)
+                 + 850 * COALESCE(c, 0)) // 1000 AS pr
+               FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.item = c1.dst),
+        c2 AS (SELECT e.dst, CAST(SUM(s.pr // o.outdeg) AS BIGINT) AS c
+               FROM edges e JOIN s1 s ON e.src = s.item
+               JOIN outd o ON e.src = o.src GROUP BY 1),
+        s2 AS (SELECT item, (150 * (1000000000000 // n)
+                 + 850 * COALESCE(c, 0)) // 1000 AS pr
+               FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.item = c2.dst),
+        c3 AS (SELECT e.dst, CAST(SUM(s.pr // o.outdeg) AS BIGINT) AS c
+               FROM edges e JOIN s2 s ON e.src = s.item
+               JOIN outd o ON e.src = o.src GROUP BY 1),
+        s3 AS (SELECT item, (150 * (1000000000000 // n)
+                 + 850 * COALESCE(c, 0)) // 1000 AS pr
+               FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
+        SELECT item, pr AS pr_units
+        FROM s3
+        ORDER BY pr_units DESC, item
+        LIMIT 20""")),
+
+    QueryDef(
+      "q142_interval_join",
+      (s, dir) => {
+        // point-in-interval stabbing WITHOUT an equi key: every error
+        // event (any user) counted into each user-day activity span
+        // it falls inside. Spark's only native plan for this is a
+        // nested-loop join re-checking |points|×|intervals| pairs;
+        // ext/IntervalJoin bins the epoch axis instead — intervals
+        // explode map-side to their covered hour bins, points bin
+        // once, and the join is a plain equi-join on the bin key plus
+        // an exact containment re-check, so work scales with
+        // points + interval-bins + true matches. The DuckDB oracle
+        // replays the SEMANTICS with its native inequality join
+        // (IEJoin) — an independent algorithm, so a binning bug
+        // (missed boundary, double-counted pair) hash-fails.
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        val spans = ev.filter(col("event_type") =!= "error")
+          .groupBy(col("user_id"), col("day"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val errs = ev.filter(col("event_type") === "error").select(col("ts"))
+        graft.ext.IntervalJoin
+          .pointInInterval(errs, spans, "ts", "lo", "hi", binSeconds = 3600L)
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_errors"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_type,
+                 strftime(ts, '%Y-%m-%d') AS day
+          FROM events),
+        spans AS (
+          SELECT user_id, day, MIN(ts) AS lo, MAX(ts) AS hi
+          FROM ev WHERE event_type != 'error'
+          GROUP BY 1, 2),
+        err AS (SELECT ts FROM ev WHERE event_type = 'error')
+        SELECT s.user_id, s.day, COUNT(*) AS n_errors
+        FROM spans s JOIN err e ON e.ts >= s.lo AND e.ts <= s.hi
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    QueryDef(
+      "q143_overlap_pairs",
+      (s, dir) => {
+        // interval×interval overlap WITHOUT an equi key: pairs of
+        // users whose same-day purchase windows [first purchase, last
+        // purchase] overlap, counted per day — ext/IntervalJoin's
+        // binned overlap join with the max-of-start-bins exactly-once
+        // assignment (no distinct over the pair set). Purchase
+        // windows are NARROW (most users buy once or twice a day), so
+        // candidate volume tracks true overlaps, not the all-pairs
+        // product — the regime this decomposition exists for. Same-day
+        // pairing needs no explicit key: different days never share an
+        // hour bin. DuckDB replays with its native inequality IEJoin.
+        val spans = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        val a = spans.select(col("user_id").as("ua"), col("day").as("da"),
+          col("lo").as("alo"), col("hi").as("ahi"))
+        val b = spans.select(col("user_id").as("ub"),
+          col("lo").as("blo"), col("hi").as("bhi"))
+        graft.ext.IntervalJoin
+          .intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", binSeconds = 3600L)
+          .filter(col("ua") < col("ub"))
+          .groupBy(col("da").as("day"))
+          .agg(count(lit(1)).as("n_overlap_pairs"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                 MIN(ts) AS lo, MAX(ts) AS hi
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.day
+          FROM p a JOIN p b
+            ON a.day = b.day AND a.user_id < b.user_id
+           AND a.lo <= b.hi AND b.lo <= a.hi)
+        SELECT day, COUNT(*) AS n_overlap_pairs
+        FROM pairs
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    QueryDef(
       "q133_peak_concurrency",
       (s, dir) => {
         // peak concurrent users per day via the boundary-sweep trick:

@@ -41,3 +41,62 @@ class GraphsSpec extends SparkSpec {
     assert(star === Map(1L -> (5L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
   }
 }
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala replay of the integer fixed-point recurrence — an
+    * independent single-threaded twin of Graphs.pageRank.
+    */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val mass = 1000000000000L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var s = nodes.map(v => v -> mass / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => s(e._1) / outdeg(e._1)).sum
+      }
+      s = nodes.map(v => v -> (150L * (mass / n) +
+        850L * contrib.getOrElse(v, 0L)) / 1000L).toMap
+    }
+    s
+  }
+
+  private def spark_pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    graft.ext.Graphs.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("cycle: uniform mass is a fixed point") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = spark_pr(cycle, 3)
+    assert(got === reference(cycle, 3))
+    // symmetric graph → equal scores, and each ≈ mass/3 (fixed point)
+    assert(got.values.toSet.size === 1)
+    assert(math.abs(got(1L) - 1000000000000L / 3) < 5)
+  }
+
+  test("hub-and-authority: the sink of many edges outranks its sources") {
+    // 1..5 all point at 6; 6 points back at 1 only
+    val edges = (1L to 5L).map(i => (i, 6L)) :+ (6L, 1L)
+    val got = spark_pr(edges, 3)
+    assert(got === reference(edges, 3))
+    assert(got(6L) > got(1L))
+    assert(got(1L) > got(2L)) // 1 gets 6's mass back; 2..5 only the base
+    assert(got(2L) === got(5L))
+  }
+
+  test("bit-identical under repartitioning (integer fixed-point, order-free)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst")
+    val a = graft.ext.Graphs.pageRank(df.repartition(1), 3)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.ext.Graphs.pageRank(df.repartition(13), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a === reference(edges, 3))
+  }
+}

@@ -337,6 +337,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q142: interval stabbing runs as a bin equi-join — no nested-loop, no cartesian") {
+    val p = plan("q142_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the containment join keys on the bin column (hash or sort-merge
+    // equi-join — either is the bounded shape; NL is the failure)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("equi-depth approx variant: zero windows; only the 1-row sketch merge is global") {
     val df = graft.queries.RelationalQueries.equidepthApproxGlobal(spark, dir)
     val p = df.queryExecution.executedPlan.toString
