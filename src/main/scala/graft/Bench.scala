@@ -235,6 +235,11 @@ object Bench {
             t => concat(t, lit("·" + k)))))
     }.reduce(_ unionByName _)
     tagged.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // warm read-through OUTSIDE the timed loop: the corpus was written
+    // milliseconds ago, so without this the first timed run races the
+    // kernel's dirty-page writeback and pays it as phantom query time
+    spark.read.parquet(s"$out/documents.parquet")
+      .agg(sum(length(col("text")))).collect(): Unit
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val flipped = (0 until copies).map { k =>
       val rnd = new scala.util.Random(100 + k)

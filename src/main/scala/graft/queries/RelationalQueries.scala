@@ -897,6 +897,70 @@ object RelationalQueries {
         ORDER BY bucket""")),
 
     QueryDef(
+      "q144_scd2_pit_lookup",
+      (s, dir) => {
+        // POINT-IN-TIME dimension lookup against the q131 SCD2 build:
+        // every lineitem shipment resolves the customer's priority
+        // VERSION that was valid on its ship date — the standard
+        // warehouse PIT join. Shape: equi-join on the customer key
+        // (versions-per-customer fan-out is tiny and bounded by the
+        // change count, so this is a plain hash join, never a range
+        // scan), then the [valid_from, valid_to) half-open containment
+        // filter picks exactly one version per fact — half-open is
+        // what makes a change-date shipment land in the NEW version
+        // and the match unique by construction. Aggregated to
+        // (priority, ship year) with integer-exact counts/quantities
+        // under the hash gate; shipments before a customer's first
+        // observed version drop out on both engines (inner semantics).
+        val dim = scd2PriorityDim(s, dir)
+        val facts = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_date"),
+            col("l_quantity"))
+          .join(Tables.load(s, dir, "orders")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            Seq("l_orderkey"))
+        facts.join(dim, Seq("o_custkey"))
+          .filter(col("ship_date") >= col("valid_from") &&
+            col("ship_date") < col("valid_to"))
+          .groupBy(col("o_orderpriority"),
+            year(col("ship_date")).cast("bigint").as("ship_year"))
+          .agg(count(lit(1)).as("n_shipments"),
+            sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+          .orderBy(col("o_orderpriority"), col("ship_year"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+                 o_orderkey, o_orderpriority
+          FROM orders),
+        changed AS (
+          SELECT * FROM (
+            SELECT o_custkey, obs_date, o_orderkey, o_orderpriority,
+                   LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                     ORDER BY obs_date, o_orderkey) AS prev
+            FROM obs)
+          WHERE prev IS DISTINCT FROM o_orderpriority),
+        dim AS (
+          SELECT o_custkey, o_orderpriority,
+                 obs_date AS valid_from,
+                 COALESCE(LEAD(obs_date) OVER (PARTITION BY o_custkey
+                   ORDER BY obs_date, o_orderkey), DATE '2099-12-31')
+                   AS valid_to
+          FROM changed),
+        facts AS (
+          SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship_date,
+                 l.l_quantity
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT d.o_orderpriority,
+               CAST(EXTRACT(year FROM f.ship_date) AS BIGINT) AS ship_year,
+               COUNT(*) AS n_shipments,
+               CAST(SUM(f.l_quantity) AS BIGINT) AS sum_qty
+        FROM facts f JOIN dim d ON f.o_custkey = d.o_custkey
+         AND f.ship_date >= d.valid_from AND f.ship_date < d.valid_to
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    QueryDef(
       "q131_scd2_priority",
       (s, dir) => {
         // SCD Type-2 dimension build: turn the append-only orders log
@@ -914,20 +978,7 @@ object RelationalQueries {
         // non-float columns diverge in the driver's string-compare
         // (None vs NaT), and the sentinel is the warehouse convention
         // anyway.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("obs_date"), col("o_orderkey"))
-        Tables.load(s, dir, "orders")
-          .select(col("o_custkey"), to_date(col("o_orderdate")).as("obs_date"),
-            col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-          .filter(!(col("prev") <=> col("o_orderpriority")))
-          .withColumn("version", row_number().over(w).cast("bigint"))
-          .withColumn("valid_to", coalesce(
-            lead(col("obs_date"), 1).over(w), lit("2099-12-31").cast("date")))
-          .select(col("o_custkey"), col("version"), col("o_orderpriority"),
-            col("obs_date").as("valid_from"), col("valid_to"))
-          .orderBy(col("o_custkey"), col("version"))
+        scd2PriorityDim(s, dir).orderBy(col("o_custkey"), col("version"))
       },
       Some("""
         WITH obs AS (
@@ -1097,6 +1148,28 @@ object RelationalQueries {
         GROUP BY 1
         ORDER BY abc_class"""))
   )
+
+  /** q131's SCD2 dimension build, shared with q144's point-in-time
+    * lookup: one (custkey → date, orderkey) exchange, both windows on
+    * the same sort, joinless (see q131's inline rationale for the
+    * change-point and high-date-sentinel choices).
+    */
+  private def scd2PriorityDim(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("obs_date"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("obs_date"),
+        col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(!(col("prev") <=> col("o_orderpriority")))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_to", coalesce(
+        lead(col("obs_date"), 1).over(w), lit("2099-12-31").cast("date")))
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+        col("obs_date").as("valid_from"), col("valid_to"))
+  }
 
   /** q137's promised 100×-scale path, as code (r3 VERDICT ask #4): the
     * global running sum WITHOUT a single-partition window. Classic
