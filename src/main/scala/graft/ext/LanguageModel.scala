@@ -56,6 +56,52 @@ object LanguageModel {
             / sum(col("dtf")).cast("double"), 4).as("mean_surprisal"))
   }
 
+  /** DSIR-style importance weight (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling" — the unigram-LM
+    * instantiation): per-document mean log-likelihood RATIO of the
+    * TARGET domain's language model over the full-corpus (source)
+    * model, add-one smoothed over the shared vocabulary. Positive →
+    * the document looks more like the target domain than the corpus
+    * at large; used to up-/down-weight documents when resampling a
+    * raw crawl toward a quality domain.
+    *
+    * Shape: reuses [[docTermFreq]] (map-side pre-aggregation), builds
+    * BOTH models from one docTf pass (target side via a semi-join on
+    * the target ids), joins them token-keyed, and scores with one
+    * vocabulary-scale equi-join + a 1-row totals broadcast — same
+    * 100 TB posture as [[unigramSurprisal]], nothing corpus-scale
+    * shuffles twice. Deterministic: counts are exact integers, the
+    * only doubles are the final log-ratio means, 4dp-rounded (the
+    * q96-proven cross-engine convention).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: org.apache.spark.sql.Column): DataFrame = {
+    val docTf = docTermFreq(docs, idCol, textCol)
+    val vocabS = vocabFreq(docTf)
+    val targetIds = docs.filter(targetFilter).select(col(idCol).as("doc_id"))
+    val vocabT = vocabFreq(docTf.join(targetIds, Seq("doc_id"), "left_semi"))
+      .withColumnRenamed("tf", "tf_t")
+    val vocab = vocabS.join(vocabT, Seq("tok"), "left")
+      .select(col("tok"), col("tf").as("tf_s"),
+        coalesce(col("tf_t"), lit(0L)).as("tf_t"))
+    val totals = vocab.agg(sum(col("tf_s")).as("n_s"),
+      sum(col("tf_t")).as("n_t"), count(lit(1)).as("v"))
+    docTf.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("tf_t") + lit(1L)).cast("double")
+          / (col("n_t") + col("v")).cast("double"))
+          - log((col("tf_s") + lit(1L)).cast("double")
+            / (col("n_s") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dtf")).as("n_tokens"),
+        round(sum(col("dtf").cast("double") * col("lr"))
+          / sum(col("dtf")).cast("double"), 4).as("log_weight"))
+      // the resampling decision on the ROUNDED weight, so the flag is
+      // exactly as engine-stable as the weight itself
+      .withColumn("keep_target", (col("log_weight") > 0).cast("int"))
+  }
+
   /** Interpolated bigram surprisal: mean of
     *   −ln( λ·p(w_i | w_{i−1}) + (1−λ)·p(w_i) )
     * over each document's bigram positions — the sharper LM quality

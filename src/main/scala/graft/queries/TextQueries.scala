@@ -487,6 +487,49 @@ object TextQueries {
         ORDER BY doc_id, chunk_id""")),
 
     QueryDef(
+      "q145_dsir_weights",
+      (s, dir) =>
+        // DSIR importance resampling weights with English as the
+        // target domain: every doc scored by how much more likely its
+        // tokens are under the en-docs unigram LM than under the
+        // full-corpus LM (add-one smoothing, shared vocab). Non-en
+        // docs land negative, en docs positive — the standard
+        // domain-steering signal — and the keep flag is the
+        // resampling decision on the rounded weight.
+        graft.ext.LanguageModel.importanceWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        dtf AS (SELECT doc_id, tok, COUNT(*) AS dtf FROM t GROUP BY 1, 2),
+        vs AS (SELECT tok, CAST(SUM(dtf) AS BIGINT) AS tf_s FROM dtf GROUP BY 1),
+        tids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        vt AS (SELECT tok, CAST(SUM(dtf) AS BIGINT) AS tf_t
+               FROM dtf JOIN tids USING (doc_id) GROUP BY 1),
+        v AS (SELECT vs.tok, tf_s, COALESCE(tf_t, 0) AS tf_t
+              FROM vs LEFT JOIN vt USING (tok)),
+        tot AS (SELECT CAST(SUM(tf_s) AS BIGINT) AS n_s,
+                       CAST(SUM(tf_t) AS BIGINT) AS n_t,
+                       COUNT(*) AS vv
+                FROM v),
+        scored AS (
+          SELECT dtf.doc_id,
+                 CAST(SUM(dtf.dtf) AS BIGINT) AS n_tokens,
+                 ROUND(SUM(dtf.dtf * (
+                     LN(CAST(v.tf_t + 1 AS DOUBLE) / (tot.n_t + tot.vv))
+                   - LN(CAST(v.tf_s + 1 AS DOUBLE) / (tot.n_s + tot.vv))))
+                   / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS log_weight
+          FROM dtf JOIN v USING (tok) CROSS JOIN tot
+          GROUP BY dtf.doc_id)
+        SELECT doc_id, n_tokens, log_weight,
+               CASE WHEN log_weight > 0 THEN 1 ELSE 0 END AS keep_target
+        FROM scored
+        ORDER BY doc_id""")),
+
+    QueryDef(
       "q96_unigram_surprisal",
       (s, dir) =>
         graft.ext.LanguageModel.unigramSurprisal(
