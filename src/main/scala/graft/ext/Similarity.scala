@@ -68,6 +68,45 @@ object Similarity {
       .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
   }
 
+  /** Contrastive training-pair mining: for each anchor vector, the
+    * single most-similar SAME-label vector (the positive) and the
+    * `kNeg` most-similar DIFFERENT-label vectors (the hard negatives
+    * — the pairs a contrastive/triplet loss learns most from;
+    * threshold the negative side at the positive's similarity to get
+    * Schroff-style semi-hard mining). Returns
+    * (q_vec, kind ∈ {pos, neg}, n_vec, sim_r, rn).
+    *
+    * Scale shape = [[bruteForceKnn]]: the anchor slice broadcasts, the
+    * corpus streams map-side, and the only shuffle is the per-(anchor,
+    * kind) top-k ranking window — O(|anchors|·N) work, no N² pair
+    * materialization. Full-corpus mining (anchors = corpus) at 100 TB
+    * routes candidate generation through [[ivfKnn]]'s probe cells
+    * instead and keeps this ranking tail unchanged.
+    */
+  def contrastivePairs(embeddings: DataFrame, anchors: DataFrame,
+      kNeg: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val n = embeddings.select(col("vec_id").as("n_vec"),
+      col("label").as("n_label"), col("embedding").as("nv"))
+    val a = anchors.select(col("vec_id").as("q_vec"),
+      col("label").as("q_label"), col("embedding").as("qv"))
+    val pairs = n.crossJoin(broadcast(a))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("kind", when(col("q_label") === col("n_label"), lit("pos"))
+        .otherwise(lit("neg")))
+    // rank on the ROUNDED similarity (ties broken by n_vec) so the
+    // selected pairs are exactly as engine-stable as sim_r itself
+    val w = Window.partitionBy(col("q_vec"), col("kind"))
+      .orderBy(col("sim_r").desc, col("n_vec"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter((col("kind") === "pos" && col("rn") === 1) ||
+        (col("kind") === "neg" && col("rn") <= kNeg))
+      .select(col("q_vec"), col("kind"), col("n_vec"), col("sim_r"), col("rn"))
+  }
+
   /** Deterministic random ±1 hyperplane values (seeded, data-
     * independent). Public so the SQL oracle builder can embed the SAME
     * constants as literals — the whole LSH/IVF bucketing then replays

@@ -248,6 +248,110 @@ object CurationQueries {
         ORDER BY shard_id, pos_in_shard""")),
 
     QueryDef(
+      "q147_shard_overlap",
+      (s, dir) => {
+        // cross-shard contamination matrix at N-GRAM granularity:
+        // after the q104-style deterministic shard assignment, how
+        // much distinct 8-gram mass each shard PAIR shares — the
+        // repeated-template phrases (q122's signal) that leak across
+        // "independent" training shards and make shard-held-out evals
+        // optimistic. (Whole-doc digests would be the cheaper check
+        // but are vacuous on a corpus whose duplicates are near-dups,
+        // not byte-identical.) Shape: shingles form map-side, ONE
+        // shuffle into distinct (shard, gram), then a gram equi-self-
+        // join whose fan-out is bounded by the shard count per gram
+        // (≤ 8 rows/gram post-distinct, ≤ 28 pairs), then an
+        // output-scale agg. No pair explosion at any corpus size; at
+        // 100 TB the gram column carries a 64-bit digest instead of
+        // the phrase.
+        val docs = Tables.load(s, dir, "documents")
+        val d = graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 8)
+          .select(
+            pmod(graft.ext.Dedup.md5Hash60(col("doc_id").cast("string")),
+              lit(8L)).as("shard_id"),
+            col("s").as("gram")).distinct()
+        val a = d.select(col("shard_id").as("shard_a"), col("gram"))
+        val b = d.select(col("shard_id").as("shard_b"), col("gram"))
+        a.join(b, Seq("gram"))
+          .filter(col("shard_a") < col("shard_b"))
+          .groupBy(col("shard_a"), col("shard_b"))
+          .agg(count_distinct(col("gram")).as("shared_ngrams"))
+          .orderBy(col("shard_a"), col("shard_b"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (
+          SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 8 AS shard_id,
+            array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+          FROM (SELECT doc_id, toks, CAST(unnest(range(len(toks) - 7)) AS BIGINT) AS i
+                FROM t WHERE len(toks) >= 8))
+        SELECT a.shard_id AS shard_a, b.shard_id AS shard_b,
+               CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS shared_ngrams
+        FROM d a JOIN d b ON a.gram = b.gram AND a.shard_id < b.shard_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    QueryDef(
+      "q150_mixture_budget",
+      (s, dir) => {
+        // mixture construction to a per-domain TOKEN budget (the
+        // Pile/Dolma-style step after q90's mixture audit): each
+        // language gets an integer token budget; docs fill it in
+        // deterministic md5-shuffled order (the q104 convention) until
+        // the running total crosses the budget — the crossing doc is
+        // kept, everything after is cut. Per-doc verdict out, so the
+        // hash gate checks every position + running sum, not just the
+        // summary. Shape: ONE shuffle into the per-lang window; the
+        // running sum and the keep flag are integer-exact.
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val budget = when(col("lang") === "en", lit(24000L))
+          .otherwise(lit(9000L))
+        val posh = graft.ext.Dedup.md5Hash60(
+          concat(lit("mix1:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("posh"), col("doc_id"))
+        docs
+          .select(col("doc_id"), col("lang"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            posh.as("posh"), budget.as("budget"))
+          .withColumn("pos_in_lang", row_number().over(w).cast("bigint"))
+          .withColumn("cum_tokens",
+            sum(col("n_tokens")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("kept",
+            ((col("cum_tokens") - col("n_tokens")) < col("budget"))
+              .cast("int"))
+          .select(col("lang"), col("pos_in_lang"), col("doc_id"),
+            col("n_tokens"), col("cum_tokens"), col("kept"))
+          .orderBy(col("lang"), col("pos_in_lang"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS posh,
+            CASE WHEN lang = 'en' THEN 24000 ELSE 9000 END AS budget
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id, n_tokens, budget,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY posh, doc_id)
+              AS BIGINT) AS pos_in_lang,
+            CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY posh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM h)
+        SELECT lang, pos_in_lang, doc_id, n_tokens, cum_tokens,
+               CASE WHEN cum_tokens - n_tokens < budget THEN 1 ELSE 0 END AS kept
+        FROM r
+        ORDER BY lang, pos_in_lang""")),
+
+    QueryDef(
       "q105_corpus_datasheet",
       (s, dir) => {
         // one-row corpus datasheet — the numbers a dataset card

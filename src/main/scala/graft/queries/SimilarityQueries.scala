@@ -257,6 +257,42 @@ object SimilarityQueries {
         ORDER BY q_vec, rn""")),
 
     QueryDef(
+      "q146_hard_negatives",
+      (s, dir) => {
+        // contrastive pair mining for embedding-model training: per
+        // anchor (bounded probe slice, the q70/q71 broadcast posture),
+        // the nearest same-label vector (positive) and the 3 nearest
+        // different-label vectors (hard negatives). Full-corpus mining
+        // swaps candidate generation to the IVF route — scaladoc on
+        // Similarity.contrastivePairs.
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.contrastivePairs(emb, emb.filter(col("vec_id") < 50),
+          kNeg = 3)
+          .orderBy(col("q_vec"), col("kind"), col("rn"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id AS q_vec, label AS q_label, v AS qv
+              FROM e WHERE vec_id < 50),
+        p AS (
+          SELECT q_vec, e.vec_id AS n_vec,
+            CASE WHEN e.label = q_label THEN 'pos' ELSE 'neg' END AS kind,
+            ROUND(list_dot_product(qv, e.v)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+              AS sim_r
+          FROM a, e WHERE q_vec <> e.vec_id),
+        r AS (
+          SELECT q_vec, kind, n_vec, sim_r,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec, kind
+                   ORDER BY sim_r DESC, n_vec) AS rn
+          FROM p)
+        SELECT q_vec, kind, n_vec, sim_r, rn
+        FROM r
+        WHERE (kind = 'pos' AND rn = 1) OR (kind = 'neg' AND rn <= 3)
+        ORDER BY q_vec, kind, rn""")),
+
+    QueryDef(
       "q102_semantic_dedup",
       (s, dir) =>
         // SemDeDup decision layer over the q72 pair search: which

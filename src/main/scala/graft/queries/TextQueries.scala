@@ -530,6 +530,109 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     QueryDef(
+      "q148_cms_freq",
+      (s, dir) => {
+        // Count-Min point-frequency estimates vs exact counts for the
+        // corpus's 30 most frequent tokens. The CMS is LINEAR (cell-
+        // wise sums), so its 4×256 cell array is partitioning-
+        // invariant and the ESTIMATES themselves hash-check against a
+        // full DuckDB replay — the whole token stream reduces to 1024
+        // longs instead of a vocabulary-scale shuffle, and lookups
+        // cost one broadcast row. The overcount column is the
+        // sketch's audited error (never negative by construction).
+        val docs = Tables.load(s, dir, "documents")
+        val dtf = graft.ext.LanguageModel.docTermFreq(docs, "doc_id", "text")
+        val sketch = dtf.agg(
+          graft.functions.CountMin.cmsSketch(4, 256)(
+            col("tok"), col("dtf")).as("cells"))
+        val exact = dtf.groupBy(col("tok"))
+          .agg(sum(col("dtf")).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(30)
+        exact.crossJoin(broadcast(sketch))
+          .withColumn("cms_est", least((0 until 4).map { i =>
+            element_at(col("cells"),
+              (lit(i * 256) + pmod(graft.ext.Dedup.md5Hash60(
+                concat(lit(s"cms$i:"), col("tok"))), lit(256L)))
+                .cast("int") + 1)
+          }: _*))
+          .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+          .select(col("tok"), col("exact_cnt"), col("cms_est"),
+            col("overcount"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        dtf AS (SELECT doc_id, tok, COUNT(*) AS dtf FROM t GROUP BY 1, 2),
+        cells AS (
+          SELECT i,
+            CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || tok), 1, 15))
+              AS BIGINT) % 256 AS b,
+            CAST(SUM(dtf) AS BIGINT) AS c
+          FROM dtf CROSS JOIN (SELECT unnest(range(4)) AS i) r
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT tok, CAST(SUM(dtf) AS BIGINT) AS exact_cnt
+          FROM dtf GROUP BY 1
+          ORDER BY exact_cnt DESC, tok LIMIT 30),
+        est AS (
+          SELECT e.tok, e.exact_cnt, MIN(c.c) AS cms_est
+          FROM exact e JOIN cells c
+            ON c.b = CAST(('0x' || substr(md5('cms' || CAST(c.i AS VARCHAR) || ':' || e.tok), 1, 15))
+                       AS BIGINT) % 256
+          GROUP BY 1, 2)
+        SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        FROM est
+        ORDER BY exact_cnt DESC, tok""")),
+
+    QueryDef(
+      "q149_ngram_novelty",
+      (s, dir) => {
+        // per-document n-gram NOVELTY: what fraction of a doc's
+        // distinct 8-gram shingles first appear (by doc_id order) in
+        // that document — the memorization/boilerplate mirror image of
+        // q122's repeated-ngram mining (a doc full of already-seen
+        // grams is template mass; a high-novelty doc contributes new
+        // text). Shape: shingles form map-side, ONE shuffle into the
+        // distinct (gram, doc) agg, min-doc attribution is a second
+        // key-partitioned agg on the same key, then an equi-join back
+        // and an output-scale per-doc agg. Novelty reported in basis
+        // points via integer division — exact in both engines.
+        val docs = Tables.load(s, dir, "documents")
+        val grams = graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 8)
+          .select(col("doc_id"), col("s").as("gram")).distinct()
+        val first = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_bp",
+            expr("CAST((n_novel * 10000L) DIV n_grams AS BIGINT)"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+          FROM (SELECT doc_id, toks, CAST(unnest(range(len(toks) - 7)) AS BIGINT) AS i
+                FROM t WHERE len(toks) >= 8)),
+        f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*) AS BIGINT) AS novelty_bp
+        FROM g JOIN f USING (gram)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id""")),
+
+    QueryDef(
       "q96_unigram_surprisal",
       (s, dir) =>
         graft.ext.LanguageModel.unigramSurprisal(

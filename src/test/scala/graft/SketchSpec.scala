@@ -173,3 +173,91 @@ class BloomSketchSpec extends SparkSpec {
     assert(exact.nonEmpty) // the corpus must actually exercise the sweep
   }
 }
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.CountMin
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.agg(CountMin.cmsSketch(4, 64)(col("item"), col("w")))
+      .head().getSeq[Long](0)
+
+  test("CMS never undercounts; overcount within the 2N/w bound w.h.p.") {
+    val df = spark.range(20000)
+      .select(concat(lit("item"), (col("id") % 500).cast("string")).as("item"),
+        lit(1L).as("w"))
+    val cells = sketchOf(df)
+    val n = 20000L
+    val exact = 20000 / 500 // uniform: every item appears 40 times
+    (0 until 500).foreach { v =>
+      val est = (0 until 4).map { i =>
+        cells(i * 64 + CountMin.bucket(i, s"item$v", 64))
+      }.min
+      assert(est >= exact, s"item$v undercounted: $est < $exact")
+      assert(est <= exact + 2 * n / 64 + 1,
+        s"item$v overcount ${est - exact} beyond bound")
+    }
+  }
+
+  test("CMS cells are bit-identical under repartitioning (linear sketch)") {
+    val df = spark.range(30000)
+      .select(concat(lit("x"), (col("id") % 997).cast("string")).as("item"),
+        (col("id") % 3 + 1).as("w"))
+    val a = sketchOf(df.repartition(3))
+    val b = sketchOf(df.repartition(17).orderBy(rand(5)))
+    assert(a === b)
+  }
+
+  test("CMS md5 bucket matches the Column-side md5Hash60 convention") {
+    // the q148 lookup computes buckets via Dedup.md5Hash60 Column
+    // expressions while the Aggregator hashes JVM-side — both must
+    // land every item in the same cell or estimates read wrong cells
+    val items = Seq("alpha", "bravo", "漢字", "x y", "")
+    val colBuckets = items.toDF("s").select(
+      pmod(graft.ext.Dedup.md5Hash60(concat(lit("cms2:"), col("s"))),
+        lit(64L)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    val jvmBuckets = items.map(CountMin.bucket(2, _, 64))
+    assert(colBuckets === jvmBuckets)
+  }
+
+  test("CMS weighted input ≡ per-occurrence input") {
+    val occ = spark.range(5000)
+      .select(concat(lit("t"), (col("id") % 50).cast("string")).as("item"),
+        lit(1L).as("w"))
+    val weighted = occ.groupBy("item")
+      .agg(sum("w").as("w")).select(col("item"), col("w"))
+    assert(sketchOf(occ) === sketchOf(weighted))
+  }
+}
+
+class ContrastivePairsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Similarity
+
+  test("positives share the anchor's label, negatives never do; ranks dense") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 1, Array(0.95f, 0.05f, 0.0f)),
+      (4L, 1, Array(0.0f, 0.0f, 1.0f)),
+      (5L, 2, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.contrastivePairs(
+      vecs, vecs.filter(col("vec_id") === 0), kNeg = 2).collect()
+    val pos = out.filter(_.getAs[String]("kind") == "pos")
+    val neg = out.filter(_.getAs[String]("kind") == "neg")
+    // anchor 0 (label 0): nearest same-label is vec 1 (cos ≈ .994)
+    assert(pos.map(r => (r.getAs[Long]("n_vec"), r.getAs[Long]("rn"))).toSeq
+      === Seq((1L, 1L)))
+    // nearest different-label: vec 3 (cos ≈ .998) then vec 5 (cos ≈ .707)
+    assert(neg.sortBy(_.getAs[Long]("rn"))
+      .map(_.getAs[Long]("n_vec")).toSeq === Seq(3L, 5L))
+    // and the hard negative is HARDER than the positive — the case the
+    // mining exists to surface
+    val posSim = pos.head.getAs[Double]("sim_r")
+    val negTop = neg.minBy(_.getAs[Long]("rn")).getAs[Double]("sim_r")
+    assert(negTop > posSim)
+  }
+}
