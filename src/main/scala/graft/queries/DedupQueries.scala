@@ -192,6 +192,8 @@ object DedupQueries {
 
     curationPipeline,
 
+    curationFunnel,
+
     QueryDef(
       "q87_dedup_method_agreement",
       (s, dir) => {
@@ -438,6 +440,60 @@ object DedupQueries {
       headline = true)
   )
 
+  /** Shared oracle body for the q86/q151 curation cascade: quality
+    * filter → exact dedup (min-doc winner per digest) → near-dup
+    * removal via the exact-Jaccard truth set + recursive-CTE closure
+    * (an INDEPENDENT algorithm — the engine's LSH path hash-fails
+    * here if banding ever loses recall). Callers prepend
+    * "WITH RECURSIVE " and append their own final stages.
+    */
+  private def CurationStagesSql: String = """q AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
+          FROM documents),
+        f AS (
+          SELECT doc_id, text FROM q
+          WHERE n_tok >= 20 AND n_tok <= 150 AND pr <= 0.05),
+        ew AS (
+          SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        s0 AS (SELECT f.doc_id, f.text FROM f JOIN ew USING (doc_id)),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM s0),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth_pairs AS (
+          SELECT doc_id_a, doc_id_b
+          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
+                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
+          WHERE ROUND(CAST(i AS DOUBLE)/CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.3),
+        edges AS (
+          SELECT doc_id_a AS n, doc_id_b AS m FROM truth_pairs
+          UNION
+          SELECT doc_id_b, doc_id_a FROM truth_pairs),
+        reach(n, m) AS (
+          SELECT n, m FROM edges
+          UNION
+          SELECT e.n, r.m FROM edges e JOIN reach r ON r.n = e.m),
+        lbl AS (
+          SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id
+          FROM reach GROUP BY n),
+        losers AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+        s1 AS (
+          SELECT s0.doc_id, s0.text FROM s0
+          LEFT JOIN losers l ON s0.doc_id = l.doc_id
+          WHERE l.doc_id IS NULL)"""
+
   /** The whole training-data curation workflow as ONE declarative
     * pipeline — quality filter → exact dedup → near-dup removal
     * (LSH + connected components, canonical survivor) → token-budget
@@ -485,53 +541,7 @@ object DedupQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("shard"), col("bin_id"))
     },
-    Some("""
-        WITH RECURSIVE q AS (
-          SELECT doc_id, text,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
-                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                   AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
-          FROM documents),
-        f AS (
-          SELECT doc_id, text FROM q
-          WHERE n_tok >= 20 AND n_tok <= 150 AND pr <= 0.05),
-        ew AS (
-          SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
-        s0 AS (SELECT f.doc_id, f.text FROM f JOIN ew USING (doc_id)),
-        toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-          FROM s0),
-        sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
-                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
-          FROM toks WHERE len(t) >= 3),
-        sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        inter AS (
-          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
-          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        truth_pairs AS (
-          SELECT doc_id_a, doc_id_b
-          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
-                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
-          WHERE ROUND(CAST(i AS DOUBLE)/CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.3),
-        edges AS (
-          SELECT doc_id_a AS n, doc_id_b AS m FROM truth_pairs
-          UNION
-          SELECT doc_id_b, doc_id_a FROM truth_pairs),
-        reach(n, m) AS (
-          SELECT n, m FROM edges
-          UNION
-          SELECT e.n, r.m FROM edges e JOIN reach r ON r.n = e.m),
-        lbl AS (
-          SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id
-          FROM reach GROUP BY n),
-        losers AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
-        s1 AS (
-          SELECT s0.doc_id, s0.text FROM s0
-          LEFT JOIN losers l ON s0.doc_id = l.doc_id
-          WHERE l.doc_id IS NULL),
+    Some("WITH RECURSIVE " + CurationStagesSql + """,
         sized AS (
           SELECT doc_id,
                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -554,6 +564,62 @@ object DedupQueries {
         GROUP BY shard, bin_id
         ORDER BY shard, bin_id"""),
     headline = true)
+
+  /** Per-stage attrition accounting for the q86 cascade — the
+    * observability table a corpus build publishes next to its output
+    * (how many documents each successive gate removed, in cascade
+    * order). Stage recomputation reuses the exact q86 stage
+    * expressions; all four counts are 1-row aggregates unioned and
+    * differenced through a 4-row window, so the query's cost is the
+    * cascade itself, not the accounting.
+    */
+  private def curationFunnel: QueryDef = QueryDef(
+    "q151_curation_funnel",
+    (s, dir) => {
+      import graft.ext.{Dedup, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.qualityFilter(col("text"),
+        minTokens = 20, maxTokens = 150, maxPunctRatio = 0.05) === "keep")
+      val exactWinners = kept
+        .groupBy(md5(col("text")).as("hsh"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s0 = graft.Staging.checkpoint(
+        kept.join(exactWinners, Seq("doc_id"), "left_semi"), "fun-s0")
+      val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
+      val losers = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val s1 = s0.join(losers, Seq("doc_id"), "left_anti")
+      def stage(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_out"))
+          .select(lit(label).as("stage"), col("n_out"))
+      // 4-row accounting frame: single-partition window is the point
+      val w = Window.orderBy(col("stage"))
+      stage("0_input", docs)
+        .unionByName(stage("1_quality_filter", kept))
+        .unionByName(stage("2_exact_dedup", s0))
+        .unionByName(stage("3_near_dedup", s1))
+        .withColumn("n_in",
+          coalesce(lag(col("n_out"), 1).over(w), col("n_out")))
+        .withColumn("n_dropped", col("n_in") - col("n_out"))
+        .select(col("stage"), col("n_in"), col("n_out"), col("n_dropped"))
+        .orderBy(col("stage"))
+    },
+    Some("WITH RECURSIVE " + CurationStagesSql + """,
+        counts AS (
+          SELECT '0_input' AS stage,
+                 (SELECT COUNT(*) FROM documents) AS n_out
+          UNION ALL SELECT '1_quality_filter', (SELECT COUNT(*) FROM f)
+          UNION ALL SELECT '2_exact_dedup', (SELECT COUNT(*) FROM s0)
+          UNION ALL SELECT '3_near_dedup', (SELECT COUNT(*) FROM s1))
+        SELECT stage,
+               CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage), n_out) AS BIGINT) AS n_in,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage), n_out) - n_out AS BIGINT) AS n_dropped
+        FROM counts
+        ORDER BY stage"""))
 
   /** Shared oracle prelude: 60-bit md5 SimHash near-dup pairs at
     * hamming ≤ 3 via pigeonhole blocking (exact recall).
