@@ -17,15 +17,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. GraftSession sets the legacy nanosAsLong conf so
-      // the scan yields raw nanos; convert with INTEGER division (a
-      // double division would lose precision at ~1.7e18 ns) — values
-      // are µs-grained, so this is lossless. The loader itself is
-      // side-effect free (no session mutation).
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across driver corpus generations, so branch
+      // on the scanned type instead of assuming one encoding:
+      //  - NANOS scans as raw LongType (GraftSession sets the legacy
+      //    nanosAsLong conf — Spark's vectorized reader has no nanos
+      //    type); convert with INTEGER division (a double division
+      //    would lose precision at ~1.7e18 ns) — values are µs-grained,
+      //    so this is lossless.
+      //  - MICROS (isAdjustedToUTC=false) scans as TIMESTAMP_NTZ;
+      //    cast to TIMESTAMP — wall-clock preserving under the UTC
+      //    session timezone every graft session pins.
+      // Either way downstream queries see one type: TIMESTAMP (UTC).
+      // The loader itself is side-effect free (no session mutation).
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries (scalar
