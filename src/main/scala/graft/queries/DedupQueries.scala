@@ -437,7 +437,82 @@ object DedupQueries {
                  / 1000000.0 AS dup_frac
         FROM b LEFT JOIN cov USING (doc_id)
         ORDER BY b.doc_id"""),
-      headline = true)
+      headline = true),
+
+    QueryDef(
+      "q153_source_priority_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Survivorship-POLICY dedup: where q60 keeps the min doc_id
+        // per exact digest, real corpus builds keep the copy from the
+        // most trusted SOURCE (curated dump beats web scrape). The
+        // grouping key is the vocabulary fingerprint (md5 of the
+        // sorted distinct token set — groups token-level rearrange/
+        // near-copies that byte-exact md5 misses); priority is
+        // self-calibrating: sources ranked by total corpus mass
+        // (SUM(n_chars) — an integer, so cross-engine exact),
+        // tie-broken on the source name. Shapes: the 20-row priority
+        // table builds from one map-side-combined agg (its global
+        // ROW_NUMBER rides 20 rows, not the corpus) and BROADCASTS
+        // back; fingerprints form map-side; the group agg and the
+        // survivor window both key on the fingerprint — at 100 TB
+        // everything shuffles by digest exactly once per pass, never
+        // by pair.
+        val docs = Tables.load(s, dir, "documents")
+        val pr = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("mass"))
+          .select(col("source"),
+            row_number().over(Window.orderBy(col("mass").desc, col("source")))
+              .as("rk"))
+        val keyed = docs.select(col("doc_id"), col("source"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(Dedup.tokens(col("text"))))))
+            .as("vocab_digest"))
+        val j = keyed.join(broadcast(pr), Seq("source"))
+        val groups = j.groupBy(col("vocab_digest"))
+          .agg(count(lit(1)).as("n_copies"),
+            count_distinct(col("source")).as("n_sources"))
+          .filter(col("n_copies") > 1)
+        val survivor = j.withColumn("rn",
+            row_number().over(Window.partitionBy(col("vocab_digest"))
+              .orderBy(col("rk"), col("doc_id"))))
+          .filter(col("rn") === 1)
+        groups.join(survivor, Seq("vocab_digest"))
+          .select(col("vocab_digest"),
+            col("doc_id").as("survivor_doc"),
+            col("source").as("survivor_source"),
+            col("n_copies"), col("n_sources"))
+          .orderBy(col("vocab_digest"))
+      },
+      Some("""
+        WITH pr AS (
+          SELECT source,
+                 ROW_NUMBER() OVER (ORDER BY SUM(n_chars) DESC, source) AS rk
+          FROM documents GROUP BY source),
+        d AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\s+'))), ' '))
+                   AS vocab_digest
+          FROM documents),
+        j AS (SELECT d.doc_id, d.source, d.vocab_digest, pr.rk
+              FROM d JOIN pr USING (source)),
+        g AS (
+          SELECT vocab_digest,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM j GROUP BY vocab_digest HAVING COUNT(*) > 1),
+        w AS (
+          SELECT vocab_digest, doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY vocab_digest
+                   ORDER BY rk, doc_id) AS rn
+          FROM j)
+        SELECT g.vocab_digest,
+               w.doc_id AS survivor_doc,
+               w.source AS survivor_source,
+               g.n_copies, g.n_sources
+        FROM g JOIN w ON g.vocab_digest = w.vocab_digest AND w.rn = 1
+        ORDER BY g.vocab_digest"""))
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality

@@ -949,6 +949,91 @@ object TextQueries {
         FROM tok CROSS JOIN n
         GROUP BY word, n_total
         HAVING COUNT(*) > n_total / 50
-        ORDER BY cnt DESC, word"""))
+        ORDER BY cnt DESC, word""")),
+
+    QueryDef(
+      "q152_bpe_pair_stats",
+      (s, dir) => {
+        // The first step of BPE tokenizer TRAINING: frequency-weighted
+        // adjacent symbol-pair counts over the corpus vocabulary (the
+        // merge table's round-1 candidates). Shape is the 100 TB-safe
+        // one: the corpus collapses to its word-frequency table FIRST
+        // (one map-side-combined shuffle on the token — corpus text
+        // never rides a shuffle again), pairs then explode from the
+        // VOCABULARY (orders of magnitude smaller than the corpus),
+        // and a second hash-agg on the 2-char pair key feeds a
+        // TakeOrdered top-25. Deterministic tie-break on the pair.
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"))
+        vocab.filter(length(col("tok")) >= 2)
+          .select(col("tok"), col("freq"),
+            explode(expr(
+              "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+              .as("pair"))
+          .groupBy(col("pair"))
+          .agg(
+            count_distinct(col("tok")).as("n_words"),
+            sum(col("freq")).cast("bigint").as("total_count"))
+          .orderBy(col("total_count").desc, col("pair"))
+          .limit(25)
+      },
+      Some("""
+        WITH t AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        w AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+        p AS (
+          SELECT tok, freq,
+                 unnest(list_transform(range(1, length(tok)),
+                   i -> substring(tok, CAST(i AS INT), 2))) AS pair
+          FROM w WHERE length(tok) >= 2)
+        SELECT pair,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_count
+        FROM p
+        GROUP BY pair
+        ORDER BY total_count DESC, pair
+        LIMIT 25""")),
+
+    QueryDef(
+      "q154_tokenizer_fertility",
+      (s, dir) =>
+        // tokenizer fertility by language: BPE-ish segments per
+        // whitespace word (the budgeting number multilingual corpus
+        // work needs — a lang whose fertility is 2× pays 2× the
+        // context budget for the same text). Per-doc counts are pure
+        // map-side Column exprs (q67's); the lang rollup is one
+        // map-side-combined hash-agg. Ratio reported in permille via
+        // INTEGER division — exact in both engines.
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            tokenCount(col("text")).as("ws"),
+            bpeTokenCount(col("text")).as("bpe"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws")).cast("bigint").as("ws_tokens"),
+            sum(col("bpe")).cast("bigint").as("bpe_tokens"))
+          .withColumn("fertility_permille",
+            expr("CAST((bpe_tokens * 1000L) DIV ws_tokens AS BIGINT)"))
+          .orderBy(col("lang")),
+      Some(s"""
+        WITH d AS (
+          SELECT lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                   AS BIGINT) AS bpe
+          FROM documents)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(bpe) * 1000 // SUM(ws) AS BIGINT) AS fertility_permille
+        FROM d
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 }

@@ -358,4 +358,29 @@ class PlanSpec extends SparkSpec {
     // never data rows
     assert(count(p, "Exchange SinglePartition") <= 1, p)
   }
+
+  test("q152: corpus collapses to vocab first; pair mining is TakeOrdered, no cartesian") {
+    val p = plan("q152_bpe_pair_stats")
+    // top-25 must be TakeOrdered (map-side partial top-k), never a
+    // global sort of the pair table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly two data shuffles: the token-frequency agg and the pair
+    // rollup (count-distinct expands extra in-partition HashAggregate
+    // phases, but never an extra exchange)
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q153: the 20-row priority table broadcasts; everything else keys on the digest") {
+    val p = plan("q153_source_priority_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the priority rank's global window rides the 20-row source agg —
+    // the corpus itself must never hit a single-partition exchange
+    // followed by a corpus-wide Window (digest window partitions by
+    // vocab_digest)
+    assert(p.contains("vocab_digest"), p)
+  }
 }

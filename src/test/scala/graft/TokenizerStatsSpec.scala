@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-4 tokenizer/curation additions: q152's
+  * BPE pair counting, q153's survivorship-policy dedup, q154's
+  * fertility arithmetic — each on constructed corpora where the right
+  * answer is checkable by hand (the DuckDB oracle gate covers the
+  * driver corpus; these pin the SEMANTICS on adversarial shapes the
+  * synthetic corpus may not contain).
+  */
+class TokenizerStatsSpec extends SparkSpec {
+
+  /** Write a documents.parquet in the driver layout under a tmp dir. */
+  private def corpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("tok-stats")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q152: pair counts weight by word frequency, with multiplicity inside a word") {
+    // vocab: "aaab" (freq 2) → pairs aa,aa,ab per occurrence; "cd" (freq 1)
+    val dir = corpus(Seq(
+      (1L, "aaab cd aaab", "en", "s0")))
+    val rows = SparkEntry.queries("q152_bpe_pair_stats")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // 'aa' appears twice inside each of 2 occurrences of "aaab" → 4
+    assert(rows("aa") == (1L, 4L), rows)
+    assert(rows("ab") == (1L, 2L), rows)
+    assert(rows("cd") == (1L, 1L), rows)
+  }
+
+  test("q153: the priority source wins over the lower doc_id") {
+    // same vocabulary set {alpha, beta} in docs 1 and 2; source "big"
+    // carries more corpus mass, so doc 2 survives DESPITE doc 1's
+    // lower id (q60's rule would keep doc 1 — the policy is the point)
+    val dir = corpus(Seq(
+      (1L, "alpha beta", "en", "small"),
+      (2L, "beta alpha beta alpha beta alpha beta", "en", "big"),
+      (3L, "gamma delta epsilon zeta", "en", "big"),
+      (4L, "unrelated words entirely here now", "en", "small")))
+    val rows = SparkEntry.queries("q153_source_priority_dedup")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Long]("survivor_doc") == 2L, r)
+    assert(r.getAs[String]("survivor_source") == "big", r)
+    assert(r.getAs[Long]("n_copies") == 2L && r.getAs[Long]("n_sources") == 2L, r)
+  }
+
+  test("q154: fertility is integer permille of bpe over whitespace tokens") {
+    val dir = corpus(Seq(
+      (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
+      (2L, "plain words only", "en", "s0")))   // ws 3, bpe 3
+    val rows = SparkEntry.queries("q154_tokenizer_fertility")(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("ws_tokens") == 7L, r)
+    assert(r.getAs[Long]("bpe_tokens") == 8L, r)
+    assert(r.getAs[Long]("fertility_permille") == 8000L / 7L, r)
+  }
+}
