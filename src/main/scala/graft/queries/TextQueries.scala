@@ -1034,6 +1034,129 @@ object TextQueries {
                CAST(SUM(bpe) * 1000 // SUM(ws) AS BIGINT) AS fertility_permille
         FROM d
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    QueryDef(
+      "q155_source_divergence",
+      (s, dir) => {
+        // Jensen–Shannon divergence of each source's unigram
+        // distribution vs the corpus — the mixture-design number that
+        // says which domains are interchangeable and which add real
+        // distributional mass. Identity used: with M=(P+Q)/2,
+        //   JSD = ½·Σ_{p>0}[p·ln(p/m) + q·ln(q/m)] + ½·ln2·(1 − Σ_{p>0} q)
+        // (absent-token terms collapse to q·ln2), so only PRESENT
+        // (source, token) rows ever materialize — no union-vocab cross
+        // join. Shapes: (source,tok) hash-agg (map-side combined),
+        // corpus rollup AGGREGATES THE PER-SOURCE FRAME (vocab-scale,
+        // not corpus-scale), totals broadcast, one vocab-key equi-join.
+        val docs = Tables.load(s, dir, "documents")
+        val st = docs.select(col("source"),
+            explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val ns = st.groupBy(col("source"))
+          .agg(sum(col("c")).cast("bigint").as("n_s"))
+        val ct = st.groupBy(col("tok"))
+          .agg(sum(col("c")).cast("bigint").as("c_all"))
+        val n = ct.agg(sum(col("c_all")).cast("bigint").as("n_all"))
+        val terms = st.join(broadcast(ns), Seq("source"))
+          .join(ct, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("p", col("c").cast("double") / col("n_s"))
+          .withColumn("q", col("c_all").cast("double") / col("n_all"))
+          .withColumn("m", (col("p") + col("q")) / lit(2.0))
+          .withColumn("term",
+            col("p") * log(col("p") / col("m")) +
+              col("q") * log(col("q") / col("m")))
+        terms.groupBy(col("source"))
+          .agg(
+            first(col("n_s")).as("n_tokens"),
+            sum(col("term")).as("t_present"),
+            sum(col("q")).as("q_present"))
+          .select(col("source"), col("n_tokens"),
+            round(lit(0.5) * col("t_present") +
+              lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("q_present")), 4)
+              .as("jsd"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_all FROM st GROUP BY 1),
+        n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all FROM ct),
+        terms AS (
+          SELECT st.source, ns.n_s,
+                 CAST(st.c AS DOUBLE) / ns.n_s AS p,
+                 CAST(ct.c_all AS DOUBLE) / n.n_all AS q
+          FROM st JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN n)
+        SELECT source, n_s AS n_tokens,
+               ROUND(0.5 * SUM(p * LN(p / ((p + q) / 2.0))
+                            + q * LN(q / ((p + q) / 2.0)))
+                   + 0.5 * LN(2.0) * (1.0 - SUM(q)), 4) AS jsd
+        FROM terms
+        GROUP BY source, n_s
+        ORDER BY source""")),
+
+    QueryDef(
+      "q156_vocab_growth",
+      (s, dir) => {
+        // Heaps-law vocabulary growth over 3-gram TYPES: cumulative
+        // distinct grams at 20 evenly-spaced corpus checkpoints
+        // (q149's per-doc novelty is the doc-level mirror; this is the
+        // corpus-level curve an n-gram vocab/LM budget is sized from —
+        // unigram types saturate in the first checkpoint on any
+        // realistic corpus, gram types keep growing). First-seen
+        // attribution is ONE gram-key agg; checkpoint width derives
+        // from the doc count (a 1-row broadcast), so there are 20
+        // buckets at ANY corpus size and the cumulative window always
+        // rides a 20-row frame — never the corpus.
+        val docs = Tables.load(s, dir, "documents")
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val first = graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 3)
+          .select(col("doc_id"), col("s").as("gram")).distinct()
+          .groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        import org.apache.spark.sql.expressions.Window
+        first.crossJoin(broadcast(nd))
+          .withColumn("width", expr("CAST((n_docs + 19) DIV 20 AS BIGINT)"))
+          .withColumn("bucket", expr("CAST(first_doc DIV width AS BIGINT)"))
+          // width/n_docs are constants, so grouping on them adds no
+          // cardinality — it just keeps them addressable post-agg
+          .groupBy(col("bucket"), col("width"), col("n_docs"))
+          .agg(count(lit(1)).as("new_types"))
+          .select(col("bucket"),
+            expr("CAST(LEAST((bucket + 1) * width, n_docs) AS BIGINT)")
+              .as("docs_seen"),
+            col("new_types"))
+          .withColumn("cum_types",
+            sum(col("new_types")).over(Window.orderBy(col("bucket")))
+              .cast("bigint"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS gram
+          FROM (SELECT doc_id, toks, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i
+                FROM t WHERE len(toks) >= 3)),
+        f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        b AS (
+          SELECT CAST(first_doc // ((n_docs + 19) // 20) AS BIGINT) AS bucket,
+                 CAST(LEAST((first_doc // ((n_docs + 19) // 20) + 1)
+                       * ((n_docs + 19) // 20), n_docs) AS BIGINT) AS docs_seen,
+                 CAST(COUNT(*) AS BIGINT) AS new_types
+          FROM f CROSS JOIN nd
+          GROUP BY 1, 2)
+        SELECT bucket, docs_seen, new_types,
+               CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+        FROM b
+        ORDER BY bucket"""))
   )
 }

@@ -383,4 +383,22 @@ class PlanSpec extends SparkSpec {
     // vocab_digest)
     assert(p.contains("vocab_digest"), p)
   }
+
+  test("q155: only the 1-row total rides a nested-loop; vocab joins are keyed") {
+    val p = plan("q155_source_divergence")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BroadcastNestedLoopJoin: the 1-row corpus total
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p) // the 20-row n_s table
+  }
+
+  test("q156: cumulative window rides the 20-bucket agg, not the corpus") {
+    val p = plan("q156_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p)
+    // single-partition exchanges: the 1-row doc-count combine
+    // (O(partitions) rows) and the post-agg 20-row window — both ride
+    // row counts independent of corpus size, and nothing else may
+    assert(count(p, "Exchange SinglePartition") == 2, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
 }

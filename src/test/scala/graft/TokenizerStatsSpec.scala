@@ -50,6 +50,39 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_copies") == 2L && r.getAs[Long]("n_sources") == 2L, r)
   }
 
+  test("q155: identical sources diverge 0; disjoint-vocab sources hit the closed form") {
+    // corpus = {a:"x x x", b:"y y y"} → per-source P=(1,0) vs corpus
+    // Q=(.5,.5): JSD = ½[KL(P,M)+KL(Q,M)], M=(.75,.25) → 0.2158
+    val dir = corpus(Seq(
+      (1L, "x x x", "en", "a"),
+      (2L, "y y y", "en", "b")))
+    val rows = SparkEntry.queries("q155_source_divergence")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("jsd")).toMap
+    assert(rows("a") == 0.2158 && rows("b") == 0.2158, rows)
+
+    val same = corpus(Seq(
+      (1L, "x y x y", "en", "a"),
+      (2L, "x y x y", "en", "b")))
+    val rows2 = SparkEntry.queries("q155_source_divergence")(spark, same)
+      .collect().map(r => r.getAs[Double]("jsd"))
+    assert(rows2.forall(_ == 0.0), rows2.mkString(","))
+  }
+
+  test("q156: 20-checkpoint curve is monotone and lands on the true type count") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("q156_vocab_growth")(spark, dir).collect()
+    assert(rows.length == 20, rows.length)
+    val cums = rows.map(_.getAs[Long]("cum_types"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, cums.mkString(","))
+    // the curve must end at the independently-counted distinct 3-gram types
+    val total = graft.ext.Dedup.explodedShingles(
+        graft.queries.Tables.load(spark, dir, "documents"), "doc_id", "text", 3)
+      .select(col("s")).distinct().count()
+    assert(cums.last == total, s"${cums.last} vs $total")
+    assert(rows.last.getAs[Long]("docs_seen") == 500L)
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
