@@ -1157,6 +1157,130 @@ object TextQueries {
         SELECT bucket, docs_seen, new_types,
                CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
         FROM b
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    QueryDef(
+      "q157_quality_yield",
+      (s, dir) => {
+        // Yield curve for the quality gate: docs/tokens surviving each
+        // candidate threshold (0…0.9 in permille steps) — the table a
+        // pipeline owner reads to PICK the threshold instead of
+        // guessing it. Thresholds explode from a 10-element literal
+        // (map-side ×10, no join); one hash-agg on the threshold key;
+        // corpus totals ride a 1-row broadcast. Shares (permille) via
+        // integer division — exact in both engines.
+        val docs = Tables.load(s, dir, "documents")
+        val scored = docs.select(
+          qualityScore(col("text")).as("score"),
+          tokenCount(col("text")).as("n_tok"))
+        val tot = scored.agg(
+          count(lit(1)).as("tot_docs"),
+          sum(col("n_tok")).cast("bigint").as("tot_tokens"))
+        scored
+          .select(col("score"), col("n_tok"),
+            explode(expr("sequence(0L, 900L, 100L)")).as("thr_permille"))
+          .filter(col("score") >= col("thr_permille") / lit(1000.0))
+          .groupBy(col("thr_permille"))
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tok")).cast("bigint").as("n_tokens_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("thr_permille"),
+            col("n_docs_kept"), col("n_tokens_kept"),
+            expr("CAST(n_docs_kept * 1000 DIV tot_docs AS BIGINT)")
+              .as("doc_share_permille"),
+            expr("CAST(n_tokens_kept * 1000 DIV tot_tokens AS BIGINT)")
+              .as("token_share_permille"))
+          .orderBy(col("thr_permille"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT ROUND($QualityScoreSql, 4) AS score,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        tot AS (
+          SELECT COUNT(*) AS tot_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+          FROM sc),
+        thr AS (SELECT unnest(range(0, 1000, 100)) AS thr_permille),
+        k AS (
+          SELECT thr_permille,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+          FROM sc JOIN thr ON sc.score >= thr.thr_permille / 1000.0
+          GROUP BY 1)
+        SELECT CAST(thr_permille AS BIGINT) AS thr_permille,
+               n_docs_kept, n_tokens_kept,
+               CAST(n_docs_kept * 1000 // tot_docs AS BIGINT) AS doc_share_permille,
+               CAST(n_tokens_kept * 1000 // tot_tokens AS BIGINT) AS token_share_permille
+        FROM k CROSS JOIN tot
+        ORDER BY thr_permille""")),
+
+    QueryDef(
+      "q158_packing_order_audit",
+      (s, dir) => {
+        // Does pack ORDER matter? The same greedy token-budget packing
+        // ([[graft.ext.Packing.packByTokenBudget]], budget 128 — a
+        // power of two, so the double-division floor is exact in both
+        // engines) audited under two within-shard orders: natural
+        // doc_id vs length-descending. Bins used is order-invariant
+        // by construction (⌊cumsum⌋ fill); what moves is how many
+        // docs STRADDLE a bin boundary and how many tokens spill past
+        // it — the fragmentation a sequence-packing reader pays.
+        // Shapes: one shard-partitioned window per order, 1-row aggs.
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tok"))
+        val bins = docs.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("t"))
+          .agg(sum(expr("(t - 1) DIV 128 + 1")).cast("bigint").as("bins_used"))
+        def audit(orderCol: org.apache.spark.sql.Column, label: String) =
+          graft.ext.Packing
+            .packByTokenBudget(docs, col("source"), orderCol, col("n_tok"), 128L)
+            .withColumn("spill", greatest(
+              col("run_tokens_before") + col("n_tok")
+                - (col("bin_id") + 1) * lit(128L), lit(0L)))
+            .agg(
+              sum(when(col("spill") > 0, 1L).otherwise(0L)).cast("bigint")
+                .as("n_crossing_docs"),
+              sum(col("spill")).cast("bigint").as("spilled_tokens"))
+            .select(lit(label).as("ordering"),
+              col("n_crossing_docs"), col("spilled_tokens"))
+        audit(col("doc_id"), "by_doc_id")
+          .unionByName(audit(expr("struct(-n_tok AS neg, doc_id)"), "by_len_desc"))
+          .crossJoin(broadcast(bins))
+          .orderBy(col("ordering"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        bins AS (
+          SELECT CAST(SUM((t - 1) // 128 + 1) AS BIGINT) AS bins_used
+          FROM (SELECT SUM(n_tok) AS t FROM d GROUP BY source)),
+        p1 AS (
+          SELECT n_tok, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM d),
+        p2 AS (
+          SELECT n_tok, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM d),
+        a1 AS (
+          SELECT 'by_doc_id' AS ordering,
+                 CAST(SUM(CASE WHEN bef + n_tok - (bef // 128 + 1) * 128 > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs,
+                 CAST(SUM(GREATEST(bef + n_tok - (bef // 128 + 1) * 128, 0))
+                   AS BIGINT) AS spilled_tokens
+          FROM p1),
+        a2 AS (
+          SELECT 'by_len_desc' AS ordering,
+                 CAST(SUM(CASE WHEN bef + n_tok - (bef // 128 + 1) * 128 > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs,
+                 CAST(SUM(GREATEST(bef + n_tok - (bef // 128 + 1) * 128, 0))
+                   AS BIGINT) AS spilled_tokens
+          FROM p2)
+        SELECT ordering, n_crossing_docs, spilled_tokens, bins_used
+        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) CROSS JOIN bins
+        ORDER BY ordering"""))
   )
 }

@@ -401,4 +401,20 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange SinglePartition") == 2, p)
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
   }
+
+  test("q157: thresholds explode map-side; only the 1-row totals ride a nested-loop") {
+    val p = plan("q157_quality_yield")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q158: both packing windows partition by the shard key") {
+    val p = plan("q158_packing_order_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // every Window partitions on source — a global (unpartitioned)
+    // cumsum would serialize the corpus through one task
+    assert(count(p, "windowspecdefinition(source") >= 2, p)
+    assert(!p.contains("windowspecdefinition(ROWS"), p)
+  }
 }

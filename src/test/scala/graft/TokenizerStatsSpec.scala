@@ -83,6 +83,36 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("docs_seen") == 500L)
   }
 
+  test("q157: yield curve is monotone non-increasing; threshold 0 keeps everything") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("q157_quality_yield")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val r0 = rows.head
+    assert(r0.getAs[Long]("thr_permille") == 0L &&
+      r0.getAs[Long]("doc_share_permille") == 1000L, r0)
+    val kept = rows.map(_.getAs[Long]("n_docs_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b }, kept.mkString(","))
+  }
+
+  test("q158: boundary crossings move with pack order; bins do not") {
+    // one shard, docs 100/28/100/28 tokens, budget 128: natural order
+    // packs perfectly (0 crossings); length-desc puts the two 100s
+    // adjacent → one doc straddles with 72 spilled tokens
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, words(100), "en", "s0"),
+      (2L, words(28), "en", "s0"),
+      (3L, words(100), "en", "s0"),
+      (4L, words(28), "en", "s0")))
+    val rows = SparkEntry.queries("q158_packing_order_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("ordering") ->
+        ((r.getAs[Long]("n_crossing_docs"), r.getAs[Long]("spilled_tokens"),
+          r.getAs[Long]("bins_used")))).toMap
+    assert(rows("by_doc_id") == ((0L, 0L, 2L)), rows)
+    assert(rows("by_len_desc") == ((1L, 72L, 2L)), rows)
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
