@@ -607,6 +607,60 @@ object AtomicTable {
     committed
   }
 
+  // ── Named refs (Iceberg-style tags) ──────────────────────────────
+
+  private def refsDir(root: String) = Paths.get(root, "_refs")
+  private val RefNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Pin a human name to a committed version (Iceberg tag twin:
+    * `ALTER TABLE … CREATE TAG`). One file per ref under
+    * `<root>/_refs/<name>.ref`; published complete-before-named via a
+    * temp file + rename(2), which is atomic on POSIX — here REPLACE
+    * semantics are exactly what re-tagging wants (unlike manifest
+    * commits, where the link(2) create-exclusive publish guards the
+    * version race). Tagged versions survive [[vacuum]] regardless of
+    * `keepLast` — the tag IS the retention declaration.
+    */
+  def tag(root: String, name: String, v: Int): Unit = {
+    require(RefNameRe.pattern.matcher(name).matches(),
+      s"ref name must match ${RefNameRe.pattern}: $name")
+    files(root, v): Unit // throws if v was never committed
+    Files.createDirectories(refsDir(root))
+    val tmp = Files.createTempFile(refsDir(root), s"inflight-$name-", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, refsDir(root).resolve(s"$name.ref"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Tag the current head. Returns the version tagged. */
+  def tag(root: String, name: String): Int = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    tag(root, name, v)
+    v
+  }
+
+  /** All refs as name → version. */
+  def refs(root: String): Map[String, Int] = {
+    val dir = refsDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    listDir(dir)(_.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.endsWith(".ref")) None
+      else scala.util.Try(new String(Files.readAllBytes(p), "UTF-8")
+        .trim.toInt).toOption.map(n.stripSuffix(".ref") -> _)
+    }.toSeq).toMap
+  }
+
+  /** Read the snapshot a ref points at (time travel by name). */
+  def readRef(spark: SparkSession, root: String, name: String): DataFrame =
+    readVersion(spark, root, refs(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref: $name")))
+
+  /** Drop a ref; the version it pinned becomes vacuumable again. */
+  def dropRef(root: String, name: String): Boolean =
+    Files.deleteIfExists(refsDir(root).resolve(s"$name.ref"))
+
   /** Snapshot expiry (the Iceberg `expire_snapshots` twin): drop all
     * but the newest `keepLast` manifests, then delete every staged
     * data file no surviving manifest references AND older than
@@ -626,7 +680,13 @@ object AtomicTable {
       case ManifestRe(v) => Some(v.toInt)
       case _ => None
     }).toSeq.sorted)
-    val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepLast))
+    val (expired0, kept0) = versions.splitAt(math.max(0, versions.length - keepLast))
+    // a named ref pins its version through expiry: the tag is the
+    // retention declaration (Iceberg semantics — expire_snapshots
+    // never drops a snapshot a ref can still reach)
+    val pinned = refs(root).values.toSet
+    val (saved, expired) = expired0.partition(pinned)
+    val kept = kept0 ++ saved
     // manifest entries carry tagged metadata fields; liveness is
     // decided on the path alone
     val keepPaths = kept.flatMap(files(root, _)).map(pathOf).toSet

@@ -373,4 +373,33 @@ class AtomicTableSpec extends SparkSpec {
       root, "doc_id", Seq(Tuple1(1L)).toDF("doc_id"))
     assert(AtomicTable.read(spark, root).count() === 0)
   }
+
+  test("tags: read by name, survive further commits, pin versions through vacuum") {
+    val root = tmpDir("atomic-tags")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    val tagged = AtomicTable.tag(root, "release-1")
+    assert(tagged === 0)
+    AtomicTable.append(spark, Seq((2L, "b")).toDF("k", "v"), root)
+    AtomicTable.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    // by-name time travel sees the pinned snapshot, not the head
+    assert(AtomicTable.readRef(spark, root, "release-1")
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // vacuum keeps the tagged version even though keepLast=1 would
+    // expire it — and its data files stay live
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
+    assert(AtomicTable.readRef(spark, root, "release-1")
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // v1 (untagged, non-head) is gone
+    intercept[Exception](AtomicTable.readVersion(spark, root, 1).collect())
+    // re-tagging moves the name; dropping unpins so vacuum reaps it
+    AtomicTable.tag(root, "release-1")
+    assert(AtomicTable.refs(root)("release-1") === 2)
+    assert(AtomicTable.dropRef(root, "release-1"))
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
+    assert(AtomicTable.refs(root).isEmpty)
+    assert(AtomicTable.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // malformed names refuse
+    intercept[IllegalArgumentException](AtomicTable.tag(root, "../escape", 2))
+  }
 }
