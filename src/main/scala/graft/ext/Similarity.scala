@@ -107,6 +107,56 @@ object Similarity {
       .select(col("q_vec"), col("kind"), col("n_vec"), col("sim_r"), col("rn"))
   }
 
+  /** Matryoshka truncation study: top-`k` cosine neighbors under each
+    * PREFIX dimensionality in `dims`, scored against the full-width
+    * ranking — the recall-vs-dimension curve that sizes an MRL
+    * (Kusupati et al.) embedding cut before committing the index to
+    * it. The last entry of `dims` must be the full width (its overlap
+    * is k·|queries| by construction — the built-in sanity row).
+    *
+    * Scale shape = [[bruteForceKnn]] ×|dims|: queries broadcast, the
+    * corpus streams map-side (the dim explode multiplies rows by
+    * |dims|, a constant), and the only shuffle is the per-(dim, query)
+    * top-k window. This is the exact-baseline path; at 100 TB the
+    * candidate set comes from [[ivfKnn]] and this curve is computed
+    * over the candidates instead.
+    */
+  def matryoshkaRecall(embeddings: DataFrame, queries: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val full = dims.last
+    val n = embeddings.select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
+    val q = queries.select(col("vec_id").as("q_vec"), col("embedding").as("qv"))
+    val ranked = n.crossJoin(broadcast(q))
+      .filter(col("q_vec") =!= col("n_vec"))
+      .select(col("q_vec"), col("n_vec"),
+        explode(lit(dims.toArray)).as("dim"),
+        col("qv"), col("nv"))
+      .withColumn("sim_r", round(cosineNative(
+        slice(col("qv"), lit(1), col("dim")),
+        slice(col("nv"), lit(1), col("dim"))), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dim"), col("q_vec"))
+          .orderBy(col("sim_r").desc, col("n_vec"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("dim"), col("q_vec"))
+      .agg(collect_set(col("n_vec")).as("nbrs"))
+    val fullSets = ranked.filter(col("dim") === full)
+      .select(col("q_vec"), col("nbrs").as("full_nbrs"))
+    ranked.join(broadcast(fullSets), Seq("q_vec"))
+      .withColumn("ov", size(array_intersect(col("nbrs"), col("full_nbrs")))
+        .cast("bigint"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("ov")).cast("bigint").as("total_overlap"))
+      .select(col("dim").cast("bigint").as("dim"),
+        col("n_queries"), col("total_overlap"),
+        expr(s"CAST(total_overlap * 1000 DIV ($k * n_queries) AS BIGINT)")
+          .as("recall_permille"))
+      .orderBy(col("dim"))
+  }
+
   /** Deterministic random ±1 hyperplane values (seeded, data-
     * independent). Public so the SQL oracle builder can embed the SAME
     * constants as literals — the whole LSH/IVF bucketing then replays

@@ -304,7 +304,46 @@ object SimilarityQueries {
           .orderBy(col("dropped_id")),
       Some(semanticDedupOracle)),
 
-    quantize
+    quantize,
+
+    QueryDef(
+      "q159_matryoshka_recall",
+      (s, dir) =>
+        // recall-vs-prefix-dimension curve (MRL cut sizing); the 64-dim
+        // row is the built-in sanity check (overlap ≡ k·|queries|)
+        graft.ext.Similarity.matryoshkaRecall(
+          Tables.load(s, dir, "embeddings"),
+          Tables.load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          dims = Seq(8, 16, 32, 64), k = 10),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_vec, v AS qv FROM e WHERE vec_id < 10),
+        n AS (SELECT vec_id AS n_vec, v AS nv FROM e),
+        d AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        p AS (
+          SELECT dim, q_vec, n_vec,
+                 ROUND(list_dot_product(qv[1:dim], nv[1:dim])
+                   / (sqrt(list_dot_product(qv[1:dim], qv[1:dim]))
+                      * sqrt(list_dot_product(nv[1:dim], nv[1:dim]))), 6) AS sim_r
+          FROM q, n, d WHERE q_vec <> n_vec),
+        r AS (
+          SELECT dim, q_vec, n_vec,
+                 ROW_NUMBER() OVER (PARTITION BY dim, q_vec
+                   ORDER BY sim_r DESC, n_vec) AS rn
+          FROM p),
+        t AS (
+          SELECT dim, q_vec, list(n_vec) AS nbrs
+          FROM r WHERE rn <= 10 GROUP BY 1, 2),
+        f AS (SELECT q_vec, nbrs AS full_nbrs FROM t WHERE dim = 64),
+        o AS (
+          SELECT t.dim, t.q_vec,
+                 len(list_intersect(t.nbrs, f.full_nbrs)) AS ov
+          FROM t JOIN f USING (q_vec))
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(ov) AS BIGINT) AS total_overlap,
+               CAST(SUM(ov) * 1000 // (10 * COUNT(*)) AS BIGINT) AS recall_permille
+        FROM o GROUP BY dim ORDER BY dim"""))
   )
 
   private def quantize: QueryDef = QueryDef(

@@ -260,4 +260,25 @@ class ContrastivePairsSpec extends SparkSpec {
     val negTop = neg.minBy(_.getAs[Long]("rn")).getAs[Double]("sim_r")
     assert(negTop > posSim)
   }
+
+  test("matryoshkaRecall: full-width row is exact; a prefix that flips ranks scores lower") {
+    import spark.implicits._
+    // 4-dim vectors built so the 2-dim prefix flips the ranking for
+    // query (1,0,1,0): full-width cosines are v2 ≈.70 > v1 ≈.32 > v3
+    // = 0 (top-2 {2,1}); the 2-dim prefix sees v2 = 1, v3 = 0,
+    // v1 = −1 (its prefix points AWAY) → top-2 {2,3}, overlap 1
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 1.0f, 0.0f)),            // query
+      (1L, 0, Array(-0.5f, 0.0f, 1.0f, 0.0f)),           // full-near, prefix-opposed
+      (2L, 0, Array(1.0f, 0.0f, 0.0f, 0.1f)),            // near everywhere
+      (3L, 0, Array(0.0f, 1.0f, 0.0f, 1.0f))             // far everywhere
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.matryoshkaRecall(
+        vecs, vecs.filter(col("vec_id") === 0), dims = Seq(2, 4), k = 2)
+      .collect().map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("total_overlap"), r.getAs[Long]("recall_permille")))).toMap
+    // full width: overlap ≡ k·|queries| = 2, recall 1000 by construction
+    assert(out(4L) == ((2L, 1000L)), out)
+    assert(out(2L) == ((1L, 500L)), out)
+  }
 }
