@@ -1281,6 +1281,53 @@ object TextQueries {
           FROM p2)
         SELECT ordering, n_crossing_docs, spilled_tokens, bins_used
         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) CROSS JOIN bins
-        ORDER BY ordering"""))
+        ORDER BY ordering""")),
+
+    QueryDef(
+      "q160_temperature_mixture",
+      (s, dir) => {
+        // Temperature-scaled multilingual sampling weights (the
+        // XLM-R/mT5 formula): qᵢ = pᵢ^α / Σ pⱼ^α with α = 0.3 over
+        // token shares — flattens the head languages, upsamples the
+        // tail, and the upsample factor qᵢ/pᵢ is the repeat rate the
+        // data loader applies. Shapes: one lang hash-agg; the token
+        // total and the Σ p^α normalizer are 1-row broadcasts riding
+        // the |langs|-row frame — nothing here scales with the corpus
+        // except the first agg.
+        val byLang = Tables.load(s, dir, "documents")
+          .select(col("lang"), tokenCount(col("text")).as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        val tot = byLang.agg(sum(col("n_tokens")).cast("bigint").as("tot"))
+        val p = byLang.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+          .withColumn("pa", pow(col("share"), lit(0.3)))
+        val z = p.agg(sum(col("pa")).as("z"))
+        p.crossJoin(broadcast(z))
+          .select(col("lang"), col("n_tokens"),
+            expr("CAST(n_tokens * 1000 DIV tot AS BIGINT)").as("share_permille"),
+            round(col("pa") / col("z"), 6).as("weight"),
+            round(col("pa") / col("z") / col("share"), 4).as("upsample"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT lang,
+                 CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                   AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM l),
+        p AS (
+          SELECT lang, n_tokens, tot,
+                 CAST(n_tokens AS DOUBLE) / tot AS share,
+                 POWER(CAST(n_tokens AS DOUBLE) / tot, 0.3) AS pa
+          FROM l CROSS JOIN tot),
+        z AS (SELECT SUM(pa) AS z FROM p)
+        SELECT lang, n_tokens,
+               CAST(n_tokens * 1000 // tot AS BIGINT) AS share_permille,
+               ROUND(pa / z.z, 6) AS weight,
+               ROUND(pa / z.z / share, 4) AS upsample
+        FROM p CROSS JOIN z
+        ORDER BY lang"""))
   )
 }

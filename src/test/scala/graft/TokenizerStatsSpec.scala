@@ -113,6 +113,24 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(rows("by_len_desc") == ((1L, 72L, 2L)), rows)
   }
 
+  test("q160: temperature weights sum to 1 and flatten head vs tail") {
+    // skewed bilingual corpus: "big" holds 8× the tokens of "small"
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = corpus(Seq(
+      (1L, words(80), "big", "s0"),
+      (2L, words(10), "small", "s0")))
+    val rows = SparkEntry.queries("q160_temperature_mixture")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("weight"), r.getAs[Double]("upsample")))).toMap
+    assert(math.abs(rows.values.map(_._1).sum - 1.0) < 1e-5, rows)
+    // α < 1 flattens: the dominant lang is DOWN-sampled, the tail UP
+    assert(rows("big")._2 < 1.0 && rows("small")._2 > 1.0, rows)
+    // closed form at α=.3: weight(big) = (8/9)^.3 / ((8/9)^.3 + (1/9)^.3)
+    val wBig = math.pow(8.0 / 9, 0.3) /
+      (math.pow(8.0 / 9, 0.3) + math.pow(1.0 / 9, 0.3))
+    assert(math.abs(rows("big")._1 - wBig) < 1e-5, rows)
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
