@@ -278,6 +278,69 @@ object Dedup {
     *
     * @param maxBucket skip buckets larger than this (skew/stop-shingle cap)
     */
+  /** MinHash ESTIMATOR-ERROR audit, fully SQL-replayable: for every
+    * pair sharing ≥1 shingle with exact 3-gram Jaccard ≥ `minJaccard`,
+    * the k-component signature agreement (the unbiased Jaccard
+    * estimate, E[matches/k] = J) next to the exact value — the table
+    * that justifies a chosen k before trusting LSH at corpus scale.
+    *
+    * Unlike the production [[minhashSignatures]] (xxhash64 — Spark-
+    * only), the base hash here is [[md5Hash60]] mod the same Mersenne
+    * prime with the SAME seeded multiply-add family, so the ENTIRE
+    * estimator — base hash, k permutations, per-pair agreement —
+    * replays op-for-op in DuckDB ([[hashFamilySqlValues]] emits the
+    * family as a VALUES list for the oracle). Shapes: the family is a
+    * k-row broadcast; components form in one (doc, j) hash-agg;
+    * exact pairs come from the inverted-index equi-join (output-scale,
+    * the q64 shape); agreement joins key on (doc, j). At 100 TB this
+    * audit runs on a shard sample — the estimator's error is
+    * distribution-free, so a sample suffices.
+    */
+  def minhashErrorAudit(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, minJaccard: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fam = hashFamily(k).zipWithIndex
+      .map { case ((a, b), j) => (j.toLong, a, b) }.toDF("j", "a", "b")
+    val grams = explodedShingles(docs, idCol, textCol)
+      .select(col("doc_id"), col("s")).distinct()
+    val h = grams.select(col("doc_id"),
+      pmod(md5Hash60(col("s")), lit(P)).as("h"))
+    val comps = h.crossJoin(broadcast(fam))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(pmod(col("h") * col("a") + col("b"), lit(P))).as("comp"))
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = grams.as("x")
+      .join(grams.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_id_a"), col("n").as("na")), Seq("doc_id_a"))
+      .join(sz.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), Seq("doc_id_b"))
+      .withColumn("jaccard_sim", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .filter(col("jaccard_sim") >= minJaccard)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+    pairs
+      .join(comps.select(col("doc_id").as("doc_id_a"), col("j"),
+        col("comp").as("ca")), Seq("doc_id_a"))
+      .join(comps.select(col("doc_id").as("doc_id_b"), col("j"),
+        col("comp").as("cb")), Seq("doc_id_b", "j"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+      .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+        .cast("bigint").as("sig_matches"))
+      .withColumn("est_permille",
+        expr(s"CAST(sig_matches * 1000 DIV $k AS BIGINT)"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** The seeded multiply-add family as a SQL VALUES body (j, a, b) —
+    * the oracle's replay of [[minhashErrorAudit]]'s permutations.
+    */
+  def hashFamilySqlValues(k: Int): String =
+    hashFamily(k).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 1000,

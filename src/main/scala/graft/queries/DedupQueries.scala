@@ -512,7 +512,55 @@ object DedupQueries {
                w.source AS survivor_source,
                g.n_copies, g.n_sources
         FROM g JOIN w ON g.vocab_digest = w.vocab_digest AND w.rn = 1
-        ORDER BY g.vocab_digest"""))
+        ORDER BY g.vocab_digest""")),
+
+    QueryDef(
+      "q161_minhash_error_audit",
+      (s, dir) =>
+        Dedup.minhashErrorAudit(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 32, minJaccard = 0.1),
+      // the oracle replays the ENTIRE estimator — md5-based base hash,
+      // the seeded 32-permutation family (embedded as VALUES), per-pair
+      // signature agreement — next to the exact inverted-index Jaccard
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 t[i]||' '||t[i+1]||' '||t[i+2] AS gram
+          FROM (SELECT doc_id, t, CAST(unnest(range(1, len(t) - 1)) AS BIGINT) AS i
+                FROM toks WHERE len(t) >= 3)),
+        hs AS (
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(gram), 1, 15)) AS BIGINT) % 2147483647 AS h
+          FROM g),
+        fam(j, a, b) AS (VALUES ${Dedup.hashFamilySqlValues(32)}),
+        mh AS (
+          SELECT doc_id, j, MIN((h * a + b) % 2147483647) AS comp
+          FROM hs CROSS JOIN fam GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        inter AS (
+          SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS i
+          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT doc_id_a, doc_id_b,
+                 ROUND(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6)
+                   AS jaccard_sim
+          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
+                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
+          WHERE ROUND(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1)
+        SELECT p.doc_id_a, p.doc_id_b, p.jaccard_sim,
+               CAST(SUM(CASE WHEN a.comp = b.comp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS sig_matches,
+               CAST(SUM(CASE WHEN a.comp = b.comp THEN 1 ELSE 0 END) * 1000 // 32
+                 AS BIGINT) AS est_permille
+        FROM p JOIN mh a ON a.doc_id = p.doc_id_a
+               JOIN mh b ON b.doc_id = p.doc_id_b AND b.j = a.j
+        GROUP BY 1, 2, 3
+        ORDER BY doc_id_a, doc_id_b"""))
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality

@@ -131,6 +131,30 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(math.abs(rows("big")._1 - wBig) < 1e-5, rows)
   }
 
+  test("q161: identical docs estimate exactly 1.0; mean audit error is sketch-sized") {
+    // two byte-identical docs: exact J = 1, all 32 components agree
+    val dir = corpus(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+      (3L, "totally different words in this document", "en", "s0")))
+    val rows = SparkEntry.queries("q161_minhash_error_audit")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    assert(rows.head.getAs[Double]("jaccard_sim") == 1.0 &&
+      rows.head.getAs[Long]("sig_matches") == 32L, rows.head)
+
+    // corpus-wide: the k=32 estimator's MEAN absolute error must sit
+    // within sketch noise (per-pair σ ≤ .09; the mean over ~28 pairs
+    // far tighter — 0.1 is a generous ceiling, catches broken hashing)
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val audit = SparkEntry.queries("q161_minhash_error_audit")(spark, sf).collect()
+    assert(audit.nonEmpty)
+    val meanErr = audit.map(r => math.abs(
+      r.getAs[Long]("sig_matches") / 32.0 - r.getAs[Double]("jaccard_sim")))
+      .sum / audit.length
+    assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
