@@ -560,7 +560,8 @@ object DedupQueries {
         FROM p JOIN mh a ON a.doc_id = p.doc_id_a
                JOIN mh b ON b.doc_id = p.doc_id_b AND b.j = a.j
         GROUP BY 1, 2, 3
-        ORDER BY doc_id_a, doc_id_b"""))
+        ORDER BY doc_id_a, doc_id_b"""),
+      headline = true)
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality
