@@ -434,6 +434,70 @@ object CurationQueries {
         SELECT train_id, eval_id, COUNT(DISTINCT gram) AS n_shared_grams
         FROM tr JOIN ev USING (gram)
         GROUP BY train_id, eval_id
-        ORDER BY train_id, eval_id"""))
+        ORDER BY train_id, eval_id""")),
+
+    QueryDef(
+      "q162_curriculum_order",
+      (s, dir) => {
+        // The epoch order file a training loader consumes: every doc
+        // gets a GLOBAL position — quality band first (easy→hard
+        // curriculum over q157's score bands), deterministic md5
+        // shuffle within a band — WITHOUT a global sort. Same two-pass
+        // range-partitioned mechanism as q139 (repartitionByRange on
+        // the full sort key, FROZEN via Staging.checkpoint because
+        // spark_partition_id is per-run; local row_number windows per
+        // pid; ≤32 partition counts fold into offsets) — but with
+        // row COUNTS instead of revenue sums, so the assembly is
+        // exact integer arithmetic: no rounding argument needed at
+        // all. No Exchange SinglePartition anywhere (PlanSpec).
+        // FLOOR before the bigint cast on the band: Spark casts
+        // double→bigint by truncation, DuckDB by rounding.
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.qualityScore(col("text")).as("score"))
+          .select(col("doc_id"),
+            expr("LEAST(CAST(FLOOR(score * 1000) AS BIGINT) DIV 100, 9L)")
+              .as("band"),
+            md5(concat(lit("cur:"), col("doc_id").cast("string")))
+              .as("shuffle_key"))
+        val ranged = graft.Staging.checkpoint(
+          scored.repartitionByRange(32,
+            col("band"), col("shuffle_key"), col("doc_id"))
+            .withColumn("pid", spark_partition_id()), "curriculum-ranged")
+        val wLocal = Window.partitionBy(col("pid"))
+          .orderBy(col("band"), col("shuffle_key"), col("doc_id"))
+        val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+          .orderBy(col("pid")).collect()
+        var acc = 0L
+        val offsets = counts.map { r =>
+          val o = r.getAs[Int]("pid") -> acc
+          acc += r.getAs[Long]("n"); o
+        }.toMap
+        val offsetDf = s.createDataFrame(
+          offsets.toSeq.map { case (p, o) => (p, o) })
+          .toDF("pid", "offset")
+        ranged
+          .withColumn("rn", row_number().over(wLocal).cast("bigint"))
+          .join(broadcast(offsetDf), Seq("pid"))
+          .select(col("doc_id"), col("band"),
+            (col("offset") + col("rn")).as("global_order"))
+          .orderBy(col("global_order"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT doc_id,
+                 ROUND(${TextQueries.QualityScoreSql}, 4) AS score
+          FROM documents),
+        k AS (
+          SELECT doc_id,
+                 LEAST(CAST(FLOOR(score * 1000) AS BIGINT) // 100, 9) AS band,
+                 md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM sc)
+        SELECT doc_id, band,
+               ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id)
+                 AS global_order
+        FROM k
+        ORDER BY global_order"""))
   )
 }

@@ -16,7 +16,7 @@ object TextQueries {
     * exactly (replace removes whole substrings), so the BIGINT casts
     * are value-preserving in both engines.
     */
-  private val QualityScoreSql: String = """
+  private[queries] val QualityScoreSql: String = """
     (LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 200.0) / 200.0
      * (1.0 - LEAST(
          (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)

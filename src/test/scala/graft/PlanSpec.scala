@@ -402,6 +402,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
   }
 
+  test("q162: curriculum global order — NO single-partition exchange anywhere") {
+    val p = plan("q162_curriculum_order")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the numbering window partitions by pid — never a global window
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q157: thresholds explode map-side; only the 1-row totals ride a nested-loop") {
     val p = plan("q157_quality_yield")
     assert(!p.contains("CartesianProduct"), p)
