@@ -309,18 +309,7 @@ object Dedup {
     val comps = h.crossJoin(broadcast(fam))
       .groupBy(col("doc_id"), col("j"))
       .agg(min(pmod(col("h") * col("a") + col("b"), lit(P))).as("comp"))
-    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = grams.as("x")
-      .join(grams.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("doc_id_a"), col("n").as("na")), Seq("doc_id_a"))
-      .join(sz.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), Seq("doc_id_b"))
-      .withColumn("jaccard_sim", round(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double"), 6))
-      .filter(col("jaccard_sim") >= minJaccard)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+    val pairs = exactJaccardPairs(docs, idCol, textCol, minJaccard)
     pairs
       .join(comps.select(col("doc_id").as("doc_id_a"), col("j"),
         col("comp").as("ca")), Seq("doc_id_a"))
@@ -331,6 +320,75 @@ object Dedup {
         .cast("bigint").as("sig_matches"))
       .withColumn("est_permille",
         expr(s"CAST(sig_matches * 1000 DIV $k AS BIGINT)"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** Exact 3-gram Jaccard pairs ≥ `minJaccard` via the inverted-index
+    * equi-join (the q64 shape: output-scale, shuffles keyed on the
+    * gram, never a pair explosion). Returns
+    * (doc_id_a, doc_id_b, jaccard_sim) with sim 6dp-rounded — the
+    * shared exact-truth substrate for the audit/explain operators.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol)
+      .select(col("doc_id"), col("s")).distinct()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    grams.as("x")
+      .join(grams.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_id_a"), col("n").as("na")), Seq("doc_id_a"))
+      .join(sz.select(col("doc_id").as("doc_id_b"), col("n").as("nb")), Seq("doc_id_b"))
+      .withColumn("jaccard_sim", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .filter(col("jaccard_sim") >= minJaccard)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+  }
+
+  /** Near-dup pair EXPLANATION — the forensics a curation pipeline
+    * shows when someone asks "WHY was this pair flagged": for every
+    * exact-Jaccard pair ≥ `threshold`, the longest CONTIGUOUS shared
+    * token span and the count of shared positioned 3-grams. Classic
+    * diagonal trick: matching gram occurrences (i in a, j in b) with
+    * equal diagonal d = j − i that are consecutive in i form one
+    * contiguous run; gaps-and-islands (i − row_number) finds run
+    * lengths, longest run + 2 converts gram count to tokens.
+    * Shapes: positioned grams form map-side; the match join keys on
+    * (doc, gram) against the BOUNDED pair set; islands windows key on
+    * (pair, diagonal). No pair explosion anywhere.
+    */
+  def neardupExplain(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = exactJaccardPairs(docs, idCol, textCol, threshold)
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(bound(col("toks")) { tt =>
+        when(size(tt) >= 3,
+          transform(sequence(lit(0), (size(tt) - 3).cast("int")),
+            k => array_join(slice(tt, k + 1, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }))
+    val pa = pos.select(col("doc_id").as("doc_id_a"),
+      col("pos").cast("bigint").as("i"), col("col").as("g"))
+    val pb = pos.select(col("doc_id").as("doc_id_b"),
+      col("pos").cast("bigint").as("j"), col("col").as("g"))
+    val pts = pairs.join(pa, Seq("doc_id_a")).join(pb, Seq("doc_id_b", "g"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
+        (col("j") - col("i")).as("d"), col("i")).distinct()
+    val w = Window.partitionBy(col("doc_id_a"), col("doc_id_b"), col("d"))
+      .orderBy(col("i"))
+    pts
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
+        col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+      .agg(
+        sum(col("run")).cast("bigint").as("n_shared_positions"),
+        (max(col("run")) + lit(2L)).cast("bigint").as("longest_span_tokens"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 

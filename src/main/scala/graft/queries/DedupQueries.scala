@@ -561,7 +561,43 @@ object DedupQueries {
                JOIN mh b ON b.doc_id = p.doc_id_b AND b.j = a.j
         GROUP BY 1, 2, 3
         ORDER BY doc_id_a, doc_id_b"""),
-      headline = true)
+      headline = true),
+
+    QueryDef(
+      "q163_neardup_explain",
+      (s, dir) =>
+        Dedup.neardupExplain(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.3),
+      // oracle replays the whole explanation: exact truth pairs
+      // (shared TruthPairsBody), positioned 3-grams, the diagonal
+      // gaps-and-islands, and the run→token conversion
+      Some("WITH " + TruthPairsBody + """,
+        pos AS (
+          SELECT doc_id, i, t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+          FROM (SELECT doc_id, t, CAST(unnest(range(len(t) - 2)) AS BIGINT) AS i
+                FROM toks WHERE len(t) >= 3)),
+        pts AS (
+          SELECT DISTINCT tp.doc_id_a, tp.doc_id_b, tp.jaccard_sim,
+                 b.j - a.i AS d, a.i
+          FROM truth_pairs tp
+          JOIN pos a ON a.doc_id = tp.doc_id_a
+          JOIN (SELECT doc_id, i AS j, g FROM pos) b
+            ON b.doc_id = tp.doc_id_b AND b.g = a.g),
+        runs AS (
+          SELECT doc_id_a, doc_id_b, jaccard_sim, d, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY doc_id_a, doc_id_b, d
+                   ORDER BY i) AS grp
+          FROM pts),
+        rl AS (
+          SELECT doc_id_a, doc_id_b, jaccard_sim, d, grp, COUNT(*) AS run
+          FROM runs GROUP BY 1, 2, 3, 4, 5)
+        SELECT doc_id_a, doc_id_b, jaccard_sim,
+               CAST(SUM(run) AS BIGINT) AS n_shared_positions,
+               CAST(MAX(run) + 2 AS BIGINT) AS longest_span_tokens
+        FROM rl
+        GROUP BY 1, 2, 3
+        ORDER BY doc_id_a, doc_id_b"""))
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality

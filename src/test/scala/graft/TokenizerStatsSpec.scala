@@ -155,6 +155,20 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
   }
 
+  test("q163: the explanation finds the exact shared span") {
+    // docs share the 6-token run "a b c d e f" (4 consecutive 3-grams
+    // on one diagonal); Jaccard = 4/8 = 0.5 ≥ threshold
+    val dir = corpus(Seq(
+      (1L, "a b c d e f x y", "en", "s0"),
+      (2L, "q a b c d e f r", "en", "s0")))
+    val rows = SparkEntry.queries("q163_neardup_explain")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getAs[Double]("jaccard_sim") == 0.5, r)
+    assert(r.getAs[Long]("n_shared_positions") == 4L, r)
+    assert(r.getAs[Long]("longest_span_tokens") == 6L, r)
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
