@@ -498,6 +498,57 @@ object CurationQueries {
                ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id)
                  AS global_order
         FROM k
-        ORDER BY global_order"""))
+        ORDER BY global_order""")),
+
+    QueryDef(
+      "q164_shard_manifest",
+      (s, dir) => {
+        // The loader's INDEX artifact over q104's shard layout: for
+        // every doc, its shard, position, token count, and the
+        // CUMULATIVE token offset where it starts inside the shard —
+        // what a sequence-packing reader seeks by without scanning
+        // predecessors. Same content-hash shard + salted-md5 order as
+        // q104 (one layout, two views). Both windows (position rank,
+        // offset cumsum) share ONE shard-key exchange and sort —
+        // PlanSpec holds the plan to a single data shuffle.
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.ext.Dedup.md5Hash60(col("doc_id").cast("string"))
+        val pos = graft.ext.Dedup.md5Hash60(
+          concat(lit("shuffle1:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("posh"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), pmod(h, lit(8L)).as("shard_id"),
+            pos.as("posh"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
+          .withColumn("token_offset", coalesce(
+            sum(col("n_tokens")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .cast("bigint"))
+          .select(col("shard_id"), col("pos_in_shard"), col("doc_id"),
+            col("n_tokens"), col("token_offset"))
+          .orderBy(col("shard_id"), col("pos_in_shard"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 8 AS shard_id,
+            CAST(('0x' || substr(md5('shuffle1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS posh,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents)
+        SELECT shard_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                 ORDER BY posh, doc_id) AS BIGINT) AS pos_in_shard,
+               doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id
+                 ORDER BY posh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS token_offset
+        FROM h
+        ORDER BY shard_id, pos_in_shard"""))
   )
 }

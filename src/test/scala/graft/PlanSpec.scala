@@ -410,6 +410,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q164: manifest rank and offset windows share ONE shard exchange") {
+    val p = plan("q164_shard_manifest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q157: thresholds explode map-side; only the 1-row totals ride a nested-loop") {
     val p = plan("q157_quality_yield")
     assert(!p.contains("CartesianProduct"), p)
