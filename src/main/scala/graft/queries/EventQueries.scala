@@ -990,6 +990,78 @@ object EventQueries {
         FROM attr
         WHERE event_type = 'purchase'
         GROUP BY 1
-        ORDER BY item"""))
+        ORDER BY item""")),
+
+    QueryDef(
+      "q165_watermark_audit",
+      (s, dir) => {
+        // How late does this stream actually run? Lateness of each
+        // event = running max event-time over ARRIVAL order (event_id)
+        // minus its own event-time — the distribution that SIZES a
+        // streaming watermark before deploying one (`withWatermark`'s
+        // delay should cover the tail you're willing to wait for).
+        // Global running max WITHOUT a global window: q139/q162's
+        // two-pass mechanism a third time, now with MAX — range
+        // partition on arrival order (frozen pid), per-pid local
+        // running max, ≤32 partition maxima fold into prefix offsets,
+        // global running max = GREATEST(local, offset). Lateness in
+        // exact epoch MICROSECONDS (unix_micros ≡ DuckDB epoch_us —
+        // second-granular functions disagree: Spark truncates, DuckDB
+        // rounds); the ladder and the reported max are all-integer.
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("sec"))
+        val ranged = graft.Staging.checkpoint(
+          ev.repartitionByRange(32, col("event_id"))
+            .withColumn("pid", spark_partition_id()), "wm-ranged")
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val parts = ranged.groupBy(col("pid")).agg(max(col("sec")).as("pm"))
+          .orderBy(col("pid")).collect()
+        var run = Long.MinValue
+        val offsets = parts.map { r =>
+          val o = r.getAs[Int]("pid") -> run
+          run = math.max(run, r.getAs[Long]("pm")); o
+        }.toMap
+        val offsetDf = s.createDataFrame(offsets.toSeq.map { case (p, o) => (p, o) })
+          .toDF("pid", "prior_max")
+        ranged
+          .withColumn("local_max", max(col("sec")).over(wLocal))
+          .join(broadcast(offsetDf), Seq("pid"))
+          .withColumn("lateness",
+            greatest(col("local_max"), col("prior_max")) - col("sec"))
+          .select(
+            when(col("lateness") <= 0L, lit("a_on_time"))
+              .when(col("lateness") <= 60L * 1000000, lit("b_1min"))
+              .when(col("lateness") <= 300L * 1000000, lit("c_5min"))
+              .when(col("lateness") <= 3600L * 1000000, lit("d_1hour"))
+              .otherwise(lit("e_later")).as("bucket"),
+            col("lateness"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("CAST(MAX(lateness) DIV 1000000 AS BIGINT)")
+              .as("max_lateness_sec"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT CAST(MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - epoch_us(ts) AS BIGINT) AS lateness
+          FROM events),
+        b AS (
+          SELECT CASE WHEN lateness <= 0 THEN 'a_on_time'
+                      WHEN lateness <= 60 * 1000000 THEN 'b_1min'
+                      WHEN lateness <= 300 * 1000000 THEN 'c_5min'
+                      WHEN lateness <= 3600 * 1000000 THEN 'd_1hour'
+                      ELSE 'e_later' END AS bucket,
+                 lateness
+          FROM l)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(lateness) // 1000000 AS BIGINT) AS max_lateness_sec
+        FROM b
+        GROUP BY bucket
+        ORDER BY bucket"""))
   )
 }

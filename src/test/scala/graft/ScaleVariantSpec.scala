@@ -52,6 +52,30 @@ class ScaleVariantSpec extends SparkSpec {
     assert(got5 === expected)
   }
 
+  test("q165 two-pass running max ≡ global window on a shuffled-arrival stream") {
+    import spark.implicits._
+    // arrival order (event_id) deliberately disagrees with event time:
+    // ts sequence 100, 400, 200(→late 200s), 50(→late 350s), 500
+    val fx = tmpDir("wm-fixture")
+    val rows = Seq(
+      (0L, 100L), (1L, 400L), (2L, 200L), (3L, 50L), (4L, 500L))
+    rows.toDF("event_id", "sec")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("sec") * 1000000L)
+          .as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$fx/events.parquet")
+    val got = SparkEntry.queries("q165_watermark_audit")(spark, fx)
+      .collect().map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("max_lateness_sec")))).toMap
+    // on-time: events 0,1,4; 200s → ≤5min bucket; 350s crosses into 1h
+    assert(got == Map(
+      "a_on_time" -> ((3L, 0L)),
+      "c_5min" -> ((1L, 200L)),
+      "d_1hour" -> ((1L, 350L))), got)
+  }
+
   test("ungrouped equi-depth histogram via approx cuts: lossless, monotone, near-uniform") {
     assume(new java.io.File(dir).isDirectory)
     val n = Tables.load(spark, dir, "orders").count()
