@@ -1066,6 +1066,77 @@ object RelationalQueries {
         ORDER BY abc_class""")),
 
     QueryDef(
+      "q166_psi_drift",
+      (s, dir) => {
+        // Population Stability Index per month vs the first month —
+        // the standard ML-ops drift monitor for a feature
+        // distribution (PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ); <0.1 stable,
+        // >0.25 action). Bins are q111's corpus-global equi-width 10
+        // (1-row bounds broadcast, hi==lo guarded); shares use
+        // ADD-ONE smoothing over the bin count — empty bins stay
+        // finite from integer arithmetic, no epsilon constants near
+        // the hash gate. The month×bin grid is aggregate-scale (80×10
+        // here, never the fact table); reference shares broadcast.
+        val ord = Tables.load(s, dir, "orders")
+          .select(date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_totalprice"))
+        val bounds = ord.agg(
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        val c = ord.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("hi") === col("lo"), lit(0L)).otherwise(
+              least(floor((col("o_totalprice") - col("lo")) * 10.0
+                / (col("hi") - col("lo"))), lit(9L))).cast("bigint"))
+          .groupBy(col("month"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val nm = c.groupBy(col("month")).agg(sum(col("n")).cast("bigint").as("nm"))
+        val filled = nm
+          .select(col("month"), col("nm"),
+            explode(expr("sequence(0L, 9L)")).as("bucket"))
+          .join(c, Seq("month", "bucket"), "left")
+          .withColumn("s",
+            (coalesce(col("n"), lit(0L)) + 1).cast("double") / (col("nm") + 10))
+        val refMonth = nm.agg(min(col("month")).as("ref_month"))
+        val ref = filled.join(broadcast(refMonth),
+            col("month") === col("ref_month"))
+          .select(col("bucket"), col("s").as("s_ref"))
+        filled.join(broadcast(ref), Seq("bucket"))
+          .withColumn("term",
+            (col("s") - col("s_ref")) * log(col("s") / col("s_ref")))
+          .groupBy(col("month"), col("nm"))
+          .agg(round(sum(col("term")), 4).as("psi"))
+          .select(col("month"), col("nm").as("n_orders"), col("psi"))
+          .orderBy(col("month"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT date_trunc('month', o_orderdate) AS month, o_totalprice
+          FROM orders),
+        b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM o),
+        c AS (
+          SELECT month,
+                 CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(CAST(floor((o_totalprice - lo) * 10.0 / (hi - lo))
+                   AS BIGINT), 9) END AS bucket,
+                 COUNT(*) AS n
+          FROM o CROSS JOIN b GROUP BY 1, 2),
+        nm AS (SELECT month, CAST(SUM(n) AS BIGINT) AS nm FROM c GROUP BY 1),
+        grid AS (
+          SELECT nm.month, nm.nm, g.bucket,
+                 CAST(COALESCE(c.n, 0) + 1 AS DOUBLE) / (nm.nm + 10) AS s
+          FROM nm CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+          LEFT JOIN c ON c.month = nm.month AND c.bucket = g.bucket),
+        r AS (
+          SELECT bucket, s AS s_ref FROM grid
+          WHERE month = (SELECT MIN(month) FROM nm))
+        SELECT grid.month, grid.nm AS n_orders,
+               ROUND(SUM((s - s_ref) * LN(s / s_ref)), 4) AS psi
+        FROM grid JOIN r USING (bucket)
+        GROUP BY grid.month, grid.nm
+        ORDER BY grid.month"""))
+
+    ,
+    QueryDef(
       "q138_benford_screen",
       (s, dir) => {
         // Benford first-digit screen over order totals — the fraud /

@@ -76,6 +76,29 @@ class ScaleVariantSpec extends SparkSpec {
       "d_1hour" -> ((1L, 350L))), got)
   }
 
+  test("q166 PSI: reference month scores exactly 0; a shifted month scores positive") {
+    import spark.implicits._
+    val fx = tmpDir("psi-fixture")
+    // month 1: prices clustered low; month 2: identical shape (psi 0);
+    // month 3: shifted high (psi > 0)
+    val rows =
+      (1 to 50).map(i => (i.toLong, "2024-01-15", 10.0 + (i % 5))) ++
+      (1 to 50).map(i => (100 + i.toLong, "2024-02-15", 10.0 + (i % 5))) ++
+      (1 to 50).map(i => (200 + i.toLong, "2024-03-15", 90.0 + (i % 5)))
+    rows.toDF("o_orderkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), lit(1L).as("o_custkey"),
+        lit("F").as("o_orderstatus"), col("o_totalprice"),
+        to_timestamp(col("d")).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$fx/orders.parquet")
+    val got = SparkEntry.queries("q166_psi_drift")(spark, fx)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("month").toString.take(7),
+        r.getAs[Double]("psi"))).toMap
+    assert(got("2024-01") == 0.0, got)
+    assert(got("2024-02") == 0.0, got) // identical distribution
+    assert(got("2024-03") > 1.0, got)  // wholesale shift = massive drift
+  }
+
   test("ungrouped equi-depth histogram via approx cuts: lossless, monotone, near-uniform") {
     assume(new java.io.File(dir).isDirectory)
     val n = Tables.load(spark, dir, "orders").count()
