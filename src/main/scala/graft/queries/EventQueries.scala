@@ -993,6 +993,97 @@ object EventQueries {
         ORDER BY item""")),
 
     QueryDef(
+      "q167_linear_attribution",
+      (s, dir) => {
+        // MULTI-touch linear attribution — q136's last-touch sibling:
+        // each purchase's value splits EQUALLY across every view in
+        // its purchase window (the views since the user's previous
+        // purchase). Joinless: a running purchase count segments the
+        // timeline (a purchase closes its own segment because the
+        // count window ends at the PRECEDING row), then segment value
+        // and view count ride (user, seg) windows and each view row
+        // claims an equal share. Credit is FLOOR-SPLIT IN INTEGER
+        // CENTS (round-to-cent then DIV n): a double value/n split
+        // summed per item lands exactly on .005 boundaries and the
+        // two engines round apart — integer cents keep every credit
+        // under the hash gate exact (≤ n−1 cents per purchase go
+        // unassigned, deterministically). Purchases with no views in
+        // their window fall to the -1 bucket with full credit (q136's
+        // unattributed-bucket reasoning).
+        import org.apache.spark.sql.expressions.Window
+        val order = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tl = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            when(col("event_type") === "view",
+              get_json_object(col("props"), "$.k").cast("bigint"))
+              .as("viewed_item"))
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("seg", coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val wSeg = Window.partitionBy(col("user_id"), col("seg"))
+        val credited = tl
+          .withColumn("seg_cents",
+            max(when(col("event_type") === "purchase",
+              floor(col("value") * 100.0 + 0.5).cast("bigint"))).over(wSeg))
+          .withColumn("n_views",
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(wSeg))
+          // segments with no purchase (the open tail) credit nothing
+          .filter(col("seg_cents").isNotNull)
+        val viewCredits = credited
+          .filter(col("event_type") === "view")
+          // views without a tracked item share the -1 bucket with
+          // unattributed purchases (q136's NULL-group dtype rationale)
+          .select(coalesce(col("viewed_item"), lit(-1L)).as("item"),
+            expr("CAST(seg_cents DIV n_views AS BIGINT)").as("credit_cents"))
+        val unattributed = credited
+          .filter(col("event_type") === "purchase" && col("n_views") === 0)
+          .select(lit(-1L).as("item"), col("seg_cents").as("credit_cents"))
+        viewCredits.unionByName(unattributed)
+          .groupBy(col("item"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_cents")).cast("bigint").as("attributed_cents"))
+          .orderBy(col("item"))
+      },
+      Some("""
+        WITH tl AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN event_type = 'view'
+                      THEN CAST(props->>'k' AS BIGINT) END AS viewed_item
+          FROM events
+          WHERE event_type IN ('view', 'purchase')),
+        seg AS (
+          SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM tl),
+        win AS (
+          SELECT *,
+                 MAX(CASE WHEN event_type = 'purchase'
+                     THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END)
+                   OVER (PARTITION BY user_id, s) AS seg_cents,
+                 SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, s) AS n_views
+          FROM seg),
+        credits AS (
+          SELECT COALESCE(viewed_item, -1) AS item,
+                 CAST(seg_cents // n_views AS BIGINT) AS credit_cents
+          FROM win WHERE event_type = 'view' AND seg_cents IS NOT NULL
+          UNION ALL
+          SELECT -1 AS item, seg_cents AS credit_cents
+          FROM win WHERE event_type = 'purchase' AND n_views = 0)
+        SELECT item,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_cents) AS BIGINT) AS attributed_cents
+        FROM credits
+        GROUP BY item
+        ORDER BY item""")),
+
+    QueryDef(
       "q165_watermark_audit",
       (s, dir) => {
         // How late does this stream actually run? Lateness of each
