@@ -302,14 +302,23 @@ object Dedup {
     import spark.implicits._
     val fam = hashFamily(k).zipWithIndex
       .map { case ((a, b), j) => (j.toLong, a, b) }.toDF("j", "a", "b")
+    val pairs = graft.Staging.checkpoint(
+      exactJaccardPairs(docs, idCol, textCol, minJaccard), "mh-audit-pairs")
+    // signatures only for docs the audit will actually score: at
+    // corpus scale pairs ≪ docs, so the k-way component expansion
+    // prunes from O(corpus·k) to O(paired·k). The pair set is staged
+    // once (two consumers: the id prune and the final join).
+    val pairedIds = pairs
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+      .distinct()
     val grams = explodedShingles(docs, idCol, textCol)
       .select(col("doc_id"), col("s")).distinct()
+      .join(pairedIds, Seq("doc_id"), "left_semi")
     val h = grams.select(col("doc_id"),
       pmod(md5Hash60(col("s")), lit(P)).as("h"))
     val comps = h.crossJoin(broadcast(fam))
       .groupBy(col("doc_id"), col("j"))
       .agg(min(pmod(col("h") * col("a") + col("b"), lit(P))).as("comp"))
-    val pairs = exactJaccardPairs(docs, idCol, textCol, minJaccard)
     pairs
       .join(comps.select(col("doc_id").as("doc_id_a"), col("j"),
         col("comp").as("ca")), Seq("doc_id_a"))
