@@ -597,7 +597,75 @@ object DedupQueries {
                CAST(MAX(run) + 2 AS BIGINT) AS longest_span_tokens
         FROM rl
         GROUP BY 1, 2, 3
-        ORDER BY doc_id_a, doc_id_b"""))
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    QueryDef(
+      "q168_dedup_threshold_curve",
+      (s, dir) => {
+        // Threshold-tuning table for near-dup removal: how many pairs
+        // fire and how many docs get flagged at every candidate
+        // Jaccard threshold (0.1…0.9) — the sensitivity sweep a
+        // curation owner reads before fixing the q65 production
+        // threshold. Exact pairs compute ONCE at the floor (0.1);
+        // the 9 thresholds explode from a literal over the
+        // OUTPUT-SCALE pair set (never the corpus), so the sweep
+        // costs one pair scan, not nine. Flagged docs are the
+        // DISTINCT union of both pair sides per threshold.
+        val pairs = Dedup.exactJaccardPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.1)
+        val swept = pairs
+          .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
+            explode(expr("sequence(100L, 900L, 100L)")).as("thr_permille"))
+          .filter(col("jaccard_sim") >= col("thr_permille") / lit(1000.0))
+        val np = swept.groupBy(col("thr_permille"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nd = swept
+          .select(col("thr_permille"),
+            explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+          .groupBy(col("thr_permille"))
+          .agg(count_distinct(col("doc_id")).as("n_docs_flagged"))
+        np.join(nd, Seq("thr_permille"))
+          .orderBy(col("thr_permille"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT doc_id_a, doc_id_b,
+                 ROUND(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6)
+                   AS jaccard_sim
+          FROM inter JOIN sz na ON na.doc_id = inter.doc_id_a
+                     JOIN sz nb ON nb.doc_id = inter.doc_id_b
+          WHERE ROUND(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6) >= 0.1),
+        thr AS (SELECT unnest(range(100, 1000, 100)) AS thr_permille),
+        swept AS (
+          SELECT thr_permille, doc_id_a, doc_id_b
+          FROM p JOIN thr ON p.jaccard_sim >= thr.thr_permille / 1000.0),
+        np AS (SELECT thr_permille, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM swept GROUP BY 1),
+        nd AS (
+          SELECT thr_permille, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                   AS n_docs_flagged
+          FROM (SELECT thr_permille, doc_id_a AS doc_id FROM swept
+                UNION ALL
+                SELECT thr_permille, doc_id_b FROM swept)
+          GROUP BY 1)
+        SELECT CAST(np.thr_permille AS BIGINT) AS thr_permille,
+               np.n_pairs, nd.n_docs_flagged
+        FROM np JOIN nd USING (thr_permille)
+        ORDER BY thr_permille"""))
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality

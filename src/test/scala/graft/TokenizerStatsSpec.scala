@@ -169,6 +169,19 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("longest_span_tokens") == 6L, r)
   }
 
+  test("q168: the threshold curve is monotone non-increasing in both measures") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val rows = SparkEntry.queries("q168_dedup_threshold_curve")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("thr_permille"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_flagged")))
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall {
+      case Array((_, p1, d1), (_, p2, d2)) => p1 >= p2 && d1 >= d2
+      case _ => true
+    }, rows.mkString(","))
+  }
+
   test("q154: fertility is integer permille of bpe over whitespace tokens") {
     val dir = corpus(Seq(
       (1L, "don't stop me now", "en", "s0"),   // ws 4, bpe: don|'t|stop|me|now = 5
