@@ -165,6 +165,15 @@ object Anomaly {
       val train: Array[Array[Double]] = feats.select(col("f1"), col("f2"))
         .collect().map(r => Array(r.getDouble(0), r.getDouble(1)))
         .sortBy(a => (a(0), a(1)))
+      // empty history: nothing to fit — return the (empty) frame with
+      // the scorer's schema instead of indexing into a 0-length array
+      if (train.isEmpty)
+        return feats
+          .withColumn("anomaly_score", lit(0.0))
+          .withColumn("is_anomaly", lit(false))
+          .select(col("purchase_date"), col("daily_total_sales"),
+            col("daily_transaction_count"), col("anomaly_score"),
+            col("is_anomaly"))
       val rnd = new scala.util.Random(seed)
       val psi = math.min(subsample, train.length)
       val maxDepth = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt

@@ -72,8 +72,15 @@ object EventQueries {
           .repartition(col("event_date"))
       AtomicTable.mergePartitioned(s, side(delta = false), root,
         "mv_key", "event_date")
-      val cur = AtomicTable.read(s, root).select(col("mv_key"),
-        col("n_events").as("old_n"), col("sum_value").as("old_sum"))
+      // an all-empty base (0-row corpus) commits nothing by design —
+      // serve the combine from an empty current state instead of
+      // reading a table that was never created
+      val cur =
+        if (AtomicTable.latestVersion(root).isDefined)
+          AtomicTable.read(s, root).select(col("mv_key"),
+            col("n_events").as("old_n"), col("sum_value").as("old_sum"))
+        else partials.filter(lit(false)).select(col("mv_key"),
+          col("n_events").as("old_n"), col("sum_value").as("old_sum"))
       val combined = side(delta = true).join(cur, Seq("mv_key"), "left")
         .select(col("event_date"), col("event_type"), col("mv_key"),
           (col("n_events") + coalesce(col("old_n"), lit(0L))).as("n_events"),
@@ -89,10 +96,17 @@ object EventQueries {
     */
   def mvRead(s: org.apache.spark.sql.SparkSession, root: String)
       : org.apache.spark.sql.DataFrame =
-    graft.gold.AtomicTable.read(s, root)
-      .select(col("event_date"), col("event_type"), col("n_events"),
-        round(col("sum_value"), 2).as("sum_value"))
-      .orderBy(col("event_date"), col("event_type"))
+    if (graft.gold.AtomicTable.latestVersion(root).isEmpty) {
+      // a 0-row corpus never commits an MV — an empty, schema-correct
+      // serve is the right answer (matches serving an empty partition)
+      import s.implicits._
+      Seq.empty[(String, String, Long, Double)]
+        .toDF("event_date", "event_type", "n_events", "sum_value")
+    } else
+      graft.gold.AtomicTable.read(s, root)
+        .select(col("event_date"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
 
   private def cappedItemSets(
       s: org.apache.spark.sql.SparkSession, dir: String)
