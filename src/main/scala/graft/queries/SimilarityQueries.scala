@@ -343,7 +343,63 @@ object SimilarityQueries {
                CAST(COUNT(*) AS BIGINT) AS n_queries,
                CAST(SUM(ov) AS BIGINT) AS total_overlap,
                CAST(SUM(ov) * 1000 // (10 * COUNT(*)) AS BIGINT) AS recall_permille
-        FROM o GROUP BY dim ORDER BY dim"""))
+        FROM o GROUP BY dim ORDER BY dim""")),
+
+    QueryDef(
+      "q169_fisher_separability",
+      (s, dir) => {
+        // Per-dimension Fisher ratio (between-class / within-class
+        // sum of squares over the label column) — the feature-pruning table
+        // that says which embedding dimensions actually carry the
+        // label signal (keep the head, quantize/drop the tail;
+        // complements q159's prefix view with a per-dim one). One
+        // posexplode (×64, map-side) into one (dim, label) hash-agg —
+        // sums/sums-of-squares are the mergeable sufficient stats, so
+        // the combine is exact partial aggregation; the per-dim
+        // rollup rides the 64×|labels| frame.
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"),
+            col("col").cast("double").as("x"))
+        val byClass = e.groupBy(col("dim"), col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        byClass.groupBy(col("dim"))
+          .agg(
+            sum(col("n")).cast("bigint").as("n_vecs"),
+            (sum(col("sx")) / sum(col("n"))).as("mu"),
+            sum(col("n") * (col("sx") / col("n")) * (col("sx") / col("n")))
+              .as("smu2"),
+            sum(col("sxx")).as("sxx"),
+            sum(col("sx")).as("sx"))
+          .select(col("dim"), col("n_vecs"),
+            round((col("smu2") - col("sx") * col("mu"))
+              / nullif(col("sxx") - col("smu2"), lit(0.0)), 4)
+              .as("fisher_ratio"))
+          .orderBy(col("dim"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (
+          SELECT label, j.j AS dim, v[j.j] AS x
+          FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j),
+        bc AS (
+          SELECT dim, label, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+          FROM x GROUP BY 1, 2),
+        d AS (
+          SELECT dim,
+                 CAST(SUM(n) AS BIGINT) AS n_vecs,
+                 SUM(sx) / SUM(n) AS mu,
+                 SUM(n * (sx / n) * (sx / n)) AS smu2,
+                 SUM(sxx) AS sxx,
+                 SUM(sx) AS sx
+          FROM bc GROUP BY 1)
+        SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+               ROUND((smu2 - sx * mu) / NULLIF(sxx - smu2, 0.0), 4)
+                 AS fisher_ratio
+        FROM d
+        ORDER BY dim"""))
   )
 
   private def quantize: QueryDef = QueryDef(

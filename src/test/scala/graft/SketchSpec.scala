@@ -281,4 +281,21 @@ class ContrastivePairsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 1000L)), out)
     assert(out(2L) == ((1L, 500L)), out)
   }
+
+  test("q169 fisher: hand-computed ratio; a constant dimension yields NULL, not ∞") {
+    import spark.implicits._
+    // dim 1: classes {0,2} vs {10,12} → between SS 100, within SS 4
+    // → ratio 25; dim 2 is constant → within 0 → NULLIF guards
+    val fx = tmpDir("fisher")
+    Seq(
+      (1L, 0, Array(0.0f, 5.0f)), (2L, 0, Array(2.0f, 5.0f)),
+      (3L, 1, Array(10.0f, 5.0f)), (4L, 1, Array(12.0f, 5.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$fx/embeddings.parquet")
+    val rows = SparkEntry.queries("q169_fisher_separability")(spark, fx)
+      .collect().map(r => r.getAs[Long]("dim") ->
+        Option(r.get(r.fieldIndex("fisher_ratio")))).toMap
+    assert(rows(1L).contains(25.0), rows)
+    assert(rows(2L).isEmpty, rows)
+  }
 }
