@@ -665,7 +665,46 @@ object DedupQueries {
         SELECT CAST(np.thr_permille AS BIGINT) AS thr_permille,
                np.n_pairs, nd.n_docs_flagged
         FROM np JOIN nd USING (thr_permille)
-        ORDER BY thr_permille"""))
+        ORDER BY thr_permille""")),
+
+    QueryDef(
+      "q170_source_copy_matrix",
+      (s, dir) => {
+        // Provenance matrix: which SOURCES share near-duplicate
+        // documents (who scrapes whom) — q147's shard-gram view at
+        // whole-document granularity. Exact pairs (≥0.3) tag both
+        // sides with their source via two broadcast-sized dimension
+        // joins; the unordered source pair (least/greatest) keys one
+        // output-scale agg. Mean similarity 4dp-rounded.
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", minJaccard = 0.3)
+          .join(src.toDF("doc_id_a", "source_a"), Seq("doc_id_a"))
+          .join(src.toDF("doc_id_b", "source_b"), Seq("doc_id_b"))
+          .select(
+            least(col("source_a"), col("source_b")).as("src_lo"),
+            greatest(col("source_a"), col("source_b")).as("src_hi"),
+            col("jaccard_sim"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("jaccard_sim")), 4).as("mean_sim"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      Some("WITH " + TruthPairsBody + """,
+        src AS (SELECT doc_id, source FROM documents),
+        tagged AS (
+          SELECT LEAST(a.source, b.source) AS src_lo,
+                 GREATEST(a.source, b.source) AS src_hi,
+                 tp.jaccard_sim
+          FROM truth_pairs tp
+          JOIN src a ON a.doc_id = tp.doc_id_a
+          JOIN src b ON b.doc_id = tp.doc_id_b)
+        SELECT src_lo, src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(jaccard_sim), 4) AS mean_sim
+        FROM tagged
+        GROUP BY 1, 2
+        ORDER BY src_lo, src_hi"""))
   )
 
   /** Shared oracle body for the q86/q151 curation cascade: quality
