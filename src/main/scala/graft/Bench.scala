@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * driver's BENCH_r{N}.json.
   *
   * The top-level contract (metric/value/unit/queries/sf) is unchanged
-  * round to round; a `diag` section carries the evidence the round-3
-  * post-mortem asked for — per-entry RAW run times (a min can mask a
-  * wobble; the raw pair shows it), post-GC heap before each entry
-  * (memory-pressure drift across the ~40-entry sequence becomes
-  * visible), and the minhash verify-join decision (nPairs + whether
-  * the guarded broadcast hint was applied), so a silent
-  * strategy-flip or heap squeeze shows up in the record instead of
-  * needing a reproduction hunt.
+  * round to round and is the FINAL stdout line; the `diag` evidence
+  * the round-3 post-mortem asked for — per-entry RAW run times (a min
+  * can mask a wobble; the raw pair shows it), post-GC heap before each
+  * entry (memory-pressure drift across the ~40-entry sequence becomes
+  * visible), the minhash verify-join decision (nPairs + whether the
+  * guarded broadcast hint was applied), and the q72 LSH candidate
+  * counts — ships on stderr and in `BENCH_DIAG.json` instead of
+  * inside the contract line, because r4's inline diag outgrew the
+  * driver's stdout tail capture and the official record came back
+  * `parsed: null` (r4 verdict ask #2).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,6 +29,7 @@ object Bench {
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     val minhashDiag = scala.collection.mutable.LinkedHashMap[String, String]()
+    val lshDiag = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def prepare(entry: String): Unit = {
       // every entry starts from an empty cache. Registered queries no
@@ -42,10 +45,11 @@ object Bench {
       // entries; GraftSession now also runs the cleaner's periodic GC)
       System.gc()
       // stale-diag guard: only an entry that actually ran a minhash
-      // verify join this prepare-cycle gets a diag row — without the
-      // reset every non-minhash entry would report the previous
-      // minhash query's numbers as its own
+      // verify join / LSH bucket join this prepare-cycle gets a diag
+      // row — without the reset every other entry would report the
+      // previous query's numbers as its own
       graft.ext.Dedup.lastMinhashDiag = None
+      graft.ext.Similarity.lastLshDiag = None
       val rt = Runtime.getRuntime
       heapMb(entry) = (rt.totalMemory - rt.freeMemory) / (1L << 20)
     }
@@ -126,17 +130,24 @@ object Bench {
       }
     }
 
-    val headlineResults = SparkEntry.headlines.map { n =>
-      n -> best(n, 2) {
-        if (n == "q93_incremental_mv") runQ93Split() else runIn(n, sfDir)
-      }
-    }
-
     def captureMinhash(entry: String): Unit =
       graft.ext.Dedup.lastMinhashDiag.foreach { d =>
         minhashDiag(entry) =
           s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}"}"""
       }
+    def captureLsh(entry: String): Unit =
+      graft.ext.Similarity.lastLshDiag.foreach { d =>
+        lshDiag(entry) = s"""{"n_candidates":${d.nCandidates},""" +
+          s""""n_buckets":${d.nBuckets},"max_bucket":${d.maxBucket}}"""
+      }
+
+    val headlineResults = SparkEntry.headlines.map { n =>
+      val t = best(n, 2) {
+        if (n == "q93_incremental_mv") runQ93Split() else runIn(n, sfDir)
+      }
+      captureMinhash(n); captureLsh(n)
+      n -> t
+    }
 
     // ── 10× dedup/ANN scale probe ─────────────────────────────────
     // AFTER the headline loop (r2 ran it first and every headline
@@ -168,7 +179,7 @@ object Bench {
         "q125_substring_spans").map { n =>
         val entry = s"x10_$n"
         val t = best(entry, 3)(runIn(n, dir10))
-        captureMinhash(entry)
+        captureMinhash(entry); captureLsh(entry)
         entry -> t
       }
     }
@@ -213,10 +224,21 @@ object Bench {
       .mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val lshJson = lshDiag.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val diag = s"""{"runs":$runsJson,"heap_mb_before":$heapJson,""" +
-      s""""minhash":$mhJson,"corpus_build_sec":""" +
+      s""""minhash":$mhJson,"lsh":$lshJson,"corpus_build_sec":""" +
       f"""{"x10":$corpusBuild10%.2f,"x30":$corpusBuild30%.2f}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$diag}""")
+    // the diag outgrew the driver's stdout tail capture in r4 (the
+    // official BENCH_r04.json came back `parsed: null`), so it ships
+    // on stderr AND as a side file; the compact driver contract line
+    // is the LAST thing on stdout
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
+      diag.getBytes("UTF-8")): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] diag: $diag")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -297,13 +297,20 @@ object Dedup {
     * distribution-free, so a sample suffices.
     */
   def minhashErrorAudit(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, minJaccard: Double = 0.1): DataFrame = {
+      k: Int = 32, minJaccard: Double = 0.1,
+      stagedPairs: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val fam = hashFamily(k).zipWithIndex
       .map { case ((a, b), j) => (j.toLong, a, b) }.toDF("j", "a", "b")
-    val pairs = graft.Staging.checkpoint(
-      exactJaccardPairs(docs, idCol, textCol, minJaccard), "mh-audit-pairs")
+    // `stagedPairs`: an already-staged exactJaccardPairs frame at a
+    // floor ≤ minJaccard (the truth-pair substrate is shared by the
+    // audit/explain/sweep family, so callers that need several of them
+    // stage it once); when absent the audit stages its own
+    val pairs = stagedPairs
+      .map(_.filter(col("jaccard_sim") >= minJaccard))
+      .getOrElse(graft.Staging.checkpoint(
+        exactJaccardPairs(docs, idCol, textCol, minJaccard), "mh-audit-pairs"))
     // signatures only for docs the audit will actually score: at
     // corpus scale pairs ≪ docs, so the k-way component expansion
     // prunes from O(corpus·k) to O(paired·k). The pair set is staged
@@ -369,9 +376,12 @@ object Dedup {
     * (pair, diagonal). No pair explosion anywhere.
     */
   def neardupExplain(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      stagedPairs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = exactJaccardPairs(docs, idCol, textCol, threshold)
+    val pairs = stagedPairs
+      .map(_.filter(col("jaccard_sim") >= threshold))
+      .getOrElse(exactJaccardPairs(docs, idCol, textCol, threshold))
     val pos = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), posexplode(bound(col("toks")) { tt =>

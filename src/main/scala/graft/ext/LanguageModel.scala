@@ -70,9 +70,12 @@ object LanguageModel {
     * the target ids), joins them token-keyed, and scores with one
     * vocabulary-scale equi-join + a 1-row totals broadcast — same
     * 100 TB posture as [[unigramSurprisal]], nothing corpus-scale
-    * shuffles twice. Deterministic: counts are exact integers, the
-    * only doubles are the final log-ratio means, 4dp-rounded (the
-    * q96-proven cross-engine convention).
+    * shuffles twice. Deterministic: counts are exact integers, and the
+    * per-token log-ratio is floored to 1e-9 fixed-point units (a long)
+    * BEFORE the weighted sum — the q141-PageRank convention — so the
+    * aggregation is exact integer arithmetic in both engines; libm-vs-
+    * JVM `ln` ulp drift and summation-order drift cannot move the
+    * 4dp-rounded weight or flip the keep flag.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       targetFilter: org.apache.spark.sql.Column): DataFrame = {
@@ -88,14 +91,17 @@ object LanguageModel {
       sum(col("tf_t")).as("n_t"), count(lit(1)).as("v"))
     docTf.join(vocab, Seq("tok"))
       .crossJoin(broadcast(totals))
-      .withColumn("lr",
-        log((col("tf_t") + lit(1L)).cast("double")
+      // fixed-point nano-units: one libm call per (doc, tok), floored
+      // to a long so everything downstream is exact integer math
+      .withColumn("lr_fp",
+        floor((log((col("tf_t") + lit(1L)).cast("double")
           / (col("n_t") + col("v")).cast("double"))
           - log((col("tf_s") + lit(1L)).cast("double")
-            / (col("n_s") + col("v")).cast("double")))
+            / (col("n_s") + col("v")).cast("double"))) * lit(1e9d))
+          .cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("dtf")).as("n_tokens"),
-        round(sum(col("dtf").cast("double") * col("lr"))
+        round((sum(col("dtf") * col("lr_fp")).cast("double") / lit(1e9d))
           / sum(col("dtf")).cast("double"), 4).as("log_weight"))
       // the resampling decision on the ROUNDED weight, so the flag is
       // exactly as engine-stable as the weight itself

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Candidate-generation evidence from the last [[lshNeighborPairs]]
+    * call: same-bucket candidate pairs (what the cosine re-rank
+    * actually scored) and the bucket histogram extremes, published to
+    * the bench diag so a plan/selectivity change shows up in the round
+    * record instead of needing a reproduction hunt (the q72 treatment
+    * the minhash verify join got in r4).
+    */
+  final case class LshDiag(nCandidates: Long, nBuckets: Long, maxBucket: Long)
+  @volatile var lastLshDiag: Option[LshDiag] = None
+
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Lambda-builtin formulations: dependency-free but interpreted per
@@ -125,6 +135,15 @@ object Similarity {
       dims: Seq[Int], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims,
+      s"dims must be distinct and ascending, got $dims")
+    // the recall baseline is the FULL-width ranking: a dims.last
+    // narrower than the actual vectors would silently score every row
+    // (sanity row included) against a truncated baseline
+    embeddings.select(size(col("embedding"))).head(1).foreach { r =>
+      require(r.getInt(0) == dims.last,
+        s"dims.last (${dims.last}) must equal the embedding width (${r.getInt(0)})")
+    }
     val full = dims.last
     val n = embeddings.select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
     val q = queries.select(col("vec_id").as("q_vec"), col("embedding").as("qv"))
@@ -387,6 +406,17 @@ object Similarity {
       embeddings.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes)),
       "lsh-vecs")
+    // diag over the staged 1-row-per-vector frame (vec_id only — the
+    // embedding column never re-reads): candidate count Σ n·(n−1)/2
+    // and the largest bucket, the two numbers that move if the
+    // hyperplane family or the data distribution shifts
+    lastLshDiag = Some {
+      val h = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("cand"),
+          count(lit(1)).as("nb"), coalesce(max(col("n")), lit(0L)).as("mx"))
+        .head()
+      LshDiag(h.getLong(0), h.getLong(1), h.getLong(2))
+    }
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))

@@ -13,6 +13,29 @@ import graft.ext.Dedup
   */
 object DedupQueries {
 
+  /** Process-level memo of the staged exact-Jaccard truth-pair set at
+    * the family floor (0.1) for a (session, corpus-dir) pair. Four
+    * registered queries consume the identical substrate (q161 audit,
+    * q163 explain, q168 sweep, q170 copy matrix — thresholds 0.1/0.3
+    * are filters OVER the staged floor set, applied on the 6dp-rounded
+    * sim exactly like the direct computation); computing it once per
+    * corpus and serving filters from the staged parquet is the r4
+    * verdict's ask #5. Safe to key by path: the test-data dirs are
+    * immutable snapshots, and callers with synthetic frames hit
+    * [[Dedup.exactJaccardPairs]] directly, never this memo.
+    */
+  private val truthPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def truthPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    truthPairCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir,
+      _ => graft.Staging.checkpoint(
+        Dedup.exactJaccardPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.1),
+        "truth-pairs"))
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -519,7 +542,8 @@ object DedupQueries {
       (s, dir) =>
         Dedup.minhashErrorAudit(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 32, minJaccard = 0.1),
+          k = 32, minJaccard = 0.1,
+          stagedPairs = Some(truthPairs(s, dir))),
       // the oracle replays the ENTIRE estimator — md5-based base hash,
       // the seeded 32-permutation family (embedded as VALUES), per-pair
       // signature agreement — next to the exact inverted-index Jaccard
@@ -568,7 +592,8 @@ object DedupQueries {
       (s, dir) =>
         Dedup.neardupExplain(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.3),
+          threshold = 0.3,
+          stagedPairs = Some(truthPairs(s, dir))),
       // oracle replays the whole explanation: exact truth pairs
       // (shared TruthPairsBody), positioned 3-grams, the diagonal
       // gaps-and-islands, and the run→token conversion
@@ -611,9 +636,7 @@ object DedupQueries {
         // OUTPUT-SCALE pair set (never the corpus), so the sweep
         // costs one pair scan, not nine. Flagged docs are the
         // DISTINCT union of both pair sides per threshold.
-        val pairs = Dedup.exactJaccardPairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.1)
+        val pairs = truthPairs(s, dir)
         val swept = pairs
           .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
             explode(expr("sequence(100L, 900L, 100L)")).as("thr_permille"))
@@ -678,7 +701,7 @@ object DedupQueries {
         // output-scale agg. Mean similarity 4dp-rounded.
         val docs = Tables.load(s, dir, "documents")
         val src = docs.select(col("doc_id"), col("source"))
-        Dedup.exactJaccardPairs(docs, "doc_id", "text", minJaccard = 0.3)
+        truthPairs(s, dir).filter(col("jaccard_sim") >= 0.3)
           .join(src.toDF("doc_id_a", "source_a"), Seq("doc_id_a"))
           .join(src.toDF("doc_id_b", "source_b"), Seq("doc_id_b"))
           .select(

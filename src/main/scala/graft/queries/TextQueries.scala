@@ -518,9 +518,10 @@ object TextQueries {
         scored AS (
           SELECT dtf.doc_id,
                  CAST(SUM(dtf.dtf) AS BIGINT) AS n_tokens,
-                 ROUND(SUM(dtf.dtf * (
+                 ROUND((CAST(SUM(dtf.dtf * CAST(FLOOR((
                      LN(CAST(v.tf_t + 1 AS DOUBLE) / (tot.n_t + tot.vv))
-                   - LN(CAST(v.tf_s + 1 AS DOUBLE) / (tot.n_s + tot.vv))))
+                   - LN(CAST(v.tf_s + 1 AS DOUBLE) / (tot.n_s + tot.vv))
+                   ) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
                    / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS log_weight
           FROM dtf JOIN v USING (tok) CROSS JOIN tot
           GROUP BY dtf.doc_id)
