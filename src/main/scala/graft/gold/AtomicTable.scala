@@ -620,6 +620,19 @@ object AtomicTable {
     * commits, where the link(2) create-exclusive publish guards the
     * version race). Tagged versions survive [[vacuum]] regardless of
     * `keepLast` — the tag IS the retention declaration.
+    *
+    * Crash hygiene: a process dying between createTempFile and the
+    * atomic move leaves an `inflight-*.tmp` orphan in `_refs/`.
+    * [[refs]] never reads them (only `*.ref` names resolve), and
+    * [[vacuum]] reaps any older than its retention window.
+    *
+    * Concurrency model: tagging is a TABLE-MAINTAINER operation, same
+    * single-maintainer assumption as [[vacuum]]/[[compact]] (data
+    * WRITERS race safely through the manifest link(2) publish; the
+    * maintenance surface does not). A tag created concurrently with an
+    * in-flight vacuum can still lose its pinned version — vacuum reads
+    * refs as late as possible to narrow that window, but only
+    * serializing maintenance closes it.
     */
   def tag(root: String, name: String, v: Int): Unit = {
     require(RefNameRe.pattern.matcher(name).matches(),
@@ -683,7 +696,11 @@ object AtomicTable {
     val (expired0, kept0) = versions.splitAt(math.max(0, versions.length - keepLast))
     // a named ref pins its version through expiry: the tag is the
     // retention declaration (Iceberg semantics — expire_snapshots
-    // never drops a snapshot a ref can still reach)
+    // never drops a snapshot a ref can still reach). Read refs as LATE
+    // as possible — just before the deletion below — so a tag that
+    // landed while vacuum was listing manifests still pins (the
+    // remaining window is documented on [[tag]]: maintenance ops
+    // assume a single maintainer)
     val pinned = refs(root).values.toSet
     val (saved, expired) = expired0.partition(pinned)
     val kept = kept0 ++ saved
@@ -717,7 +734,27 @@ object AtomicTable {
         }
       } finally walk.close()
     }
+    // reap inflight-*.tmp orphans (a crashed tag() or tryPublish left
+    // them); the same age gate protects a concurrently-running writer
+    sweepTmpOrphans(refsDir(root), retentionMs)
+    sweepTmpOrphans(commitsDir(root), retentionMs)
     (expired.length, removed)
+  }
+
+  /** Delete `*.tmp` files in `dir` older than `retentionMs` — crash
+    * leftovers from the temp-then-atomic-publish pattern. Never
+    * matches a published name (`*.ref` / manifest), so this can only
+    * remove content no reader resolves.
+    */
+  private def sweepTmpOrphans(dir: java.nio.file.Path, retentionMs: Long): Unit = {
+    if (!Files.isDirectory(dir)) return
+    val cutoff = System.currentTimeMillis() - retentionMs
+    listDir(dir)(_.filter { p =>
+      p.getFileName.toString.endsWith(".tmp") &&
+        (scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+          .getOrElse(false))
+    }.toSeq).foreach(p =>
+      try Files.deleteIfExists(p): Unit catch { case NonFatal(_) => })
   }
 
   /** Small-file compaction — Iceberg's `rewrite_data_files` twin:

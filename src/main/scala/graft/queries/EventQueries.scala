@@ -1040,6 +1040,12 @@ object EventQueries {
             lit(0L)))
         val wSeg = Window.partitionBy(col("user_id"), col("seg"))
         val credited = tl
+          // ASSUMES non-negative purchase values (true of the event
+          // model — purchases are priced sales, refunds are not an
+          // event type): floor(v*100 + .5) is round-half-up toward
+          // +inf, a cent high on negatives, and the integer DIV
+          // credit split below truncates toward zero in Spark but
+          // floors in DuckDB — both diverge only below zero
           .withColumn("seg_cents",
             max(when(col("event_type") === "purchase",
               floor(col("value") * 100.0 + 0.5).cast("bigint"))).over(wSeg))

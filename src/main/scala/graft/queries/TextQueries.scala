@@ -1121,9 +1121,32 @@ object TextQueries {
           .groupBy(col("gram"))
           .agg(min(col("doc_id")).as("first_doc"))
         import org.apache.spark.sql.expressions.Window
-        first.crossJoin(broadcast(nd))
+        // dense 0-based corpus POSITION of each doc (ids may be sparse
+        // or 1-based; bucketing raw ids would then overflow the 20
+        // buckets and overstate docs_seen — r4 ADVICE). Two-pass
+        // numbering, the q139 idiom: range-partition by id, local
+        // row_number, ≤32-row offset fold — no single-partition window
+        val ranged = graft.Staging.checkpoint(
+          docs.select(col("doc_id"))
+            .repartitionByRange(32, col("doc_id"))
+            .withColumn("pid", spark_partition_id()), "vocab-rank")
+        val parts = ranged.groupBy(col("pid"))
+          .agg(count(lit(1)).as("c")).orderBy(col("pid")).collect()
+        var acc = 0L
+        val offs = parts.toSeq.map { r =>
+          val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+        }
+        import s.implicits._
+        val ranks = ranged
+          .withColumn("lr", row_number().over(
+            Window.partitionBy(col("pid")).orderBy(col("doc_id"))).cast("long"))
+          .join(broadcast(offs.toDF("pid", "off")), Seq("pid"))
+          .select(col("doc_id").as("first_doc"),
+            (col("lr") - 1 + col("off")).as("doc_rank"))
+        first.join(ranks, Seq("first_doc"))
+          .crossJoin(broadcast(nd))
           .withColumn("width", expr("CAST((n_docs + 19) DIV 20 AS BIGINT)"))
-          .withColumn("bucket", expr("CAST(first_doc DIV width AS BIGINT)"))
+          .withColumn("bucket", expr("CAST(doc_rank DIV width AS BIGINT)"))
           // width/n_docs are constants, so grouping on them adds no
           // cardinality — it just keeps them addressable post-agg
           .groupBy(col("bucket"), col("width"), col("n_docs"))
@@ -1147,13 +1170,16 @@ object TextQueries {
           FROM (SELECT doc_id, toks, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i
                 FROM t WHERE len(toks) >= 3)),
         f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        r AS (SELECT doc_id AS first_doc,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS doc_rank
+              FROM documents),
         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         b AS (
-          SELECT CAST(first_doc // ((n_docs + 19) // 20) AS BIGINT) AS bucket,
-                 CAST(LEAST((first_doc // ((n_docs + 19) // 20) + 1)
+          SELECT CAST(doc_rank // ((n_docs + 19) // 20) AS BIGINT) AS bucket,
+                 CAST(LEAST((doc_rank // ((n_docs + 19) // 20) + 1)
                        * ((n_docs + 19) // 20), n_docs) AS BIGINT) AS docs_seen,
                  CAST(COUNT(*) AS BIGINT) AS new_types
-          FROM f CROSS JOIN nd
+          FROM f JOIN r USING (first_doc) CROSS JOIN nd
           GROUP BY 1, 2)
         SELECT bucket, docs_seen, new_types,
                CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types

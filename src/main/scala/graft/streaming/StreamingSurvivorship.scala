@@ -48,9 +48,14 @@ object StreamingSurvivorship {
         .join(batchBest.select(col("fp")).distinct(), Seq("fp"), "left_semi")
       val merged = bestPerFp(current.unionByName(batchBest))
       // version-stable absorption: only DISPLACED keepers write — a
-      // batch of all-worse copies (or a pure replay) commits nothing
-      val changed = merged.select(current.columns.map(col).toSeq: _*)
-        .exceptAll(current)
+      // batch of all-worse copies (or a pure replay) commits nothing.
+      // Staged ONCE so the emptiness gate and the merge observe the
+      // SAME materialization: un-staged, the two evaluations would
+      // each re-read the keeper table, and a commit landing between
+      // them could make the gate and the merged rows disagree
+      val changed = graft.Staging.checkpoint(
+        merged.select(current.columns.map(col).toSeq: _*)
+          .exceptAll(current), "survivor-delta")
       if (!changed.isEmpty)
         AtomicTable.merge(spark, changed, keeperRoot, "fp"): Unit
     } else AtomicTable.merge(spark, batchBest, keeperRoot, "fp"): Unit
