@@ -39,6 +39,12 @@ object LanguageModel {
 
   /** (doc_id, n_tokens, mean_surprisal): mean −ln(tf_tok / N) over the
     * document's token occurrences, rounded to 4dp.
+    *
+    * Determinism: the per-token surprisal is floored to 1e-9
+    * fixed-point units (a long) BEFORE the dtf-weighted sum — the
+    * q141/q145 convention — so the aggregation is exact integer
+    * arithmetic in both engines and neither libm-vs-JVM `ln` ulp
+    * drift nor summation order can move the 4dp-rounded mean.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -47,13 +53,14 @@ object LanguageModel {
     val total = vocab.agg(sum(col("tf")).as("n_total"))
     docTf.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
+      .withColumn("sp_fp",
+        floor(-log(col("tf").cast("double") / col("n_total").cast("double"))
+          * lit(1e9d)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("dtf")).as("n_tokens"),
-        round(
-          sum(col("dtf").cast("double") *
-            -log(col("tf").cast("double") / col("n_total").cast("double")))
-            / sum(col("dtf")).cast("double"), 4).as("mean_surprisal"))
+        round((sum(col("dtf") * col("sp_fp")).cast("double") / lit(1e9d))
+          / sum(col("dtf")).cast("double"), 4).as("mean_surprisal"))
   }
 
   /** DSIR-style importance weight (Xie et al., "Data Selection for
@@ -149,10 +156,14 @@ object LanguageModel {
         lit(lambda) * (col("bc").cast("double") / col("hc").cast("double"))
           + lit(1.0 - lambda)
           * (col("uc").cast("double") / col("n_total").cast("double")))
+      // per-bigram surprisal in 1e-9 fixed-point (q141/q145
+      // convention): the weighted sum is exact integer arithmetic,
+      // immune to libm ulp and summation-order drift under the gate
+      .withColumn("sp_fp", floor(-log(col("p")) * lit(1e9d)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("dbc")).as("n_bigrams"),
-        round(sum(col("dbc").cast("double") * -log(col("p")))
+        round((sum(col("dbc") * col("sp_fp")).cast("double") / lit(1e9d))
           / sum(col("dbc")).cast("double"), 4).as("mean_bigram_surprisal"))
   }
 }

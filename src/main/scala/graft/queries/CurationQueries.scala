@@ -371,12 +371,19 @@ object CurationQueries {
           sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
           count_distinct(col("source")).as("n_sources"))
         val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        // per-lang entropy term in 1e-12 fixed-point BITS (the q145
+        // convention): −p·ln(p)/ln2 with ln2 an embedded literal —
+        // Spark's log(base, x) = ln x / ln base vs DuckDB's native
+        // log2 was a latent cross-engine ulp divergence under the
+        // hash gate; the long sum (≤ log2(#langs)·1e12) is exact
         val entropy = langs.crossJoin(broadcast(
             docs.agg(count(lit(1)).as("nd"))))
-          .agg(round(sum(
+          .withColumn("term_fp", floor(
             -(col("nl").cast("double") / col("nd").cast("double"))
-              * log(2.0, col("nl").cast("double") / col("nd").cast("double"))),
-            4).as("lang_entropy_bits"))
+              * log(col("nl").cast("double") / col("nd").cast("double"))
+              / lit(0.6931471805599453) * lit(1e12d)).cast("long"))
+          .agg(round(sum(col("term_fp")).cast("double") / lit(1e12d), 4)
+            .as("lang_entropy_bits"))
         counts.crossJoin(entropy)
       },
       Some("""
@@ -395,8 +402,9 @@ object CurationQueries {
         l AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
         nd AS (SELECT COUNT(*) AS nd FROM documents),
         e AS (
-          SELECT ROUND(SUM(
-            -(CAST(nl AS DOUBLE) / nd) * log2(CAST(nl AS DOUBLE) / nd)), 4)
+          SELECT ROUND(CAST(SUM(CAST(FLOOR(
+              -(CAST(nl AS DOUBLE) / nd) * LN(CAST(nl AS DOUBLE) / nd)
+                / 0.6931471805599453 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 4)
             AS lang_entropy_bits
           FROM l CROSS JOIN nd)
         SELECT * FROM counts CROSS JOIN e""")),

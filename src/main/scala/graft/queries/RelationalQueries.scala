@@ -1101,10 +1101,16 @@ object RelationalQueries {
             col("month") === col("ref_month"))
           .select(col("bucket"), col("s").as("s_ref"))
         filled.join(broadcast(ref), Seq("bucket"))
-          .withColumn("term",
-            (col("s") - col("s_ref")) * log(col("s") / col("s_ref")))
+          // per-bucket PSI term in 1e-12 fixed-point (q145 convention):
+          // terms are ≥ 0 (same-sign factors) over 10 buckets, so the
+          // long sum is exact and far from overflow; libm ulp and
+          // summation order can no longer move the 4dp round
+          .withColumn("term_fp",
+            floor((col("s") - col("s_ref")) * log(col("s") / col("s_ref"))
+              * lit(1e12d)).cast("long"))
           .groupBy(col("month"), col("nm"))
-          .agg(round(sum(col("term")), 4).as("psi"))
+          .agg(round(sum(col("term_fp")).cast("double") / lit(1e12d), 4)
+            .as("psi"))
           .select(col("month"), col("nm").as("n_orders"), col("psi"))
           .orderBy(col("month"))
       },
@@ -1130,7 +1136,9 @@ object RelationalQueries {
           SELECT bucket, s AS s_ref FROM grid
           WHERE month = (SELECT MIN(month) FROM nm))
         SELECT grid.month, grid.nm AS n_orders,
-               ROUND(SUM((s - s_ref) * LN(s / s_ref)), 4) AS psi
+               ROUND(CAST(SUM(CAST(FLOOR(
+                   (s - s_ref) * LN(s / s_ref) * 1e12) AS BIGINT))
+                 AS DOUBLE) / 1e12, 4) AS psi
         FROM grid JOIN r USING (bucket)
         GROUP BY grid.month, grid.nm
         ORDER BY grid.month"""))

@@ -648,7 +648,9 @@ object TextQueries {
         n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM v)
         SELECT dtf.doc_id,
                CAST(SUM(dtf.dtf) AS BIGINT) AS n_tokens,
-               ROUND(SUM(dtf.dtf * -LN(CAST(v.tf AS DOUBLE) / n.n_total))
+               ROUND((CAST(SUM(dtf.dtf * CAST(FLOOR(
+                   -LN(CAST(v.tf AS DOUBLE) / n.n_total) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9)
                  / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS mean_surprisal
         FROM dtf JOIN v USING (tok) CROSS JOIN n
         GROUP BY dtf.doc_id
@@ -765,8 +767,9 @@ object TextQueries {
                   CROSS JOIN n)
         SELECT doc_id,
                CAST(SUM(dbc) AS BIGINT) AS n_bigrams,
-               ROUND(SUM(dbc * -LN(p)) / CAST(SUM(dbc) AS DOUBLE), 4)
-                 AS mean_bigram_surprisal
+               ROUND((CAST(SUM(dbc * CAST(FLOOR(-LN(p) * 1e9) AS BIGINT))
+                   AS DOUBLE) / 1e9)
+                 / CAST(SUM(dbc) AS DOUBLE), 4) AS mean_bigram_surprisal
         FROM p
         GROUP BY doc_id
         ORDER BY doc_id""")),
@@ -1066,17 +1069,28 @@ object TextQueries {
           .withColumn("p", col("c").cast("double") / col("n_s"))
           .withColumn("q", col("c_all").cast("double") / col("n_all"))
           .withColumn("m", (col("p") + col("q")) / lit(2.0))
-          .withColumn("term",
-            col("p") * log(col("p") / col("m")) +
-              col("q") * log(col("q") / col("m")))
+          // per-token contribution in 1e-15 fixed-point (the pointwise
+          // JSD term is ≥ 0 and Σ ≤ 2·ln2, so the long sum cannot
+          // overflow): exact integer aggregation under the hash gate,
+          // immune to libm ulp and summation order — the q145 fix
+          // applied to this query's sibling risk. q_present likewise
+          // sums exact corpus counts, divided once at the end, and
+          // ln 2 is an embedded double literal, not a libm call.
+          .withColumn("term_fp",
+            floor((col("p") * log(col("p") / col("m")) +
+              col("q") * log(col("q") / col("m"))) * lit(1e15d))
+              .cast("long"))
         terms.groupBy(col("source"))
           .agg(
             first(col("n_s")).as("n_tokens"),
-            sum(col("term")).as("t_present"),
-            sum(col("q")).as("q_present"))
+            sum(col("term_fp")).as("t_fp"),
+            sum(col("c_all")).as("q_num"),
+            first(col("n_all")).as("n_all"))
           .select(col("source"), col("n_tokens"),
-            round(lit(0.5) * col("t_present") +
-              lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("q_present")), 4)
+            round(lit(0.5) * (col("t_fp").cast("double") / lit(1e15d)) +
+              lit(0.5) * lit(0.6931471805599453) *
+                (lit(1.0) - col("q_num").cast("double")
+                  / col("n_all").cast("double")), 4)
               .as("jsd"))
           .orderBy(col("source"))
       },
@@ -1089,14 +1103,18 @@ object TextQueries {
         ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_all FROM st GROUP BY 1),
         n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all FROM ct),
         terms AS (
-          SELECT st.source, ns.n_s,
+          SELECT st.source, ns.n_s, ct.c_all, n.n_all,
                  CAST(st.c AS DOUBLE) / ns.n_s AS p,
                  CAST(ct.c_all AS DOUBLE) / n.n_all AS q
           FROM st JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN n)
         SELECT source, n_s AS n_tokens,
-               ROUND(0.5 * SUM(p * LN(p / ((p + q) / 2.0))
-                            + q * LN(q / ((p + q) / 2.0)))
-                   + 0.5 * LN(2.0) * (1.0 - SUM(q)), 4) AS jsd
+               ROUND(0.5 * (CAST(SUM(CAST(FLOOR(
+                       (p * LN(p / ((p + q) / 2.0))
+                        + q * LN(q / ((p + q) / 2.0))) * 1e15) AS BIGINT))
+                     AS DOUBLE) / 1e15)
+                   + 0.5 * 0.6931471805599453
+                     * (1.0 - CAST(SUM(c_all) AS DOUBLE) / ANY_VALUE(n_all)),
+                 4) AS jsd
         FROM terms
         GROUP BY source, n_s
         ORDER BY source""")),
@@ -1326,15 +1344,23 @@ object TextQueries {
           .groupBy(col("lang"))
           .agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
         val tot = byLang.agg(sum(col("n_tokens")).cast("bigint").as("tot"))
+        // p^α in 1e-15 fixed-point (q145 convention): the Σ p^α
+        // normalizer is a summed libm result under the hash gate, so
+        // both the terms and the sum become exact longs (p^α ≤ 1,
+        // |langs| terms — no overflow); every downstream ratio is a
+        // deterministic function of exact integers
         val p = byLang.crossJoin(broadcast(tot))
           .withColumn("share", col("n_tokens").cast("double") / col("tot"))
-          .withColumn("pa", pow(col("share"), lit(0.3)))
-        val z = p.agg(sum(col("pa")).as("z"))
+          .withColumn("pa_fp",
+            floor(pow(col("share"), lit(0.3)) * lit(1e15d)).cast("long"))
+        val z = p.agg(sum(col("pa_fp")).as("z_fp"))
         p.crossJoin(broadcast(z))
           .select(col("lang"), col("n_tokens"),
             expr("CAST(n_tokens * 1000 DIV tot AS BIGINT)").as("share_permille"),
-            round(col("pa") / col("z"), 6).as("weight"),
-            round(col("pa") / col("z") / col("share"), 4).as("upsample"))
+            round(col("pa_fp").cast("double") / col("z_fp").cast("double"), 6)
+              .as("weight"),
+            round(col("pa_fp").cast("double") / col("z_fp").cast("double")
+              / col("share"), 4).as("upsample"))
           .orderBy(col("lang"))
       },
       Some("""
@@ -1347,13 +1373,14 @@ object TextQueries {
         p AS (
           SELECT lang, n_tokens, tot,
                  CAST(n_tokens AS DOUBLE) / tot AS share,
-                 POWER(CAST(n_tokens AS DOUBLE) / tot, 0.3) AS pa
+                 CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE) / tot, 0.3) * 1e15)
+                   AS BIGINT) AS pa_fp
           FROM l CROSS JOIN tot),
-        z AS (SELECT SUM(pa) AS z FROM p)
+        z AS (SELECT CAST(SUM(pa_fp) AS BIGINT) AS z_fp FROM p)
         SELECT lang, n_tokens,
                CAST(n_tokens * 1000 // tot AS BIGINT) AS share_permille,
-               ROUND(pa / z.z, 6) AS weight,
-               ROUND(pa / z.z / share, 4) AS upsample
+               ROUND(CAST(pa_fp AS DOUBLE) / z.z_fp, 6) AS weight,
+               ROUND(CAST(pa_fp AS DOUBLE) / z.z_fp / share, 4) AS upsample
         FROM p CROSS JOIN z
         ORDER BY lang"""))
   )
