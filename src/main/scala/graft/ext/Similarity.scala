@@ -176,6 +176,27 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Plane-count sizing rule for [[lshNeighborPairs]] at scale: with
+    * nPlanes FIXED, per-bucket occupancy grows linearly in the corpus
+    * and same-bucket candidate pairs grow quadratically (the r5 bench
+    * diag measured exactly this: 9.4k candidates at 1× → 943k at 10×
+    * under 8 planes). Choosing nPlanes = ⌈log2(n / targetPerBucket)⌉
+    * holds EXPECTED occupancy at `targetPerBucket`, so candidates
+    * stay O(n · targetPerBucket) — linear in the corpus. Clamped to
+    * [4, 30]: fewer than 4 planes can't separate anything, and 2^30
+    * buckets is past any practical shuffle-key cardinality. Callers
+    * pass `count` from table statistics; recall drops as planes grow,
+    * so near-threshold pipelines should raise bands/OR-repeats along
+    * with planes (the standard LSH recall/cost trade).
+    */
+  def autoPlanes(corpusSize: Long, targetPerBucket: Int = 64): Int = {
+    require(targetPerBucket >= 1, "targetPerBucket must be >= 1")
+    if (corpusSize <= 0) return 4
+    val needed = math.ceil(
+      math.log(corpusSize.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(4, needed))
+  }
+
   /** Deterministic random ±1 hyperplane values (seeded, data-
     * independent). Public so the SQL oracle builder can embed the SAME
     * constants as literals — the whole LSH/IVF bucketing then replays

@@ -129,6 +129,35 @@ class ContainerDemuxSpec extends AnyFunSuite {
     assert(ContainerDemux.mp3Info(5L, Array.emptyByteArray).isEmpty)
   }
 
+  test("fuzz: arbitrary and mutated payloads never throw, only None/Some") {
+    // deterministic corruption sweep: random bytes, and valid
+    // containers with every single byte position flipped — the
+    // truncation/garble paths a 100 TB media crawl will definitely hit
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { i =>
+      val garbage = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      ContainerDemux.mp4Info(i.toLong, garbage): Unit
+      ContainerDemux.mp3Info(i.toLong, garbage): Unit
+    }
+    val validMp4 =
+      box("ftyp", "isom".getBytes, be32(512)) ++
+        box("moov", mvhdV0(1000, 5000), trak("vide", 64, 48, (10L, 100L)))
+    val validMp3 = Array.fill(3)(mp3Frame(9, 417)).flatten
+    validMp4.indices.foreach { i =>
+      val m = validMp4.clone(); m(i) = (m(i) ^ 0xff).toByte
+      ContainerDemux.mp4Info(1L, m): Unit // must not throw
+    }
+    validMp3.indices.foreach { i =>
+      val m = validMp3.clone(); m(i) = (m(i) ^ 0xff).toByte
+      ContainerDemux.mp3Info(1L, m): Unit
+    }
+    // truncation sweep on the valid containers
+    (0 until validMp4.length by 7).foreach(n =>
+      ContainerDemux.mp4Info(1L, validMp4.take(n)): Unit)
+    (0 until validMp3.length by 7).foreach(n =>
+      ContainerDemux.mp3Info(1L, validMp3.take(n)): Unit)
+  }
+
   test("demux routes by format and rejects unowned formats") {
     val mp4 = box("moov", mvhdV0(1000, 2000))
     assert(ContainerDemux.demux(1L, "mp4", mp4).get.duration_ms == 2000L)

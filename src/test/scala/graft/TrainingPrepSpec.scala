@@ -223,6 +223,56 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got === Array((2L, 1L, 1.0), (3L, 1L, 1.0)))
   }
 
+  test("fixed-point LM scores are partitioning-invariant (exact long sums)") {
+    // the property the r5 fixed-point hardening buys: per-term floors
+    // make every aggregate a sum of identical longs, so the result
+    // cannot depend on partition layout / summation order — the same
+    // invariance that makes the DuckDB oracle hash-stable
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "le chat est sur le tapis tapis", "fr"),
+      (3L, "the dog ate the cat food and the mat", "en"),
+      (4L, "cat cat cat unusual zyzzyva", "en"),
+      (5L, "on the mat sat a very unusual dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    for (parts <- Seq(1, 7)) {
+      val d = docs.repartition(parts)
+      assert(collectSorted(graft.ext.LanguageModel
+          .unigramSurprisal(d, "doc_id", "text")) ===
+        collectSorted(graft.ext.LanguageModel
+          .unigramSurprisal(docs, "doc_id", "text")))
+      assert(collectSorted(graft.ext.LanguageModel
+          .bigramSurprisal(d, "doc_id", "text")) ===
+        collectSorted(graft.ext.LanguageModel
+          .bigramSurprisal(docs, "doc_id", "text")))
+      assert(collectSorted(graft.ext.LanguageModel
+          .importanceWeights(d, "doc_id", "text", col("lang") === "en")) ===
+        collectSorted(graft.ext.LanguageModel
+          .importanceWeights(docs, "doc_id", "text", col("lang") === "en")))
+    }
+  }
+
+  test("autoPlanes holds expected bucket occupancy at the target") {
+    import graft.ext.Similarity.autoPlanes
+    // occupancy bound: n / 2^planes <= target whenever unclamped
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L);
+         t <- Seq(16, 64, 256)) {
+      val p = autoPlanes(n, t)
+      if (p > 4 && p < 30) assert(n.toDouble / math.pow(2, p) <= t)
+    }
+    assert(autoPlanes(0) === 4)
+    assert(autoPlanes(100, 1000) === 4)              // clamp low
+    assert(autoPlanes(Long.MaxValue, 1) === 30)      // clamp high
+    // monotone in corpus size
+    val seq = Seq(1L, 1000L, 1000000L, 1000000000L).map(autoPlanes(_, 64))
+    assert(seq === seq.sorted)
+    // the measured r5 diag case: 8 planes at ~6.4k vectors → ~25/bucket;
+    // at 10× the rule asks for more planes instead of 100× candidates
+    assert(autoPlanes(64000L, 25) > 8)
+  }
+
   test("containment catches a small doc quoted inside a larger one") {
     // doc 1's shingles all appear in doc 2; the reverse direction is
     // below threshold — asymmetry is the point of the operator
