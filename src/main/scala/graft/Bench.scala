@@ -25,6 +25,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // diag histograms are opt-in (an extra agg job per LSH call that
+    // only this harness reads)
+    graft.ext.Similarity.collectLshDiag = true
 
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()

@@ -57,4 +57,24 @@ object Staging {
     df.write.mode("overwrite").parquet(dir.toString)
     df.sparkSession.read.parquet(dir.toString)
   }
+
+  /** [[checkpoint]] with a bounded lifetime: the staged dir is deleted
+    * as soon as `use` returns, not at JVM exit. For REPEATED staging
+    * in a long-lived process (a per-micro-batch delta in a streaming
+    * sink) the exit-hook variant accumulates one dir per call for the
+    * process lifetime; this one holds exactly one at a time. The
+    * staged frame must be fully consumed inside `use` — the files are
+    * gone afterwards.
+    */
+  def checkpointScoped[A](df: DataFrame, tag: String)(use: DataFrame => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+    tracked.add(dir)
+    try {
+      df.write.mode("overwrite").parquet(dir.toString)
+      use(df.sparkSession.read.parquet(dir.toString))
+    } finally {
+      try deleteRecursively(dir) catch { case _: Throwable => }
+      tracked.remove(dir): Unit
+    }
+  }
 }

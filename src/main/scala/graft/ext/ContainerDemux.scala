@@ -92,10 +92,15 @@ object ContainerDemux {
         case "ftyp" if bodyLen >= 4 =>
           st.brand = fourcc(b, body.toInt)
         case "mvhd" if bodyLen >= 4 =>
+          // version dispatch is strict: a truncated v1 body must NOT
+          // fall through to the v0 offsets (that would read the middle
+          // of the 64-bit times as timescale and report garbage)
           val v = b(body.toInt) & 0xff
-          if (v == 1 && bodyLen >= 28 + 4) {
-            st.timescale = u32(b, body.toInt + 20)
-            st.duration = u64(b, body.toInt + 24)
+          if (v == 1) {
+            if (bodyLen >= 32) {
+              st.timescale = u32(b, body.toInt + 20)
+              st.duration = u64(b, body.toInt + 24)
+            }
           } else if (bodyLen >= 20 + 4) {
             st.timescale = u32(b, body.toInt + 12)
             st.duration = u32(b, body.toInt + 16)
@@ -126,8 +131,14 @@ object ContainerDemux {
           st.nTracks += 1
           if (st.trakHandler == "vide") {
             st.nVideo += 1
-            if (st.width == 0) { st.width = st.trakW; st.height = st.trakH }
-            if (st.nFrames == 0L) st.nFrames = st.trakFrames
+            // FIRST video track owns geometry/frames, per the
+            // ContainerMeta contract — even when it reports zeros
+            // (falling back to a later track would silently change
+            // which track the metadata describes)
+            if (st.nVideo == 1) {
+              st.width = st.trakW; st.height = st.trakH
+              st.nFrames = st.trakFrames
+            }
           } else if (st.trakHandler == "soun") st.nAudio += 1
         case t if Containers(t) =>
           walkBoxes(b, body, o + size, st, depth + 1)
@@ -150,8 +161,13 @@ object ContainerDemux {
     val st = new Mp4State
     walkBoxes(bytes, 0L, bytes.length.toLong, st, 0)
     if (st.timescale == 0L && st.nTracks == 0) return None
+    // crafted u64 durations near 2^63 would overflow the *1000; the
+    // defensive-parser promise is sane values, so clamp to 0
     val durMs =
-      if (st.timescale > 0) st.duration * 1000L / st.timescale else 0L
+      if (st.timescale > 0 && st.duration >= 0 &&
+          st.duration <= Long.MaxValue / 1000L)
+        st.duration * 1000L / st.timescale
+      else 0L
     Some(ContainerMeta(id, "mp4", st.brand, durMs, st.nTracks,
       st.nVideo, st.nAudio, st.width, st.height, st.nFrames, 0, 0))
   }
@@ -242,7 +258,7 @@ object ContainerDemux {
     */
   def demux(id: Long, format: String, bytes: Array[Byte])
       : Option[ContainerMeta] =
-    format.toLowerCase match {
+    format.toLowerCase(java.util.Locale.ROOT) match {
       case "mp4" | "m4a" | "m4v" | "mov" | "isom" => mp4Info(id, bytes)
       case "mp3" | "mpeg" | "mpga" => mp3Info(id, bytes)
       case _ => None

@@ -31,6 +31,13 @@ object Similarity {
   final case class LshDiag(nCandidates: Long, nBuckets: Long, maxBucket: Long)
   @volatile var lastLshDiag: Option[LshDiag] = None
 
+  /** Diag collection is OPT-IN (Bench flips it on): the histogram is
+    * an extra eager aggregation job per [[lshNeighborPairs]] call, and
+    * every other caller (the Verify gate, library users) would pay it
+    * for a number nobody reads.
+    */
+  @volatile var collectLshDiag = false
+
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Lambda-builtin formulations: dependency-free but interpreted per
@@ -139,10 +146,16 @@ object Similarity {
       s"dims must be distinct and ascending, got $dims")
     // the recall baseline is the FULL-width ranking: a dims.last
     // narrower than the actual vectors would silently score every row
-    // (sanity row included) against a truncated baseline
-    embeddings.select(size(col("embedding"))).head(1).foreach { r =>
-      require(r.getInt(0) == dims.last,
-        s"dims.last (${dims.last}) must equal the embedding width (${r.getInt(0)})")
+    // (sanity row included) against a truncated baseline. One map-side
+    // min/max agg validates EVERY row (a first-row probe would bless a
+    // mixed-width corpus); null embeddings are skipped by the agg and
+    // an empty/all-null frame skips the check (nothing gets scored)
+    val widths = embeddings
+      .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    if (!widths.isNullAt(1)) {
+      require(widths.getInt(0) == dims.last && widths.getInt(1) == dims.last,
+        s"dims.last (${dims.last}) must equal the embedding width of every " +
+          s"row (found widths ${widths.getInt(0)}..${widths.getInt(1)})")
     }
     val full = dims.last
     val n = embeddings.select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
@@ -431,7 +444,7 @@ object Similarity {
     // embedding column never re-reads): candidate count Σ n·(n−1)/2
     // and the largest bucket, the two numbers that move if the
     // hyperplane family or the data distribution shifts
-    lastLshDiag = Some {
+    if (collectLshDiag) lastLshDiag = Some {
       val h = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("cand"),
           count(lit(1)).as("nb"), coalesce(max(col("n")), lit(0L)).as("mx"))

@@ -469,27 +469,10 @@ object CurationQueries {
               .as("band"),
             md5(concat(lit("cur:"), col("doc_id").cast("string")))
               .as("shuffle_key"))
-        val ranged = graft.Staging.checkpoint(
-          scored.repartitionByRange(32,
-            col("band"), col("shuffle_key"), col("doc_id"))
-            .withColumn("pid", spark_partition_id()), "curriculum-ranged")
-        val wLocal = Window.partitionBy(col("pid"))
-          .orderBy(col("band"), col("shuffle_key"), col("doc_id"))
-        val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-          .orderBy(col("pid")).collect()
-        var acc = 0L
-        val offsets = counts.map { r =>
-          val o = r.getAs[Int]("pid") -> acc
-          acc += r.getAs[Long]("n"); o
-        }.toMap
-        val offsetDf = s.createDataFrame(
-          offsets.toSeq.map { case (p, o) => (p, o) })
-          .toDF("pid", "offset")
-        ranged
-          .withColumn("rn", row_number().over(wLocal).cast("bigint"))
-          .join(broadcast(offsetDf), Seq("pid"))
-          .select(col("doc_id"), col("band"),
-            (col("offset") + col("rn")).as("global_order"))
+        graft.TwoPass.globalRowNumber(scored,
+            Seq(col("band"), col("shuffle_key"), col("doc_id")),
+            "global_order", tag = "curriculum-ranged")
+          .select(col("doc_id"), col("band"), col("global_order"))
           .orderBy(col("global_order"))
       },
       Some(s"""

@@ -22,14 +22,17 @@ object DedupQueries {
     * corpus and serving filters from the staged parquet is the r4
     * verdict's ask #5. Safe to key by path: the test-data dirs are
     * immutable snapshots, and callers with synthetic frames hit
-    * [[Dedup.exactJaccardPairs]] directly, never this memo.
+    * [[Dedup.exactJaccardPairs]] directly, never this memo. Keyed by
+    * applicationId (not session identity): a stopped context can never
+    * serve a stale plan to a new one, and sessions sharing one live
+    * context share the staged file safely.
     */
   private val truthPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def truthPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     truthPairCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
+      s.sparkContext.applicationId + "|" + dir,
       _ => graft.Staging.checkpoint(
         Dedup.exactJaccardPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",

@@ -42,7 +42,9 @@ object Sf0Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def emptySfDir(s: SparkSession, dir: String): String =
     dirCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir,
+      // applicationId key, same rationale as DedupQueries.truthPairs:
+      // never resolve a dir built by a stopped context's session
+      s.sparkContext.applicationId + "|" + dir,
       _ => {
         val out = java.nio.file.Files.createTempDirectory("graft-sf0-")
         Tables.names.foreach { t =>
@@ -58,11 +60,19 @@ object Sf0Queries {
     * WITH RECURSIVE originals.
     */
   private def shadowEmpty(sql: String): String = {
+    // fail FAST at registry build if a pick's oracle defines a CTE
+    // named like a table (the shadow would collide) — a future pick
+    // with `WITH part AS (...)` must break here with a clear message,
+    // not at gate time with a DuckDB binder error
+    Tables.names.foreach { t =>
+      require(!s"(?is)\\b$t\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined,
+        s"sf0 oracle defines a CTE shadowing table '$t'; rename the CTE")
+    }
     val shadows = Tables.names
       .map(t => s"$t AS (SELECT * FROM main.$t WHERE FALSE)")
       .mkString(", ")
     val trimmed = sql.trim
-    val up = trimmed.toUpperCase
+    val up = trimmed.toUpperCase(java.util.Locale.ROOT)
     if (up.startsWith("WITH RECURSIVE"))
       s"WITH RECURSIVE $shadows, " + trimmed.drop("WITH RECURSIVE".length).trim
     else if (up.startsWith("WITH"))

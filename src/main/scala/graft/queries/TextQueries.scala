@@ -1141,26 +1141,13 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         // dense 0-based corpus POSITION of each doc (ids may be sparse
         // or 1-based; bucketing raw ids would then overflow the 20
-        // buckets and overstate docs_seen — r4 ADVICE). Two-pass
-        // numbering, the q139 idiom: range-partition by id, local
-        // row_number, ≤32-row offset fold — no single-partition window
-        val ranged = graft.Staging.checkpoint(
-          docs.select(col("doc_id"))
-            .repartitionByRange(32, col("doc_id"))
-            .withColumn("pid", spark_partition_id()), "vocab-rank")
-        val parts = ranged.groupBy(col("pid"))
-          .agg(count(lit(1)).as("c")).orderBy(col("pid")).collect()
-        var acc = 0L
-        val offs = parts.toSeq.map { r =>
-          val o = acc; acc += r.getLong(1); (r.getInt(0), o)
-        }
-        import s.implicits._
-        val ranks = ranged
-          .withColumn("lr", row_number().over(
-            Window.partitionBy(col("pid")).orderBy(col("doc_id"))).cast("long"))
-          .join(broadcast(offs.toDF("pid", "off")), Seq("pid"))
+        // buckets and overstate docs_seen — r4 ADVICE). TwoPass owns
+        // the mechanism: no single-partition window
+        val ranks = graft.TwoPass.globalRowNumber(
+            docs.select(col("doc_id")), Seq(col("doc_id")), "rn",
+            tag = "vocab-rank")
           .select(col("doc_id").as("first_doc"),
-            (col("lr") - 1 + col("off")).as("doc_rank"))
+            (col("rn") - 1).as("doc_rank"))
         first.join(ranks, Seq("first_doc"))
           .crossJoin(broadcast(nd))
           .withColumn("width", expr("CAST((n_docs + 19) DIV 20 AS BIGINT)"))

@@ -52,12 +52,16 @@ object StreamingSurvivorship {
       // Staged ONCE so the emptiness gate and the merge observe the
       // SAME materialization: un-staged, the two evaluations would
       // each re-read the keeper table, and a commit landing between
-      // them could make the gate and the merged rows disagree
-      val changed = graft.Staging.checkpoint(
+      // them could make the gate and the merged rows disagree.
+      // SCOPED staging: this runs once per micro-batch for the
+      // stream's lifetime, so the dir is reclaimed at batch end, not
+      // at JVM exit
+      graft.Staging.checkpointScoped(
         merged.select(current.columns.map(col).toSeq: _*)
-          .exceptAll(current), "survivor-delta")
-      if (!changed.isEmpty)
-        AtomicTable.merge(spark, changed, keeperRoot, "fp"): Unit
+          .exceptAll(current), "survivor-delta") { changed =>
+        if (!changed.isEmpty)
+          AtomicTable.merge(spark, changed, keeperRoot, "fp"): Unit
+      }
     } else AtomicTable.merge(spark, batchBest, keeperRoot, "fp"): Unit
   }
 

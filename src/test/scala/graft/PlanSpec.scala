@@ -405,8 +405,9 @@ class PlanSpec extends SparkSpec {
   test("q162: curriculum global order — NO single-partition exchange anywhere") {
     val p = plan("q162_curriculum_order")
     assert(!p.contains("Exchange SinglePartition"), p)
-    // the numbering window partitions by pid — never a global window
-    assert(p.contains("windowspecdefinition(pid"), p)
+    // the numbering window partitions by the TwoPass pid — never a
+    // global window
+    assert(p.contains("windowspecdefinition(__pid"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
