@@ -172,7 +172,7 @@ object Bench {
     val x10Probe: Seq[(String, Double)] = {
       var dir10: String = null
       corpusBuild10 = timed { dir10 = buildScaledCorpus(spark, sfDir, copies = 10) }
-      Seq("q60_dedup_exact", "q64_ngram_jaccard",
+      val fixed = Seq("q60_dedup_exact", "q64_ngram_jaccard",
         "q65_minhash_dedup", "q72_ann_lsh",
         "q76_dedup_clusters", "q86_curation_pipeline",
         "q89_decontamination", "q140_bloom_decontam",
@@ -185,6 +185,37 @@ object Bench {
         captureMinhash(entry); captureLsh(entry)
         entry -> t
       }
+      // autoPlanes demonstration: the same pair search at 10× with the
+      // sizing rule applied (nPlanes from the corpus count, the way a
+      // 100 TB deployment would size it from table statistics) instead
+      // of q72's fixed 8-plane family. x10_q72_ann_lsh above shows the
+      // FIXED family's occupancy growing linearly (candidates
+      // quadratically); this entry's lsh diag row shows the rule
+      // pulling occupancy back to the target and candidates back to
+      // ~linear — the PLANS.md q72 analysis as a measured record
+      // rather than an argument (r4 verdict ask #3 follow-through).
+      val autoEntry = "x10_q72_lsh_auto"
+      val nVec10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
+      // target = the 1× family's MEASURED occupancy (~2000 vectors
+      // over 252 populated buckets ≈ 8/bucket), so the probe tests
+      // the rule's actual scale claim — occupancy held CONSTANT as
+      // the corpus grows — not merely "fewer candidates than fixed"
+      val planes10 = graft.ext.Similarity.autoPlanes(nVec10, targetPerBucket = 8)
+      System.err.println(
+        s"[bench] $autoEntry: n=$nVec10 -> nPlanes=$planes10")
+      val tAuto = best(autoEntry, 3) {
+        try timed {
+          graft.ext.Similarity.lshNeighborPairs(
+            spark.read.parquet(s"$dir10/embeddings.parquet"),
+            dim = 64, threshold = 0.3, nPlanes = planes10)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $autoEntry failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      captureLsh(autoEntry)
+      fixed :+ (autoEntry -> tAuto)
     }
 
     // ── 30× probe for the three heaviest linear ops ───────────────
@@ -211,37 +242,20 @@ object Bench {
           Seq("q93a_mv_maintain" -> q93Maintain, "q93b_mv_read" -> q93Read)
         else Seq.empty) ++
         x10Probe ++ x30Probe
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total = the headline set only (comparable round to round); the
-    // x10/x30 probe entries and the q93 components are reported
-    // per-query, not summed in
-    val total = results.filter(r => !r._1.startsWith("x10_") &&
-        !r._1.startsWith("x30_") && !r._1.startsWith("q93a") &&
-        !r._1.startsWith("q93b"))
-      .map(_._2).filter(_ >= 0).sum
-    val runsJson = rawRuns.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val heapJson = heapMb.map { case (k, m) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val lshJson = lshDiag.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val diag = s"""{"runs":$runsJson,"heap_mb_before":$heapJson,""" +
-      s""""minhash":$mhJson,"lsh":$lshJson,"corpus_build_sec":""" +
-      f"""{"x10":$corpusBuild10%.2f,"x30":$corpusBuild30%.2f}}"""
-    // the diag outgrew the driver's stdout tail capture in r4 (the
+    // assembly lives in BenchReport (spec-pinned: parseable JSON,
+    // single small contract line, non-finite timings sanitized). The
+    // diag outgrew the driver's stdout tail capture in r4 (the
     // official BENCH_r04.json came back `parsed: null`), so it ships
     // on stderr AND as a side file; the compact driver contract line
     // is the LAST thing on stdout
+    val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
+      corpusBuild10, corpusBuild30)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
       diag.getBytes("UTF-8")): Unit
     catch { case e: Throwable =>
       System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }
     System.err.println(s"[bench] diag: $diag")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(BenchReport.contractLine(results, sfDir))
     spark.stop()
   }
 
