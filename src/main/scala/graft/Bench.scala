@@ -139,7 +139,10 @@ object Bench {
           s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}"}"""
       }
     def captureLsh(entry: String): Unit =
-      graft.ext.Similarity.lastLshDiag.foreach { d =>
+      // the thunk runs the histogram job HERE, after best() stopped
+      // the timer — the measured entry never pays for its own diag
+      graft.ext.Similarity.lastLshDiag.foreach { thunk =>
+        val d = thunk()
         lshDiag(entry) = s"""{"n_candidates":${d.nCandidates},""" +
           s""""n_buckets":${d.nBuckets},"max_bucket":${d.maxBucket}}"""
       }

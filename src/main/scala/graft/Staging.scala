@@ -42,8 +42,14 @@ object Staging {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      // Files.list holds an open directory stream until close() — in
+      // the per-micro-batch checkpointScoped path an unclosed stream
+      // leaks one fd per directory per batch until the process hits
+      // ulimit (the exit-hook path never noticed, it dies anyway)
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
     Files.deleteIfExists(p): Unit
   }
 
@@ -73,8 +79,11 @@ object Staging {
       df.write.mode("overwrite").parquet(dir.toString)
       use(df.sparkSession.read.parquet(dir.toString))
     } finally {
-      try deleteRecursively(dir) catch { case _: Throwable => }
-      tracked.remove(dir): Unit
+      // untrack only after a SUCCESSFUL delete — if the delete throws
+      // (fs hiccup, concurrent reader), the dir stays registered so
+      // the JVM-exit hook retries instead of orphaning the files
+      try { deleteRecursively(dir); tracked.remove(dir): Unit }
+      catch { case _: Throwable => }
     }
   }
 }

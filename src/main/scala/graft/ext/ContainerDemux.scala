@@ -85,7 +85,12 @@ object ContainerDemux {
         if (size0 == 1L && o + 16 <= to) { hdr = 16L; u64(b, o.toInt + 8) }
         else if (size0 == 0L) to - o // box extends to end of enclosing
         else size0
-      if (size < hdr || o + size > to) return // truncated/garbled: stop
+      // overflow-proof bounds check: a crafted u64 largesize near
+      // Long.MaxValue would wrap `o + size` negative and slip past an
+      // `o + size > to` comparison (then index with garbage offsets);
+      // `size > to - o` compares against the remaining span directly
+      // and cannot overflow (to - o > 0 by the loop condition)
+      if (size < hdr || size > to - o) return // truncated/garbled: stop
       val body = o + hdr
       val bodyLen = size - hdr
       typ match {

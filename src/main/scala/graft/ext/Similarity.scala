@@ -27,14 +27,22 @@ object Similarity {
     * the bench diag so a plan/selectivity change shows up in the round
     * record instead of needing a reproduction hunt (the q72 treatment
     * the minhash verify join got in r4).
+    *
+    * Published as a THUNK over the staged (on-disk) bucket frame, not
+    * an eager result: the histogram is a separate Spark job, and
+    * running it inside [[lshNeighborPairs]] would put it inside
+    * Bench's timed region — every LSH entry would carry diag overhead
+    * that r1–r4 numbers never paid. Bench forces the thunk after the
+    * timer stops; the staged dir lives until JVM exit, so the read is
+    * always valid.
     */
   final case class LshDiag(nCandidates: Long, nBuckets: Long, maxBucket: Long)
-  @volatile var lastLshDiag: Option[LshDiag] = None
+  @volatile var lastLshDiag: Option[() => LshDiag] = None
 
   /** Diag collection is OPT-IN (Bench flips it on): the histogram is
-    * an extra eager aggregation job per [[lshNeighborPairs]] call, and
-    * every other caller (the Verify gate, library users) would pay it
-    * for a number nobody reads.
+    * an extra aggregation job per captured [[lshNeighborPairs]] call,
+    * and every other caller (the Verify gate, library users) would pay
+    * plan-construction cost for a number nobody reads.
     */
   @volatile var collectLshDiag = false
 
@@ -150,12 +158,18 @@ object Similarity {
     // min/max agg validates EVERY row (a first-row probe would bless a
     // mixed-width corpus); null embeddings are skipped by the agg and
     // an empty/all-null frame skips the check (nothing gets scored)
-    val widths = embeddings
-      .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    // ... and BOTH frames must be full-width: a 32-wide QUERY against
+    // a validated 64-wide corpus would slice to a 32-element query
+    // vector and score every baseline against a truncation just the
+    // same, so the corpus and query frames are unioned into one agg
+    val widths = embeddings.select(size(col("embedding")).as("w"))
+      .unionAll(queries.select(size(col("embedding")).as("w")))
+      .agg(min(col("w")), max(col("w"))).head()
     if (!widths.isNullAt(1)) {
       require(widths.getInt(0) == dims.last && widths.getInt(1) == dims.last,
         s"dims.last (${dims.last}) must equal the embedding width of every " +
-          s"row (found widths ${widths.getInt(0)}..${widths.getInt(1)})")
+          s"corpus and query row (found widths " +
+          s"${widths.getInt(0)}..${widths.getInt(1)})")
     }
     val full = dims.last
     val n = embeddings.select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
@@ -443,8 +457,9 @@ object Similarity {
     // diag over the staged 1-row-per-vector frame (vec_id only — the
     // embedding column never re-reads): candidate count Σ n·(n−1)/2
     // and the largest bucket, the two numbers that move if the
-    // hyperplane family or the data distribution shifts
-    if (collectLshDiag) lastLshDiag = Some {
+    // hyperplane family or the data distribution shifts. Deferred —
+    // the caller (Bench) forces it outside its timed region.
+    if (collectLshDiag) lastLshDiag = Some { () =>
       val h = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("cand"),
           count(lit(1)).as("nb"), coalesce(max(col("n")), lit(0L)).as("mx"))

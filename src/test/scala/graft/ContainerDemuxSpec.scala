@@ -98,6 +98,23 @@ class ContainerDemuxSpec extends AnyFunSuite {
     assert(ContainerDemux.mp4Info(1L, good.dropRight(5)).isEmpty)
   }
 
+  test("mp4: largesize near Long.MaxValue cannot overflow the bounds walk") {
+    // size0==1 with a u64 size s.t. offset + size wraps negative: a
+    // `o + size > to` guard passes and the walk indexes with garbage
+    // offsets (threw ArrayIndexOutOfBoundsException before the
+    // overflow-proof `size > to - o` comparison)
+    val ftyp = box("ftyp", "isom".getBytes, be32(512))
+    for (big <- Seq(Long.MaxValue - 2, Long.MaxValue, Long.MinValue + 8)) {
+      val hostile = be32(1) ++ "moov".getBytes ++
+        be32((big >>> 32) & 0xffffffffL) ++ be32(big & 0xffffffffL) ++
+        Array.fill[Byte](64)(0)
+      val m = ContainerDemux.mp4Info(1L, ftyp ++ hostile)
+      // parse stops cleanly at the garbled box; the valid ftyp prefix
+      // may still yield brand-only metadata — the contract is no throw
+      assert(m.forall(_.duration_ms == 0L))
+    }
+  }
+
   // ── MP3 ───────────────────────────────────────────────────────────
 
   test("mp3: frame walk — count, duration, sample rate, mean bitrate") {

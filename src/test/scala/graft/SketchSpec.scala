@@ -282,6 +282,20 @@ class ContrastivePairsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 500L)), out)
   }
 
+  test("matryoshkaRecall rejects a narrow QUERY frame, not just a narrow corpus") {
+    import spark.implicits._
+    // a 2-wide query against a validated 4-wide corpus would silently
+    // score every full-width baseline against slice(qv, 1, 4) of a
+    // 2-element array — the width gate must cover both frames
+    val corpus = Seq((1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(0f, 1.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val narrowQ = Seq((9L, Array(1.0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.matryoshkaRecall(corpus, narrowQ, dims = Seq(2, 4), k = 1)
+    }
+    assert(e.getMessage.contains("query"))
+  }
+
   test("q169 fisher: hand-computed ratio; a constant dimension yields NULL, not ∞") {
     import spark.implicits._
     // dim 1: classes {0,2} vs {10,12} → between SS 100, within SS 4
