@@ -226,26 +226,36 @@ object EventQueries {
         // value·exp(−age_days/30) relative to the corpus' max ts.
         // One 1-row max-ts broadcast + a map-side decay expression +
         // one hash agg; deterministic because the anchor is
-        // data-derived, not wall-clock.
+        // data-derived, not wall-clock. The decayed contribution is a
+        // libm exp() result SUMMED under the hash gate, so it follows
+        // the q141/q145 fixed-point convention: each term floors to
+        // 1e-9 units before an exact long sum (a one-unit per-term
+        // engine disagreement can shift the total by 1e-9, which the
+        // 2dp output rounding absorbs; a raw double sum would
+        // accumulate ulp drift across every event in the type).
+        // Bounded: value ≤ ~1e3, ≤ ~1e6 events/type at bench SF →
+        // ≤ 1e18 units, within Long range.
         val ev = Tables.load(s, dir, "events")
         val anchor = ev.agg(max(col("ts")).as("t_max"))
         ev.crossJoin(broadcast(anchor))
-          .withColumn("decayed",
-            col("value") * exp((unix_millis(col("ts")).cast("double")
+          .withColumn("decayed_units",
+            floor(col("value") * exp((unix_millis(col("ts")).cast("double")
               - unix_millis(col("t_max")).cast("double"))
-              / lit(30.0 * 86400000.0)))
+              / lit(30.0 * 86400000.0)) * lit(1e9d)).cast("long"))
           .groupBy(col("event_type"))
           .agg(
             round(sum(col("value")), 2).as("raw_value"),
-            round(sum(col("decayed")), 2).as("decayed_value"))
+            round(sum(col("decayed_units")).cast("double") / lit(1e9d), 2)
+              .as("decayed_value"))
           .orderBy(col("event_type"))
       },
       Some("""
         WITH a AS (SELECT MAX(ts) AS t_max FROM events)
         SELECT event_type,
                ROUND(SUM(value), 2) AS raw_value,
-               ROUND(SUM(value * exp((CAST(epoch_ms(ts) AS DOUBLE)
-                 - CAST(epoch_ms(t_max) AS DOUBLE)) / (30.0 * 86400000.0))), 2)
+               ROUND(CAST(SUM(CAST(FLOOR(value * exp((CAST(epoch_ms(ts) AS DOUBLE)
+                 - CAST(epoch_ms(t_max) AS DOUBLE)) / (30.0 * 86400000.0)) * 1e9)
+                 AS BIGINT)) AS DOUBLE) / 1e9, 2)
                  AS decayed_value
         FROM events CROSS JOIN a
         GROUP BY event_type
