@@ -433,4 +433,18 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "windowspecdefinition(source") >= 2, p)
     assert(!p.contains("windowspecdefinition(ROWS"), p)
   }
+
+  test("q72: LSH pair search is a bucket equi-join over the staged vectors") {
+    val p = plan("q72_ann_lsh")
+    // candidate generation must be a keyed join on the bucket
+    // signature — the property that keeps the search O(occupancy²
+    // per bucket) instead of N² (a cartesian or nested-loop here is
+    // the 100 TB scale-killer the autoPlanes sizing rule manages)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("[bucket"), p) // join keys lead with the bucket
+    // both join inputs read the ONE staged (disk-checkpointed) bucket
+    // frame, not two recomputations of the signature scan
+    assert(count(p, "graft-stage-lsh-vecs") >= 2, p)
+  }
 }
