@@ -72,6 +72,34 @@ object Staging {
     * staged frame must be fully consumed inside `use` — the files are
     * gone afterwards.
     */
+  /** Run `body` with a checkpoint-compatible stager whose EVERY staged
+    * dir is deleted when `body` returns — the multi-stage sibling of
+    * [[checkpointScoped]] for call paths that stage internally (e.g.
+    * [[graft.ext.Dedup.incrementalDupPairs]] staging its candidate
+    * pairs) but are fully consumed inside a per-micro-batch block. A
+    * streaming sink calling such a path through the plain
+    * [[checkpoint]] would leak one temp dir per batch for the process
+    * lifetime; through `scope` the batch reclaims them all. Frames
+    * read from scope-staged dirs must not escape `body`.
+    */
+  def scope[A](body: ((DataFrame, String) => DataFrame) => A): A = {
+    val dirs = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+    val stager = (df: DataFrame, tag: String) => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+      tracked.add(dir)
+      dirs.synchronized { dirs += dir }
+      df.write.mode("overwrite").parquet(dir.toString)
+      df.sparkSession.read.parquet(dir.toString)
+    }
+    try body(stager)
+    finally dirs.synchronized(dirs.toList).foreach { d =>
+      // same contract as checkpointScoped: untrack only on a
+      // successful delete so the exit hook retries failures
+      try { deleteRecursively(d); tracked.remove(d): Unit }
+      catch { case _: Throwable => }
+    }
+  }
+
   def checkpointScoped[A](df: DataFrame, tag: String)(use: DataFrame => A): A = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
     tracked.add(dir)

@@ -511,12 +511,21 @@ object Dedup {
     * @param existingIndex precomputed [[lshBandIndex]] of the corpus;
     *        pass None to derive it from `existingDocs` (tests, small
     *        corpora — production keeps it as a table)
+    * @param stager how to materialize the candidate-pair frame. The
+    *        default stages to JVM-lifetime temp dirs
+    *        ([[graft.Staging.checkpoint]]) — correct for batch, but a
+    *        per-micro-batch caller leaks one dir per batch; streaming
+    *        callers pass the [[graft.Staging.scope]] stager so each
+    *        batch reclaims its staging (the returned frame must then
+    *        be consumed inside the scope)
     */
   def incrementalDupPairs(newDocs: DataFrame, existingDocs: DataFrame,
       idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       existingIndex: Option[DataFrame] = None,
-      broadcastPairLimit: Long = 4L << 20): DataFrame = {
+      broadcastPairLimit: Long = 4L << 20,
+      stager: (DataFrame, String) => DataFrame =
+        graft.Staging.checkpoint): DataFrame = {
     val newBands = lshBandIndex(newDocs, idCol, textCol, k, bands)
       .withColumnRenamed("doc_id", "new_id")
     val index = existingIndex
@@ -528,7 +537,7 @@ object Dedup {
     // size cap). Disk-staged + counted like minhashDupPairs: the count
     // guards the verify-side broadcast, and no cache entry survives
     // the call.
-    val candidates = graft.Staging.checkpoint(
+    val candidates = stager(
       index.join(broadcast(newBands), Seq("band_id", "band_hash"))
         .select(col("new_id"), col("old_id")).distinct(), "inc-cands")
     val nPairs = candidates.count()

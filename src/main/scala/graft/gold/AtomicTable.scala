@@ -48,7 +48,13 @@ object AtomicTable {
 
   private def commitsDir(root: String) = Paths.get(root, "_commits")
 
-  private val ManifestRe = raw"v(\d{5})\.manifest".r
+  // \d{5,}: %05d PADS to 5 digits but does not cap — version 100000
+  // writes a 6-digit name, and an anchored {5} would make that commit
+  // invisible to latestVersion (readers stuck on the stale snapshot,
+  // every writer spinning on FileAlreadyExists forever). Versions
+  // compare as parsed ints, never lexicographically, so variable
+  // width is safe.
+  private val ManifestRe = raw"v(\d{5,})\.manifest".r
 
   /** Files.list returns a DirectoryStream-backed stream that leaks a
     * file descriptor unless closed — every directory listing goes
@@ -483,17 +489,43 @@ object AtomicTable {
         case Some(v) =>
           val prior = files(root, v)
           val partedPrior = prior.filter(partOf(_).isDefined)
+          val priorDirVals: Set[String] = partedPrior.flatMap(partOf)
+            .filterNot(_ == NullPartDir).toSet
+          val priorEntries =
+            if (partedPrior.isEmpty) None
+            else Some(readEntries(spark, root, partedPrior))
           val matchedParts: Set[String] =
-            if (partedPrior.isEmpty || sourceParts.isEmpty) Set.empty
-            else readEntries(spark, root, partedPrior)
+            if (priorEntries.isEmpty || sourceParts.isEmpty) Set.empty
+            else priorEntries.get
               .join(df.select(col(key)).distinct(), Seq(key), "left_semi")
               .select(col(partitionCol)).distinct()
               .collect().map(r => String.valueOf(r.get(0))).toSet
           val affected = sourceParts ++ matchedParts
           val priorHasNull = partedPrior.exists(e =>
             partOf(e).contains(NullPartDir))
+          // round-trip guard: matchedParts comes from partition
+          // DISCOVERY, whose inferred type can reprint a dir value
+          // differently (p=00123 discovers as int 123) — the affected
+          // test below compares against manifest DIR strings, so a
+          // non-round-tripping value would leave the matched entry in
+          // `untouched` and the old row would survive the upsert as a
+          // duplicate key. Pruning is safe only when discovery is the
+          // IDENTITY on this table's dir values: discovery is
+          // parse-then-print (idempotent), so discovered-set ==
+          // dir-set forces every dir value to be a fixed point (set
+          // equality alone rules out both reprints and two dirs
+          // collapsing to one discovered value). Otherwise fall back
+          // to the always-correct full rewrite, which also
+          // re-canonicalizes the offending values. Costs one extra
+          // partition-column distinct over the already-pruned scan.
+          def roundTrips = priorEntries.forall(
+            _.filter(col(partitionCol).isNotNull)
+              .select(col(partitionCol)).distinct()
+              .collect().map(r => String.valueOf(r.get(0))).toSet == priorDirVals)
+          // && short-circuits: the round-trip scan only runs when the
+          // cheap structural conditions already allow pruning
           val pruneSafe = !sourceHasNull && !priorHasNull &&
-            affected.forall(v => DirSafe.matches(v))
+            affected.forall(v => DirSafe.matches(v)) && roundTrips
           val (untouched, toRewrite) =
             if (!pruneSafe) (Seq.empty[String], prior)
             else prior.partition(e =>
@@ -575,13 +607,16 @@ object AtomicTable {
   def statsBounds(root: String, column: String): Option[(String, String)] = {
     val v = latestVersion(root).getOrElse(return None)
     val all = files(root, v)
-    val stats = all.map(statsOf)
-    if (all.isEmpty ||
-        !stats.forall(_.exists(_._1 == column))) return None
-    val s = stats.flatten.filter(_._1 == column)
-    val ord = s.head._2
+    // statsFor, not statsOf: entries rewritten by clusterBy carry
+    // only zs= zone-map groups — parsing just the legacy sc= tag
+    // would silently degrade every post-clustering high-watermark
+    // lookup from O(manifest) to a full table scan
+    val stats = all.map(e => statsFor(e, column))
+    if (all.isEmpty || stats.exists(_.isEmpty)) return None
+    val s = stats.flatten
+    val ord = s.head._1
     val byOrd = Ordering.fromLessThan[String]((a, b) => cmpOrd(ord, a, b) < 0)
-    Some((s.map(_._3).min(byOrd), s.map(_._4).max(byOrd)))
+    Some((s.map(_._2).min(byOrd), s.map(_._3).max(byOrd)))
   }
 
   /** Roll the table back to the state of snapshot `v` by COMMITTING
@@ -961,6 +996,11 @@ object AtomicTable {
           if (stagedRowless(spark, root, staged)) return -1
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
+          // empty source: the anti-join would keep EVERY target row,
+          // i.e. a full copy-on-write rewrite of the table plus a
+          // content-identical version bump — short-circuit the no-op
+          // (append and Gold.mergeIncremental already do)
+          if (df.isEmpty) return v
           val target = readVersion(spark, root, v)
           val kept = target
             .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -998,6 +1038,11 @@ object AtomicTable {
           if (stagedRowless(spark, root, staged)) return -1
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
+          // nothing to delete AND nothing to insert: the anti-join
+          // would rewrite the whole table into an identical snapshot
+          // — short-circuit. (An empty df with NON-empty groups is a
+          // legitimate pure delete and proceeds.)
+          if (g.isEmpty && df.isEmpty) return v
           val target = readVersion(spark, root, v)
           val kept = target.join(g, Seq(groupCol), "left_anti")
           val staged = stage(

@@ -44,11 +44,36 @@ object SessionTracker {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             val closed = Seq.newBuilder[ClosedSession]
             var st = state.getOption
+            // a watermark-legal straggler can predate the OPEN session
+            // (cross-batch out-of-order delivery): events within the
+            // gap of the session's START extend it backwards; events
+            // more than a gap BEFORE it belong to their own earlier
+            // session, accumulated here and closed at batch end (the
+            // batch is sorted, so consecutive stragglers chain by the
+            // same gap rule). Without the startMs branch, `t - lastMs`
+            // is negative for every past t and ANY straggler — even
+            // hours earlier — silently absorbed into the session
+            // without moving its start.
+            var early: Option[SessionState] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               st match {
+                case Some(s) if t < s.startMs - gapMs =>
+                  early match {
+                    case Some(p) if t - p.lastMs <= gapMs =>
+                      early = Some(p.copy(lastMs = math.max(p.lastMs, t),
+                        nEvents = p.nEvents + 1,
+                        totalValue = p.totalValue + e.value))
+                    case Some(p) =>
+                      closed += ClosedSession(userId, new Timestamp(p.startMs),
+                        new Timestamp(p.lastMs), p.nEvents, p.totalValue)
+                      early = Some(SessionState(t, t, 1, e.value))
+                    case None =>
+                      early = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                  st = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
                 case Some(s) => // gap inside one batch: close inline
                   closed += ClosedSession(userId, new Timestamp(s.startMs),
@@ -57,6 +82,10 @@ object SessionTracker {
                 case None =>
                   st = Some(SessionState(t, t, 1, e.value))
               }
+            }
+            early.foreach { p =>
+              closed += ClosedSession(userId, new Timestamp(p.startMs),
+                new Timestamp(p.lastMs), p.nEvents, p.totalValue)
             }
             st.foreach { s =>
               state.update(s)

@@ -44,14 +44,23 @@ object StreamingDedup {
       val index = AtomicTable.read(spark, indexRoot)
         .select(col("doc_id"), col("band_id"), col("band_hash"))
       val corpus = AtomicTable.read(spark, corpusRoot)
-      val pairs = Dedup.incrementalDupPairs(b, corpus, "doc_id", "text",
-          threshold = threshold, existingIndex = Some(index))
-        // replay safety: after a crash-after-commit the index already
-        // holds this batch's own docs — self matches are not history
-        // duplicates (intra-batch dedup is minhashDupPairs upstream)
-        .join(b.select(col("doc_id").as("old_id")), Seq("old_id"), "left_anti")
-        .withColumn("pair_key", concat_ws(":", col("new_id"), col("old_id")))
-      AtomicTable.merge(spark, pairs, pairsRoot, "pair_key"): Unit
+      // SCOPED staging (the checkpointScoped rationale): the pair
+      // search stages its candidate frame internally, and this path
+      // runs once per micro-batch for the stream's lifetime — through
+      // the default JVM-exit stager it would leak one temp dir per
+      // batch. The pairs are fully consumed by the merge inside the
+      // scope, so the staging is reclaimed at batch end.
+      graft.Staging.scope { stager =>
+        val pairs = Dedup.incrementalDupPairs(b, corpus, "doc_id", "text",
+            threshold = threshold, existingIndex = Some(index),
+            stager = stager)
+          // replay safety: after a crash-after-commit the index already
+          // holds this batch's own docs — self matches are not history
+          // duplicates (intra-batch dedup is minhashDupPairs upstream)
+          .join(b.select(col("doc_id").as("old_id")), Seq("old_id"), "left_anti")
+          .withColumn("pair_key", concat_ws(":", col("new_id"), col("old_id")))
+        AtomicTable.merge(spark, pairs, pairsRoot, "pair_key"): Unit
+      }
     }
     AtomicTable.merge(spark, b, corpusRoot, "doc_id"): Unit
     AtomicTable.merge(spark,

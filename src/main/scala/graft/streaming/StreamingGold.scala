@@ -27,10 +27,15 @@ object StreamingGold {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val target =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(factPath)))
-            Some(spark.read.parquet(factPath))
-          else None
+        // probe by ATTEMPTING the read, not java.nio Files.exists:
+        // the nio check consults the driver-local filesystem (always
+        // false for an HDFS/S3 factPath — dedup silently skipped,
+        // duplicates appended), and a crash during the first batch
+        // can leave the directory existing with zero committed
+        // footers, where exists=true + read=AnalysisException would
+        // wedge every replay. An unreadable/absent target means "no
+        // rows yet" (Spark's read ignores _temporary leftovers).
+        val target = scala.util.Try(spark.read.parquet(factPath)).toOption
         Gold.incrementalRows(batch, target)
           .write.mode(SaveMode.Append)
           .partitionBy("purchase_date").parquet(factPath)

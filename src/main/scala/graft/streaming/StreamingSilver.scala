@@ -17,7 +17,7 @@ object StreamingSilver {
   object Sources {
     /** File-drop source for offline/local runs and tests. */
     def fileJsonLines(spark: SparkSession, dir: String): DataFrame =
-      spark.readStream.text(dir).withColumnRenamed("value", "value")
+      spark.readStream.text(dir) // text() already yields the `value` column
 
     /** Kafka source with the reference's options
       * (`streaming_consumer.py:55-66`); needs the kafka connector jar

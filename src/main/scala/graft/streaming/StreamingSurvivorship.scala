@@ -67,8 +67,15 @@ object StreamingSurvivorship {
 
   private def bestPerFp(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the order must be TOTAL over the row content: two rows can share
+    // (fp, priority, doc_id) while differing in source/text (same
+    // normalized token set — e.g. a replayed doc with changed
+    // whitespace), and a row_number tie there would pick a
+    // nondeterministic winner, breaking the replay-fixed-point
+    // guarantee (the exceptAll delta would flip between runs and
+    // commit a new version per replay)
     val w = Window.partitionBy(col("fp"))
-      .orderBy(col("priority"), col("doc_id"))
+      .orderBy(col("priority"), col("doc_id"), col("source"), col("text"))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

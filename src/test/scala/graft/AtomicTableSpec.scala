@@ -342,6 +342,55 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.read(spark, root).count() === 1)
   }
 
+  test("version 100000: 6-digit manifests stay visible and writable (no %05d cap)") {
+    val root = tmpDir("atomic-v100k")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a long-lived table arriving at the 5-digit rollover:
+    // clone the committed manifest under the 6-digit name %05d pads to
+    val commits = java.nio.file.Paths.get(root, "_commits")
+    java.nio.file.Files.copy(commits.resolve("v00000.manifest"),
+      commits.resolve("v100000.manifest"))
+    // an anchored \d{5} regex would leave latestVersion at 0 — readers
+    // stale, and the next writer spinning on FileAlreadyExists forever
+    assert(AtomicTable.latestVersion(root) === Some(100000))
+    assert(AtomicTable.read(spark, root).count() === 1)
+    val v = AtomicTable.append(spark, Seq((2L, "b")).toDF("k", "v"), root)
+    assert(v === 100001)
+    assert(AtomicTable.read(spark, root).count() === 2)
+  }
+
+  test("merge with an empty source is a version-stable no-op, not a full rewrite") {
+    val root = tmpDir("atomic-merge-noop")
+    AtomicTable.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val before = AtomicTable.read(spark, root).inputFiles.toSet
+    assert(AtomicTable.merge(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), root, "k") === 0)
+    assert(AtomicTable.latestVersion(root) === Some(0))
+    // same files, not a rewritten content-identical snapshot
+    assert(AtomicTable.read(spark, root).inputFiles.toSet === before)
+    // replaceGroups with empty source AND empty group set: same no-op
+    assert(AtomicTable.replaceGroups(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), root, "k",
+      Seq.empty[Tuple1[Long]].toDF("k")) === 0)
+    assert(AtomicTable.latestVersion(root) === Some(0))
+  }
+
+  test("partition-pruned merge: non-round-tripping STRING partition values stay correct") {
+    val root = tmpDir("atomic-zeropad")
+    // all-numeric-looking string values with leading zeros: partition
+    // discovery infers an integer column and reprints "00123" as
+    // "123", so a dir-string comparison would leave the matched
+    // partition untouched and duplicate the moved key — the
+    // round-trip guard must force the always-correct full rewrite
+    def rows(t: (Long, String, String)*) = t.toSeq.toDF("k", "v", "p")
+    AtomicTable.appendPartitioned(spark,
+      rows((1L, "a", "00123"), (2L, "b", "7")), root, "p")
+    AtomicTable.mergePartitioned(spark, rows((1L, "A", "7")), root, "k", "p")
+    val got = AtomicTable.read(spark, root)
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "A"), (2L, "b")))
+  }
+
   test("replaceGroups: whole-group replacement, pure deletes, empty result stays readable") {
     val root = tmpDir("atomic-rg")
     AtomicTable.append(spark,

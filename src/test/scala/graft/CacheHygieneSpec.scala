@@ -42,4 +42,23 @@ class CacheHygieneSpec extends SparkSpec {
     assert(cachedRdds.isEmpty,
       s"q93 left ${cachedRdds.size} cached RDD(s) behind")
   }
+
+  test("Staging.scope reclaims every staged dir when the scope exits") {
+    import spark.implicits._
+    var stagedFiles: Seq[java.io.File] = Nil
+    val total = graft.Staging.scope { stager =>
+      // two independent stagings inside one scope (the
+      // incrementalDupPairs-per-micro-batch shape); both must be
+      // readable inside and gone after
+      val a = stager(Seq(1, 2, 3).toDF("x"), "scope-a")
+      val b = stager(Seq(10, 20).toDF("x"), "scope-b")
+      stagedFiles = (a.inputFiles ++ b.inputFiles).toSeq
+        .map(u => new java.io.File(new java.net.URI(u)))
+      assert(stagedFiles.nonEmpty && stagedFiles.forall(_.exists))
+      a.count() + b.count()
+    }
+    assert(total === 5)
+    assert(stagedFiles.forall(!_.exists),
+      "scope-staged files must be deleted at scope exit")
+  }
 }

@@ -175,6 +175,39 @@ class SessionTrackerSpec extends SparkSpec {
     assert(rows.contains((1L, 1, 9.0)))
     assert(rows.contains((2L, 1, 5.0)))
   }
+
+  test("watermark-legal stragglers: within-gap extends the session start, beyond-gap closes alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
+    def ev(userId: Long, minute: Int, v: Double) =
+      Event(userId, new java.sql.Timestamp(base + minute * 60000L), v)
+    val stream = MemoryStream[Event]
+    // 10h watermark delay: cross-batch out-of-order events stay legal
+    val events = stream.toDS().withWatermark("ts", "10 hours").as[Event]
+    val q = SessionTracker.track(events, gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    stream.addData(ev(1, 60, 1.0), ev(1, 70, 2.0)) // open session [60,70]
+    q.processAllAvailable()
+    // 50 min BEFORE the session start (> gap): its own session, closed
+    // immediately — absorbing it would inflate [60,70] without moving
+    // its start
+    stream.addData(ev(1, 10, 7.0))
+    q.processAllAvailable()
+    // within gap of the start: extends the open session BACKWARDS
+    stream.addData(ev(1, 45, 3.0))
+    q.processAllAvailable()
+    stream.addData(ev(2, 2000, 0.0)) // watermark past 70+30 → timeout
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("straggler_sessions")
+      .as[SessionTracker.ClosedSession].collect()
+      .map(s => (s.user_id, s.session_start.getTime,
+        s.n_events, s.total_value)).toSet
+    assert(rows.contains((1L, base + 10 * 60000L, 1, 7.0)), rows)   // straggler alone
+    assert(rows.contains((1L, base + 45 * 60000L, 3, 6.0)), rows)   // start lowered to 45
+  }
 }
 
 class StreamStreamJoinSpec extends SparkSpec {

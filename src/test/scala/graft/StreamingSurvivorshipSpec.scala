@@ -52,4 +52,24 @@ class StreamingSurvivorshipSpec extends SparkSpec {
     assert(keepers.length === 2)
     assert(v1 >= 0 && v2 > v1)
   }
+
+  test("full tie on (fp, priority, doc_id) resolves deterministically; replay commits nothing") {
+    val root = tmpDir("surv-tie")
+    // same doc_id, priority, and token SET (so same fp) with different
+    // raw text: only a total order over the row content keeps the
+    // winner stable — a nondeterministic pick would flip the exceptAll
+    // delta between the gate and a replay, committing a version per run
+    val tied = df(Seq(
+      (7L, "feed", 1L, "beta alpha"),
+      (7L, "feed", 1L, "alpha beta beta")))
+    StreamingSurvivorship.processBatch(tied, root)
+    val v1 = AtomicTable.latestVersion(root).get
+    val kept1 = AtomicTable.read(spark, root)
+      .select("text").as[String].collect().toSeq
+    assert(kept1 === Seq("alpha beta beta")) // (source, text)-least wins
+    StreamingSurvivorship.processBatch(tied, root) // pure replay
+    assert(AtomicTable.latestVersion(root).get === v1)
+    assert(AtomicTable.read(spark, root)
+      .select("text").as[String].collect().toSeq === kept1)
+  }
 }

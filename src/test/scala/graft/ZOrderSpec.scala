@@ -55,6 +55,19 @@ class ZOrderSpec extends SparkSpec {
     assert(old === before)
   }
 
+  test("statsBounds serves zone-map (zs=) stats after clusterBy") {
+    val root = tmpDir("zorder-bounds")
+    AtomicTable.append(spark, corpus(), root)
+    AtomicTable.clusterBy(spark, root, Seq("a", "b"), targetFileBytes = 4096)
+    // post-clustering entries carry ONLY zs= groups; a reader parsing
+    // just the legacy sc= tag returns None and the high-watermark
+    // path silently degrades to a full table scan
+    val bounds = AtomicTable.statsBounds(root, "a")
+    assert(bounds.isDefined, "zs= stats must serve manifest bounds")
+    val (lo, hi) = bounds.get
+    assert(lo.toLong >= 0L && hi.toLong <= 3999L && lo.toLong <= hi.toLong)
+  }
+
   test("clusterBy rejects non-numeric columns and empty col list") {
     val root = tmpDir("zorder-bad")
     AtomicTable.append(spark, Seq((1L, "x")).toDF("id", "s"), root)
