@@ -54,9 +54,14 @@ object BenchReport {
                minhashDiag: collection.Map[String, String],
                lshDiag: collection.Map[String, String],
                corpusBuild10: Double, corpusBuild30: Double): String = {
+    // Locale.ROOT: the default-locale f"" interpolator renders 0.9 as
+    // "0,900" under comma-decimal locales — still JSON, but four ints
+    // where two doubles belong, silently corrupting the record
     val runsJson = rawRuns.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(t =>
-        if (java.lang.Double.isFinite(t)) f"$t%.3f" else "-1.0")
+        if (java.lang.Double.isFinite(t))
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+        else "-1.0")
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val heapJson = heapMb.map { case (k, m) => "\"" + k + "\":" + m }

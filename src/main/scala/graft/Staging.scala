@@ -64,14 +64,6 @@ object Staging {
     df.sparkSession.read.parquet(dir.toString)
   }
 
-  /** [[checkpoint]] with a bounded lifetime: the staged dir is deleted
-    * as soon as `use` returns, not at JVM exit. For REPEATED staging
-    * in a long-lived process (a per-micro-batch delta in a streaming
-    * sink) the exit-hook variant accumulates one dir per call for the
-    * process lifetime; this one holds exactly one at a time. The
-    * staged frame must be fully consumed inside `use` — the files are
-    * gone afterwards.
-    */
   /** Run `body` with a checkpoint-compatible stager whose EVERY staged
     * dir is deleted when `body` returns — the multi-stage sibling of
     * [[checkpointScoped]] for call paths that stage internally (e.g.
@@ -100,6 +92,14 @@ object Staging {
     }
   }
 
+  /** [[checkpoint]] with a bounded lifetime: the staged dir is deleted
+    * as soon as `use` returns, not at JVM exit. For REPEATED staging
+    * in a long-lived process (a per-micro-batch delta in a streaming
+    * sink) the exit-hook variant accumulates one dir per call for the
+    * process lifetime; this one holds exactly one at a time. The
+    * staged frame must be fully consumed inside `use` — the files are
+    * gone afterwards.
+    */
   def checkpointScoped[A](df: DataFrame, tag: String)(use: DataFrame => A): A = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
     tracked.add(dir)

@@ -201,7 +201,12 @@ object ContainerDemux {
         bytes(2) == '3') {
       val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      o = 10 + sz
+      // ID3v2.4 footer flag (bit 4 of the flags byte): the tag carries
+      // a trailing 10-byte "3DI" footer NOT counted in the syncsafe
+      // size — without this skip the frame scan lands on the footer
+      // and a valid file reads as "not an MP3"
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      o = 10 + sz + footer
     }
     var nFrames = 0L
     var brSum = 0L

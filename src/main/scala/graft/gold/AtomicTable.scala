@@ -494,15 +494,32 @@ object AtomicTable {
           val priorEntries =
             if (partedPrior.isEmpty) None
             else Some(readEntries(spark, root, partedPrior))
-          val matchedParts: Set[String] =
-            if (priorEntries.isEmpty || sourceParts.isEmpty) Set.empty
-            else priorEntries.get
-              .join(df.select(col(key)).distinct(), Seq(key), "left_semi")
-              .select(col(partitionCol)).distinct()
-              .collect().map(r => String.valueOf(r.get(0))).toSet
-          val affected = sourceParts ++ matchedParts
           val priorHasNull = partedPrior.exists(e =>
             partOf(e).contains(NullPartDir))
+          // cheap structural gates first: when any of them already
+          // forbids pruning (null partitions on either side, unsafe
+          // source dir values), the full rewrite follows and NO scan
+          // of the prior entries is needed at all
+          val structuralSafe = !sourceHasNull && !priorHasNull &&
+            sourceParts.forall(v => DirSafe.matches(v))
+          // ONE column-pruned (key, partition) pass over the prior
+          // partitioned entries serves BOTH pruning inputs: which
+          // partitions hold matched keys (left join marker), and the
+          // full discovered partition-value set for the round-trip
+          // guard below — previously two separate jobs per merge.
+          val partScan: Option[Array[(String, Boolean)]] =
+            if (!structuralSafe || priorEntries.isEmpty) None
+            else Some(priorEntries.get
+              .join(df.select(col(key)).distinct()
+                .withColumn("__m", lit(1)), Seq(key), "left")
+              .groupBy(col(partitionCol)).agg(max(col("__m")).as("__m"))
+              .collect()
+              .filterNot(_.isNullAt(0))
+              .map(r => (String.valueOf(r.get(0)), !r.isNullAt(1))))
+          val matchedParts: Set[String] =
+            partScan.map(_.collect { case (v, true) => v }.toSet)
+              .getOrElse(Set.empty)
+          val affected = sourceParts ++ matchedParts
           // round-trip guard: matchedParts comes from partition
           // DISCOVERY, whose inferred type can reprint a dir value
           // differently (p=00123 discovers as int 123) — the affected
@@ -516,15 +533,10 @@ object AtomicTable {
           // equality alone rules out both reprints and two dirs
           // collapsing to one discovered value). Otherwise fall back
           // to the always-correct full rewrite, which also
-          // re-canonicalizes the offending values. Costs one extra
-          // partition-column distinct over the already-pruned scan.
-          def roundTrips = priorEntries.forall(
-            _.filter(col(partitionCol).isNotNull)
-              .select(col(partitionCol)).distinct()
-              .collect().map(r => String.valueOf(r.get(0))).toSet == priorDirVals)
-          // && short-circuits: the round-trip scan only runs when the
-          // cheap structural conditions already allow pruning
-          val pruneSafe = !sourceHasNull && !priorHasNull &&
+          // re-canonicalizes the offending values. Free here: the
+          // discovered set rides the same partScan pass.
+          val roundTrips = partScan.forall(_.map(_._1).toSet == priorDirVals)
+          val pruneSafe = structuralSafe &&
             affected.forall(v => DirSafe.matches(v)) && roundTrips
           val (untouched, toRewrite) =
             if (!pruneSafe) (Seq.empty[String], prior)

@@ -83,9 +83,25 @@ object SessionTracker {
                   st = Some(SessionState(t, t, 1, e.value))
               }
             }
+            // batch-end reconciliation: a later in-batch event can
+            // EXTEND the open session backwards (min(startMs, t)) to
+            // within the gap of a chain that was classified early
+            // against the pre-extension start — in that case the gap
+            // rule defines ONE session, so merge instead of closing.
+            // Only the surviving chain can connect: mid-loop closures
+            // happen exactly when the next (sorted) straggler is
+            // > gap after them, and the open start never drops below
+            // that straggler.
             early.foreach { p =>
-              closed += ClosedSession(userId, new Timestamp(p.startMs),
-                new Timestamp(p.lastMs), p.nEvents, p.totalValue)
+              st match {
+                case Some(s) if s.startMs - p.lastMs <= gapMs =>
+                  st = Some(s.copy(startMs = p.startMs,
+                    nEvents = s.nEvents + p.nEvents,
+                    totalValue = s.totalValue + p.totalValue))
+                case _ =>
+                  closed += ClosedSession(userId, new Timestamp(p.startMs),
+                    new Timestamp(p.lastMs), p.nEvents, p.totalValue)
+              }
             }
             st.foreach { s =>
               state.update(s)

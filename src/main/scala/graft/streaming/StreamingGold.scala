@@ -33,9 +33,24 @@ object StreamingGold {
         // duplicates appended), and a crash during the first batch
         // can leave the directory existing with zero committed
         // footers, where exists=true + read=AnalysisException would
-        // wedge every replay. An unreadable/absent target means "no
-        // rows yet" (Spark's read ignores _temporary leftovers).
-        val target = scala.util.Try(spark.read.parquet(factPath)).toOption
+        // wedge every replay. ONLY the two "table not born yet"
+        // analysis outcomes (path missing; dir with no committed
+        // footers to infer from) mean "no rows yet" — any other
+        // failure (transient storage fault, permissions, corrupt
+        // footer) must propagate and fail the batch, because running
+        // with target=None silently disables the watermark filter and
+        // the anti-join dedup and appends already-committed keys
+        // as permanent duplicates. (Spark's read ignores _temporary
+        // leftovers.)
+        val target =
+          try Some(spark.read.parquet(factPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(c =>
+                  c.startsWith("PATH_NOT_FOUND") ||
+                    c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+              None
+          }
         Gold.incrementalRows(batch, target)
           .write.mode(SaveMode.Append)
           .partitionBy("purchase_date").parquet(factPath)

@@ -139,6 +139,16 @@ class ContainerDemuxSpec extends AnyFunSuite {
     assert(m.bit_rate_kbps == 160) // (128 + 192) / 2
   }
 
+  test("mp3: ID3v2.4 footer flag adds 10 bytes to the tag skip") {
+    // flags byte 0x10 = footer present: 10-byte header + 20-byte body
+    // + 10-byte "3DI" footer, none of it counted in the syncsafe size
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0x10) ++
+      Array[Byte](0, 0, 0, 20) ++ Array.fill[Byte](20)(0x41) ++
+      "3DI".getBytes ++ Array[Byte](4, 0, 0x10) ++ Array[Byte](0, 0, 0, 20)
+    val m = ContainerDemux.mp3Info(6L, id3 ++ mp3Frame(9, 417))
+    assert(m.exists(_.n_frames == 1L), m)
+  }
+
   test("mp3: trailing garbage tolerated, leading garbage rejected") {
     val ok = mp3Frame(9, 417) ++ "trailing junk".getBytes
     assert(ContainerDemux.mp3Info(5L, ok).get.n_frames == 1L)

@@ -208,6 +208,37 @@ class SessionTrackerSpec extends SparkSpec {
     assert(rows.contains((1L, base + 10 * 60000L, 1, 7.0)), rows)   // straggler alone
     assert(rows.contains((1L, base + 45 * 60000L, 3, 6.0)), rows)   // start lowered to 45
   }
+
+  test("same-batch straggler + backward extension merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
+    def ev(userId: Long, minute: Int, v: Double) =
+      Event(userId, new java.sql.Timestamp(base + minute * 60000L), v)
+    val stream = MemoryStream[Event]
+    val events = stream.toDS().withWatermark("ts", "10 hours").as[Event]
+    val q = SessionTracker.track(events, gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("merge_sessions")
+      .outputMode("append").start()
+    stream.addData(ev(1, 60, 1.0)) // open session [60,60]
+    q.processAllAvailable()
+    // one batch delivers t=25 (early vs start 60: 25 < 60-30) AND
+    // t=35 (extends the session back to 35). 35-25 <= gap, so the gap
+    // rule defines a single session [25,60] — the early chain must
+    // merge at batch end, not close as its own spurious session.
+    stream.addData(ev(1, 25, 7.0), ev(1, 35, 3.0))
+    q.processAllAvailable()
+    stream.addData(ev(2, 2000, 0.0)) // watermark past 60+30 → timeout
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("merge_sessions")
+      .as[SessionTracker.ClosedSession].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).toSet
+    assert(rows === Set((base + 25 * 60000L, base + 60 * 60000L, 3, 11.0)),
+      rows)
+  }
 }
 
 class StreamStreamJoinSpec extends SparkSpec {
