@@ -422,6 +422,12 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 1000,
       broadcastPairLimit: Long = 4L << 20): DataFrame = {
+    // fail fast on a non-dividing banding: bands > k makes every band
+    // slice EMPTY (all docs collide, every bucket overflows maxBucket,
+    // the operator silently returns zero pairs); a non-dividing k
+    // silently discards the trailing signature components
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k: k=$k, bands=$bands")
     val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
@@ -506,7 +512,12 @@ object Dedup {
     * Within-batch duplicates are [[minhashDupPairs]] on the batch —
     * compose both for full coverage. Same hash family/banding as the
     * batch operator, so an id indexed yesterday collides with today's
-    * near-duplicate exactly as a joint run would.
+    * near-duplicate as a joint run would — including the skew cap:
+    * stored-index buckets larger than `maxBucket` are dropped from
+    * candidate generation, mirroring the batch operator's
+    * BoundedCollect drop (sized by the OLD bucket membership; a joint
+    * run would also count the batch's own members, so parity at the
+    * cap boundary is approximate by construction).
     *
     * @param existingIndex precomputed [[lshBandIndex]] of the corpus;
     *        pass None to derive it from `existingDocs` (tests, small
@@ -523,9 +534,11 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       existingIndex: Option[DataFrame] = None,
+      maxBucket: Int = 1000,
       broadcastPairLimit: Long = 4L << 20,
       stager: (DataFrame, String) => DataFrame =
         graft.Staging.checkpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val newBands = lshBandIndex(newDocs, idCol, textCol, k, bands)
       .withColumnRenamed("doc_id", "new_id")
     val index = existingIndex
@@ -534,11 +547,26 @@ object Dedup {
     // candidate pairs: batch band keys against the index. The batch
     // side is the small one — broadcast it so the index never moves
     // (an AQE-chosen shuffle join remains the fallback at the hint's
-    // size cap). Disk-staged + counted like minhashDupPairs: the count
-    // guards the verify-side broadcast, and no cache entry survives
-    // the call.
+    // size cap). The semi-join keeps every OLD member of a touched
+    // bucket, so the window count below is the full stored-bucket
+    // size — buckets past `maxBucket` are dropped before pairing,
+    // the batch twin of BoundedCollect's drop: without it one
+    // pathological bucket (mass-duplicated boilerplate sharing a band
+    // value) emits O(bucket) pairs PER new doc and the verify join
+    // then fetches that many old texts. The cap shuffles only the
+    // touched subset, never the whole index. Disk-staged + counted
+    // like minhashDupPairs: the count guards the verify-side
+    // broadcast, and no cache entry survives the call.
+    val touched = index
+      .join(broadcast(newBands.select(col("band_id"), col("band_hash"))
+        .distinct()), Seq("band_id", "band_hash"))
+    val wBucket = Window.partitionBy(col("band_id"), col("band_hash"))
+    val capped = touched
+      .withColumn("__bn", count(lit(1)).over(wBucket))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val candidates = stager(
-      index.join(broadcast(newBands), Seq("band_id", "band_hash"))
+      capped.join(broadcast(newBands), Seq("band_id", "band_hash"))
         .select(col("new_id"), col("old_id")).distinct(), "inc-cands")
     val nPairs = candidates.count()
     lastMinhashDiag = Some(MinhashDiag(nPairs,
@@ -586,8 +614,13 @@ object Dedup {
     // the cutoff a driver-side union-find replaces ~diameter Spark
     // jobs with one collect — the standard hybrid in production dedup
     // pipelines. The iterative path below remains the unbounded-scale
-    // fallback.
-    if (p.count() <= driverLimit) {
+    // fallback. The driver path reads ids as Long, so it is gated on
+    // the id column actually BEING bigint — pairs with string/int ids
+    // (simhash over arbitrary keys) take the type-generic iterative
+    // path instead of crashing on getLong.
+    val longIds = p.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && p.count() <= driverLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   * forcing a global single-task ordering — at 100 TB you pack each
   * output shard independently (shards are the unit training readers
   * consume anyway), one shuffle on the shard key. Deterministic
-  * across re-runs: order is (shardCol, orderCol), both data-derived.
+  * across re-runs ONLY when `orderCol` is a total order within each
+  * shard — on ties, shuffle arrival order decides which doc's tokens
+  * count first and bin assignments can differ between runs. Callers
+  * pass a unique key or append one (q158 orders by
+  * struct(-n_tok, doc_id) for exactly this reason); the oracle SQL
+  * must sort by the same key, which is why the tiebreak belongs to
+  * the caller, not this window.
   */
 object Packing {
 

@@ -30,10 +30,14 @@ object Sampling {
     // regardless of partition layout
     val w = Window.orderBy(col(weightCol),
       xxhash64(struct(dim.columns.toIndexedSeq.map(col): _*)))
+    // __lo is the PREVIOUS row's __hi (lag), not __hi − weight: the
+    // subtraction re-derives the prior cumulative sum in floating
+    // point, and the rounding gap/overlap between fl(a+b)−b and a
+    // lets a draw match zero or two rows at a range boundary
     val cum = dim
       .withColumn("__hi", sum(col(weightCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__lo", col("__hi") - col(weightCol))
+      .withColumn("__lo", coalesce(lag(col("__hi"), 1).over(w), lit(0.0)))
     val total = cum.agg(max(col("__hi"))).head().get(0).toString.toDouble
     val draws = dim.sparkSession.range(n.toLong)
       .withColumn("__r", rand(seed) * total)
@@ -115,9 +119,18 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val w = weightsPpm.toSeq.toDF(strataCol, "w_ppm")
-    val counts = df.groupBy(col(strataCol))
+    val counts0 = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
-      .join(w, Seq(strataCol))
+    // fail fast on a stratum the weights don't cover: the inner joins
+    // below would otherwise silently DELETE the whole stratum from the
+    // curated corpus. One stratum-scale job — the same cardinality the
+    // gates broadcast already assumes is tiny.
+    val missing = counts0.join(w, Seq(strataCol), "left_anti")
+      .select(col(strataCol)).collect().map(r => String.valueOf(r.get(0)))
+    require(missing.isEmpty,
+      s"mixtureResample: weightsPpm has no entry for strata present in " +
+        s"df: ${missing.mkString(", ")}")
+    val counts = counts0.join(w, Seq(strataCol))
     val nTarget = counts.agg(
       min(expr("n_stratum * 1000000 DIV w_ppm")).as("n_target_total"))
     val gates = counts.crossJoin(nTarget)

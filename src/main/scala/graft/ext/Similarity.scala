@@ -174,7 +174,12 @@ object Similarity {
     val full = dims.last
     val n = embeddings.select(col("vec_id").as("n_vec"), col("embedding").as("nv"))
     val q = queries.select(col("vec_id").as("q_vec"), col("embedding").as("qv"))
-    val ranked = n.crossJoin(broadcast(q))
+    // staged: consumed TWICE (fullSets branch + the join's left side),
+    // and a broadcast breaks cross-branch exchange reuse — un-staged,
+    // the |dims|-multiplied crossJoin/window pipeline (the dominant
+    // cost) executes end-to-end twice. The staged frame is
+    // output-scale: (dims × queries) rows of k-element sets.
+    val ranked = graft.Staging.checkpoint(n.crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("n_vec"))
       .select(col("q_vec"), col("n_vec"),
         explode(lit(dims.toArray)).as("dim"),
@@ -187,7 +192,7 @@ object Similarity {
           .orderBy(col("sim_r").desc, col("n_vec"))))
       .filter(col("rn") <= k)
       .groupBy(col("dim"), col("q_vec"))
-      .agg(collect_set(col("n_vec")).as("nbrs"))
+      .agg(collect_set(col("n_vec")).as("nbrs")), "mrl-ranked")
     val fullSets = ranked.filter(col("dim") === full)
       .select(col("q_vec"), col("nbrs").as("full_nbrs"))
     ranked.join(broadcast(fullSets), Seq("q_vec"))
@@ -239,11 +244,16 @@ object Similarity {
     planeValues(nPlanes, dim).map(p => array(p.map(lit): _*))
 
   /** 16-bit random-hyperplane bucket signature for LSH-based ANN. */
-  def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int = 16): Column =
+  def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int = 16): Column = {
+    // hoisted: planes(...) inside the per-plane map would regenerate
+    // the whole seeded family (nPlanes × dim literal nodes) once PER
+    // plane — O(nPlanes² · dim) plan construction for the same tree
+    val ps = planes(nPlanes, dim)
     (0 until nPlanes).map { j =>
-      when(dotNative(v, planes(nPlanes, dim)(j)) >= 0,
+      when(dotNative(v, ps(j)) >= 0,
         shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids
     * learned from a deterministic sample, each vector assigned to its

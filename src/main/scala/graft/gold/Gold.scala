@@ -113,9 +113,6 @@ object Gold {
     */
   def fctPurchases(purchases: DataFrame): DataFrame =
     purchases
-      .withColumn("total_item_price", col("price") * col("quantity"))
-      .withColumn("total_discount",
-        col("price") * col("quantity") * col("member_discount"))
       .withColumn("final_amount",
         graft.model.Money.goldFinalAmountCol(col("price"), col("quantity"),
           col("member_discount"), col("supplement_price")))

@@ -86,7 +86,14 @@ object EventQueries {
           (col("n_events") + coalesce(col("old_n"), lit(0L))).as("n_events"),
           (col("sum_value") + coalesce(col("old_sum"), lit(0.0))).as("sum_value"))
         .repartition(col("event_date"))
-      AtomicTable.mergePartitioned(s, combined, root, "mv_key", "event_date"): Unit
+      // stage the combine ONCE: mergePartitioned evaluates its source
+      // three times (partition discovery, key scan, final write), and
+      // this source's lineage joins against the MV table itself — one
+      // delta-scale parquet round trip replaces two re-reads of the
+      // table + join re-executions
+      graft.Staging.checkpointScoped(combined, "q93-combine") { staged =>
+        AtomicTable.mergePartitioned(s, staged, root, "mv_key", "event_date")
+      }: Unit
     } finally partials.unpersist(): Unit
     root
   }

@@ -99,6 +99,39 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex === inc)
   }
 
+  test("connected components: string ids take the iterative path, not getLong") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("doc_id_a", "doc_id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
+    assert(cc("x") === "x" && cc("y") === "x")
+  }
+
+  test("minhashDupPairs rejects a banding that does not divide k") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDupPairs(docs, "doc_id", "text", k = 64, bands = 128)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDupPairs(docs, "doc_id", "text", k = 64, bands = 48)
+    }
+  }
+
+  test("incrementalDupPairs drops stored-index buckets past maxBucket") {
+    // 8 exact copies in history + 1 matching new doc: every band bucket
+    // the new doc touches holds all 8 old members, so maxBucket=7
+    // drops them all (zero pairs) while the default cap keeps them
+    val txt = "the quick brown fox jumps over the lazy dog near the river bank"
+    val existing = (1L to 8L).map(i => (i, txt)).toDF("doc_id", "text")
+    val fresh = Seq((100L, txt)).toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalDupPairs(fresh, existing, "doc_id", "text",
+      threshold = 0.3)
+    assert(uncapped.count() === 8L)
+    val capped = Dedup.incrementalDupPairs(fresh, existing, "doc_id", "text",
+      threshold = 0.3, maxBucket = 7)
+    assert(capped.count() === 0L)
+  }
+
   test("simhash: dup/permutation invariances + blocking join ≡ brute-force hamming ≤ 3") {
     val hashes = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

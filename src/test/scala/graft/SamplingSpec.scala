@@ -18,6 +18,28 @@ class SamplingSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("weightedSample: every draw matches exactly one dim row (contiguous ranges)") {
+    // weights chosen so fl(Σw)−w ≠ previous Σw in fp — with __lo
+    // derived by subtraction these ranges gap/overlap; lag-built
+    // ranges stay exactly contiguous so the join is 1:1 on draws
+    val dim = Seq(("a", 0.1), ("b", 0.2), ("c", 0.3), ("d", 0.1),
+      ("e", 0.2)).toDF("k", "w")
+    val n = 5000
+    val sampled = Sampling.weightedSample(dim, "w", n, seed = 11)
+    assert(sampled.count() === n.toLong)
+    assert(sampled.select(col("draw_id")).distinct().count() === n.toLong)
+  }
+
+  test("mixtureResample fails fast on a stratum the weights do not cover") {
+    import graft.ext.Sampling
+    val df = Seq((1L, "en"), (2L, "fr"), (3L, "de")).toDF("id", "stratum")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(df, "stratum", "id",
+        Map("en" -> 500000L, "fr" -> 500000L))
+    }
+    assert(e.getMessage.contains("de"), e.getMessage)
+  }
+
   test("hashSplit: disjoint, complete, deterministic, ratio-faithful") {
     val docs = spark.range(20000).select(col("id").as("doc_id"))
     val split = Sampling.hashSplit(docs, "doc_id",
