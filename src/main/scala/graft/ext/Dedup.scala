@@ -522,6 +522,10 @@ object Dedup {
     * @param existingIndex precomputed [[lshBandIndex]] of the corpus;
     *        pass None to derive it from `existingDocs` (tests, small
     *        corpora — production keeps it as a table)
+    * @param newIndex precomputed [[lshBandIndex]] of the BATCH; a
+    *        caller that also merges the batch's bands into the stored
+    *        index (the streaming gate) passes its staged copy so the
+    *        signature computation runs once per batch, not twice
     * @param stager how to materialize the candidate-pair frame. The
     *        default stages to JVM-lifetime temp dirs
     *        ([[graft.Staging.checkpoint]]) — correct for batch, but a
@@ -536,10 +540,12 @@ object Dedup {
       existingIndex: Option[DataFrame] = None,
       maxBucket: Int = 1000,
       broadcastPairLimit: Long = 4L << 20,
+      newIndex: Option[DataFrame] = None,
       stager: (DataFrame, String) => DataFrame =
         graft.Staging.checkpoint): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val newBands = lshBandIndex(newDocs, idCol, textCol, k, bands)
+    val newBands = newIndex
+      .getOrElse(lshBandIndex(newDocs, idCol, textCol, k, bands))
       .withColumnRenamed("doc_id", "new_id")
     val index = existingIndex
       .getOrElse(lshBandIndex(existingDocs, idCol, textCol, k, bands))

@@ -203,13 +203,18 @@ object Multimodal {
             val img = codec.decodeImage(m.media_id, m.format, m.bytes)
             img.pixels.map(b => (b & 0xff) / 255.0f)
         }
-        val emb = Array.tabulate(dim) { j =>
-          val lo = j * raw.length / dim
-          val hi = math.max(lo + 1, (j + 1) * raw.length / dim)
-          var s = 0.0f; var i = lo
-          while (i < hi) { s += raw(i); i += 1 }
-          s / (hi - lo)
-        }
+        // an empty decoded payload (e.g. a WAV with a zero-length data
+        // chunk) yields the zero embedding — hi = max(lo+1, …) would
+        // otherwise force a read of raw(0) and fail the task
+        val emb =
+          if (raw.isEmpty) new Array[Float](dim)
+          else Array.tabulate(dim) { j =>
+            val lo = j * raw.length / dim
+            val hi = math.max(lo + 1, (j + 1) * raw.length / dim)
+            var s = 0.0f; var i = lo
+            while (i < hi) { s += raw(i); i += 1 }
+            s / (hi - lo)
+          }
         MediaFeature(m.media_id, m.kind, emb)
       }
     }(Encoders.product[MediaFeature])

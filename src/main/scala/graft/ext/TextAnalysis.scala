@@ -57,8 +57,13 @@ object TextAnalysis {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
-    val stopHits = (occurrences(text, " the ") + occurrences(text, " and ")
-      + occurrences(text, " a ")).cast("double")
+    // padded-lowercase probe frame, same as [[langId]]: on raw text
+    // the space-delimited lowercase literals miss every capitalized or
+    // line-initial stopword ("The cat… And then…" would score
+    // stopHits=0 and halve a clean document's quality)
+    val p = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = (occurrences(p, " the ") + occurrences(p, " and ")
+      + occurrences(p, " a ")).cast("double")
     val stopRatio = stopHits / greatest(nTok, lit(1.0))
     round(
       least(nTok, lit(200.0)) / lit(200.0)

@@ -64,12 +64,16 @@ object BloomSketch {
       // intermediate far from Long overflow (which ANSI mode turns
       // into a runtime error on the Column side — both sides use the
       // congruent small-domain form so the bits agree exactly)
-      val m = numBits
-      val h1 = java.lang.Math.floorMod(a._1, m.toLong).toInt
-      val h2 = java.lang.Math.floorMod(a._2, m.toLong).toInt
+      val m = numBits.toLong
+      val h1 = java.lang.Math.floorMod(a._1, m)
+      val h2 = java.lang.Math.floorMod(a._2, m)
       var i = 0
       while (i < numHashes) {
-        val idx = (h1 + i * h2) % m
+        // Long combination: h1 + i·h2 can pass 2^31 for numBits up to
+        // the allowed 2^30 (Int math would wrap negative — crash or,
+        // worse, bits that disagree with the probe's Long pmod and
+        // break the no-false-negatives guarantee)
+        val idx = ((h1 + i.toLong * h2) % m).toInt
         b.words(idx >>> 6) |= 1L << (idx & 63)
         i += 1
       }

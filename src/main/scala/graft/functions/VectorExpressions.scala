@@ -141,15 +141,17 @@ case class DotProduct(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, name)
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two vectors"),
+      info(classOf[CosineSimilarity], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two vectors"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two vectors"),
+      info(classOf[DotProduct], "graft_dot",
+        "graft_dot(a, b) - dot product of two vectors"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =

@@ -22,9 +22,9 @@ object TextQueries {
          (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
           / GREATEST(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))
      * (0.5 + 0.5 * LEAST(
-         CAST(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
-            + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
-            + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT)
+         CAST(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3 AS BIGINT)
            AS DOUBLE)
          / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
          * 10.0, 1.0)))"""
@@ -63,7 +63,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
-          SELECT doc_id, text,
+          SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
@@ -73,9 +73,9 @@ object TextQueries {
             CAST(n_tokens AS DOUBLE) AS ntok,
             CAST(length(text) AS DOUBLE) AS nchars,
             CAST(n_punct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
-            CAST( CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
-                + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
-                + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT)
+            CAST( CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT)
+                + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT)
+                + CAST((length(p) - length(replace(p, ' a ', ''))) / 3 AS BIGINT)
               AS DOUBLE) AS stop_hits
           FROM f)
         SELECT doc_id, n_tokens, n_punct, fp,

@@ -51,8 +51,16 @@ object Restock {
         (key: String, it: Iterator[Sale], state: GroupState[Level]) =>
           var level = state.getOption.map(_.level).getOrElse(initialLevel)
           val batch = it.toArray
+          // (event_time, quantity) — the SAME total order the batch
+          // twin sorts by: a time-only comparator leaves ties in
+          // shuffle-arrival order, so a task retry (or a replayed
+          // batch) could apply tied sales differently and emit a
+          // different restock event than the original attempt
           scala.util.Sorting.stableSort(batch,
-            (a: Sale, b: Sale) => a.event_time.getTime < b.event_time.getTime)
+            (a: Sale, b: Sale) =>
+              a.event_time.getTime < b.event_time.getTime ||
+                (a.event_time.getTime == b.event_time.getTime &&
+                  a.quantity < b.quantity))
           val out = Seq.newBuilder[InventoryEvent]
           batch.foreach { s =>
             val (next, ev) = step(level, s)

@@ -39,21 +39,33 @@ object StreamingDedup {
   def processBatch(batch: DataFrame, corpusRoot: String, indexRoot: String,
       pairsRoot: String, threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    val b = batch.select(col("doc_id"), col("text"))
-    if (AtomicTable.latestVersion(indexRoot).isDefined) {
-      val index = AtomicTable.read(spark, indexRoot)
-        .select(col("doc_id"), col("band_id"), col("band_hash"))
-      val corpus = AtomicTable.read(spark, corpusRoot)
-      // SCOPED staging (the checkpointScoped rationale): the pair
-      // search stages its candidate frame internally, and this path
-      // runs once per micro-batch for the stream's lifetime — through
-      // the default JVM-exit stager it would leak one temp dir per
-      // batch. The pairs are fully consumed by the merge inside the
-      // scope, so the staging is reclaimed at batch end.
-      graft.Staging.scope { stager =>
+    // SCOPED staging (the checkpointScoped rationale): the batch, its
+    // band index, and the pair search's internal candidate frame are
+    // staged per micro-batch for the stream's lifetime — through the
+    // default JVM-exit stager they would leak one temp dir per batch.
+    // Everything staged is fully consumed by the merges inside the
+    // scope, so the staging is reclaimed at batch end.
+    graft.Staging.scope { stager =>
+      // one row per doc_id: an at-least-once source can redeliver a
+      // doc WITHIN one batch, and merge() anti-joins the target by key
+      // but inserts all of df — un-deduped, the corpus/index tables
+      // would commit duplicate-key rows. min(text) makes the winner
+      // deterministic under differing payloads. Staged: consumed by
+      // the pair search, both merges, and the replay anti-join.
+      val b = stager(batch.select(col("doc_id"), col("text"))
+        .groupBy(col("doc_id")).agg(min(col("text")).as("text")), "sd-batch")
+      // band index computed ONCE per batch (signatures are the gate's
+      // dominant cost): the same staged frame feeds the pair search
+      // (via newIndex) and the index-table merge below
+      val bBands = stager(
+        Dedup.lshBandIndex(b, "doc_id", "text"), "sd-bands")
+      if (AtomicTable.latestVersion(indexRoot).isDefined) {
+        val index = AtomicTable.read(spark, indexRoot)
+          .select(col("doc_id"), col("band_id"), col("band_hash"))
+        val corpus = AtomicTable.read(spark, corpusRoot)
         val pairs = Dedup.incrementalDupPairs(b, corpus, "doc_id", "text",
             threshold = threshold, existingIndex = Some(index),
-            stager = stager)
+            newIndex = Some(bBands), stager = stager)
           // replay safety: after a crash-after-commit the index already
           // holds this batch's own docs — self matches are not history
           // duplicates (intra-batch dedup is minhashDupPairs upstream)
@@ -61,12 +73,12 @@ object StreamingDedup {
           .withColumn("pair_key", concat_ws(":", col("new_id"), col("old_id")))
         AtomicTable.merge(spark, pairs, pairsRoot, "pair_key"): Unit
       }
+      AtomicTable.merge(spark, b, corpusRoot, "doc_id"): Unit
+      AtomicTable.merge(spark,
+        bBands
+          .withColumn("row_key", concat_ws(":", col("doc_id"), col("band_id"))),
+        indexRoot, "row_key"): Unit
     }
-    AtomicTable.merge(spark, b, corpusRoot, "doc_id"): Unit
-    AtomicTable.merge(spark,
-      Dedup.lshBandIndex(b, "doc_id", "text")
-        .withColumn("row_key", concat_ws(":", col("doc_id"), col("band_id"))),
-      indexRoot, "row_key"): Unit
   }
 
   /** Start the gate over a streaming (doc_id, text) source. */

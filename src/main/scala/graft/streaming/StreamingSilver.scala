@@ -108,11 +108,19 @@ object StreamingSilver {
     * state (the honest streaming face of the reference's unenforced
     * `unique_key`, SURVEY.md §2.8): duplicates arriving within the
     * watermark horizon are dropped exactly once.
+    *
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the
+    * key is `transaction_id` ALONE — the batch face
+    * ([[graft.gold.Gold.incrementalRows]]) windows on transaction_id,
+    * and a producer retry that re-emits an id with a regenerated
+    * timestamp must still be a duplicate here. Plain dropDuplicates
+    * would need the event-time column inside the key to bound its
+    * state, silently widening the key to (id, time).
     */
   def dedupedStream(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
     parsed
       .withWatermark("transaction_time", watermark)
-      .dropDuplicates("transaction_id", "transaction_time")
+      .dropDuplicatesWithinWatermark("transaction_id")
 
   /** Streaming twin of the daily rollup: 1-day tumbling window on
     * event time with a watermark (the reference computes this rollup

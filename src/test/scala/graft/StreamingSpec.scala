@@ -209,6 +209,40 @@ class SessionTrackerSpec extends SparkSpec {
     assert(rows.contains((1L, base + 45 * 60000L, 3, 6.0)), rows)   // start lowered to 45
   }
 
+  test("cross-batch straggler chain emits ONE session, not one per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
+    def ev(userId: Long, minute: Int, v: Double) =
+      Event(userId, new java.sql.Timestamp(base + minute * 60000L), v)
+    val stream = MemoryStream[Event]
+    val events = stream.toDS().withWatermark("ts", "10 hours").as[Event]
+    val q = SessionTracker.track(events, gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("xbatch_sessions")
+      .outputMode("append").start()
+    stream.addData(ev(1, 120, 1.0)) // open session [120]
+    q.processAllAvailable()
+    // straggler chain split ACROSS batches: 50 then 55 — each legal
+    // (watermark lags 10h), both > gap before 120, within gap of each
+    // other. The gap rule defines ONE session [50,55]; an eager
+    // batch-end close would emit (50) and (55) separately.
+    stream.addData(ev(1, 50, 2.0))
+    q.processAllAvailable()
+    stream.addData(ev(1, 55, 3.0))
+    q.processAllAvailable()
+    stream.addData(ev(2, 2000, 0.0)) // watermark seals everything
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("xbatch_sessions")
+      .as[SessionTracker.ClosedSession].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).toSet
+    assert(rows === Set(
+      (base + 50 * 60000L, base + 55 * 60000L, 2, 5.0),
+      (base + 120 * 60000L, base + 120 * 60000L, 1, 1.0)), rows)
+  }
+
   test("same-batch straggler + backward extension merge into one session") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2025-06-01 00:00:00").getTime
