@@ -52,12 +52,22 @@ object Anomaly {
         .agg(
           expr("percentile(abs(f1 - med1), 0.5)").as("mad1"),
           expr("percentile(abs(f2 - med2), 0.5)").as("mad2"),
+          avg(abs(col("f1") - col("med1"))).as("meanad1"),
+          avg(abs(col("f2") - col("med2"))).as("meanad2"),
           first(col("med1")).as("med1"), first(col("med2")).as("med2"))
+      // MAD=0 (an over-half-constant feature) must not null out the
+      // whole feature and mask true outliers: fall back to the mean
+      // absolute deviation with its consistency constant (Iglewicz &
+      // Hoaglin, z = (x−med)/(1.253314·meanAD)); if meanAD is also 0
+      // the feature is fully constant and z stays null → coalesce(…,0)
+      def z(f: String, med: String, mad: String, meanad: String) =
+        when(col(mad) =!= 0.0,
+          lit(0.6745) * (col(f) - col(med)) / col(mad))
+          .otherwise((col(f) - col(med))
+            / nullif(lit(1.253314) * col(meanad), lit(0.0)))
       feats.crossJoin(mads)
-        .withColumn("z1",
-          lit(0.6745) * (col("f1") - col("med1")) / nullif(col("mad1"), lit(0.0)))
-        .withColumn("z2",
-          lit(0.6745) * (col("f2") - col("med2")) / nullif(col("mad2"), lit(0.0)))
+        .withColumn("z1", z("f1", "med1", "mad1", "meanad1"))
+        .withColumn("z2", z("f2", "med2", "mad2", "meanad2"))
         .withColumn("max_abs_z",
           greatest(coalesce(abs(col("z1")), lit(0.0)),
             coalesce(abs(col("z2")), lit(0.0))))

@@ -60,6 +60,12 @@ object EventGenerator {
       base: Timestamp = Timestamp.valueOf("2025-06-01 00:00:00"),
       cfg: Config = Config()): Output = {
     require(products.nonEmpty, "need a product seed")
+    // propensity is the cumulative _RangeWeight ladder and doubles as
+    // the sampling key — a duplicate value would silently shadow a
+    // product in the toMap below (it would never sell and never
+    // restock), so fail loudly on a malformed seed instead
+    require(products.map(_.propensity_to_buy).distinct.size == products.size,
+      "propensity_to_buy values must be unique (cumulative weight ladder)")
     val rnd = new Random(seed)
     val ladder = products.map(_.propensity_to_buy).sorted.toIndexedSeq
     val byPropensity = products.map(p => p.propensity_to_buy -> p).toMap

@@ -476,6 +476,13 @@ object AtomicTable {
       key: String, partitionCol: String, statsCol: Option[String] = None): Int = {
     val sourcePartRows = df.select(col(partitionCol)).distinct()
       .collect() // bounded: partition cardinality
+    // empty source ⇔ empty distinct-partition set (a null partition
+    // value still yields a row): short-circuit the no-op like
+    // [[merge]] does — without this, an idle caller would publish a
+    // content-identical new version per call (untouched = everything,
+    // staged = nothing), growing the history unboundedly
+    if (sourcePartRows.isEmpty)
+      return latestVersion(root).getOrElse(-1)
     val sourceHasNull = sourcePartRows.exists(_.isNullAt(0))
     val sourceParts = sourcePartRows.filterNot(_.isNullAt(0))
       .map(r => String.valueOf(r.get(0))).toSet
@@ -781,12 +788,43 @@ object AtomicTable {
         }
       } finally walk.close()
     }
+    // prune _snap exports of expired versions: each export hard-links
+    // every data file of its snapshot, so leaving them would pin the
+    // inodes forever (vacuuming _staged would free zero bytes) and
+    // grow one directory per version unboundedly. Keyed off the KEPT
+    // set, so pinned (tagged) versions keep their exports; an export
+    // whose manifest never existed (crash mid-export) is expired too.
+    val snapRoot = Paths.get(root, "_snap")
+    if (Files.isDirectory(snapRoot)) {
+      val keptSet = kept.toSet
+      listDir(snapRoot)(_.filter { p =>
+        p.getFileName.toString match {
+          case SnapDirRe(v) => !keptSet.contains(v.toInt)
+          case _ => false
+        }
+      }.toSeq).foreach { dir =>
+        val walk = Files.walk(dir)
+        try {
+          // depth-first (children before parents) so dirs delete clean
+          val it = walk
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (Files.isRegularFile(f)) removed += 1
+            Files.deleteIfExists(f)
+          }
+        } finally walk.close()
+      }
+    }
     // reap inflight-*.tmp orphans (a crashed tag() or tryPublish left
     // them); the same age gate protects a concurrently-running writer
     sweepTmpOrphans(refsDir(root), retentionMs)
     sweepTmpOrphans(commitsDir(root), retentionMs)
     (expired.length, removed)
   }
+
+  private val SnapDirRe = "^v(\\d+)$".r
 
   /** Delete `*.tmp` files in `dir` older than `retentionMs` — crash
     * leftovers from the temp-then-atomic-publish pattern. Never

@@ -122,6 +122,17 @@ object Gold {
         col("product_id"), col("purchase_date"), col("final_amount"),
         col("is_member"), col("ingestion_timestamp"))
 
+  /** Schema-explicit fact read (layout = [[graft.model.FactPurchase]]
+    * with purchase_date as the partition dir): no footer-inference
+    * I/O, and a legitimately-empty fact table (first run appended
+    * zero rows — only _SUCCESS on disk) reads as an empty frame
+    * instead of UNABLE_TO_INFER_SCHEMA.
+    */
+  def readFact(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.model.FactPurchase].schema)
+      .parquet(path)
+
   /** K5 as a transactional MERGE: watermark-filter + in-batch dedup
     * (same semantics as [[incrementalRows]]), then publish via
     * [[AtomicTable.merge]] on `transaction_id` — the `unique_key` the
@@ -193,8 +204,14 @@ object Gold {
     val fresh = target match {
       case Some(t) =>
         val wm = t.agg(max(col("ingestion_timestamp"))).head().getTimestamp(0)
+        // >= not >: rows legitimately SHARING the boundary stamp (one
+        // micro-batch's current_timestamp split across file-source
+        // triggers) must survive the watermark — the anti-join below
+        // removes true duplicates, so inclusive is strictly safe and
+        // strict would lose boundary rows forever (mergeIncremental
+        // uses the same inclusive bound)
         if (wm == null) source
-        else source.filter(col("ingestion_timestamp") > lit(wm))
+        else source.filter(col("ingestion_timestamp") >= lit(wm))
       case None => source
     }
     val w = Window.partitionBy(col("transaction_id"))

@@ -25,14 +25,16 @@ object Silver {
       .select(col("data.*"))
       .withColumn("ingestion_timestamp", ingestionTs)
 
-  /** Dead-letter split: same parse, but malformed envelopes (rows
-    * from_json could not type — transaction_id null) are routed to a
+  /** Dead-letter split: same parse, but malformed envelopes — rows
+    * from_json could not type at all, AND rows that parsed but are
+    * missing any required purchase field (a partially-malformed
+    * envelope would otherwise flow on as null columns and silently
+    * corrupt the money formulas downstream) — are routed to a
     * quarantine DataFrame carrying the RAW payload + failure stamp
-    * instead of silently flowing on as null columns (what the
-    * reference's permissive read does, SURVEY.md §1.3). One pass:
-    * both sides derive from a shared parse projection, so Spark plans
-    * two filters over one scan — no second parse of the feed. Returns
-    * (valid typed rows, quarantine rows).
+    * (what the reference's permissive read never does, SURVEY.md
+    * §1.3). One pass: both sides derive from a shared parse
+    * projection, so Spark plans two filters over one scan — no second
+    * parse of the feed. Returns (valid typed rows, quarantine rows).
     */
   def parseWithQuarantine(raw: DataFrame,
       ingestionTs: Column = current_timestamp()): (DataFrame, DataFrame) = {
@@ -40,13 +42,21 @@ object Silver {
       .select(col("value").cast("string").as("json_str"))
       .withColumn("data", from_json(col("json_str"), Schemas.purchase))
       .withColumn("ingestion_timestamp", ingestionTs)
+    // every purchase field is load-bearing (fact money formula,
+    // partition key, watermark), so "valid" = the WHOLE row typed —
+    // derived from the schema, not a hand-kept list
+    val complete = Schemas.purchase.fieldNames
+      .map(f => col(s"data.$f").isNotNull)
+      .reduce(_ && _)
     val valid = parsed
-      .filter(col("data.transaction_id").isNotNull)
+      .filter(complete)
       .select(col("data.*"), col("ingestion_timestamp"))
     val quarantined = parsed
-      .filter(col("data.transaction_id").isNull)
+      .filter(!complete)
       .select(col("json_str").as("raw_payload"),
-        lit("unparseable_or_missing_key").as("reason"),
+        when(col("data").isNull || col("data.transaction_id").isNull,
+          lit("unparseable_or_missing_key"))
+          .otherwise(lit("missing_required_field")).as("reason"),
         col("ingestion_timestamp").as("quarantined_at"))
     (valid, quarantined)
   }
@@ -67,6 +77,17 @@ object Silver {
     df.repartition(col("product_id"))
       .write.mode("append").partitionBy("product_id").parquet(path)
 
-  def readSilver(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Schema-explicit Silver read: the layout is known (purchase
+    * fields + ingestion stamp; product_id doubles as the partition
+    * dir), so inference is both wasted footer I/O at scale and a
+    * crash on the legitimate empty table (a run whose rows were all
+    * quarantined writes only _SUCCESS — UNABLE_TO_INFER_SCHEMA).
+    */
+  def readSilver(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.purchase.fields :+
+        org.apache.spark.sql.types.StructField("ingestion_timestamp",
+          org.apache.spark.sql.types.TimestampType))
+    spark.read.schema(schema).parquet(path)
+  }
 }

@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.Anomaly
@@ -140,24 +139,45 @@ object Pipeline {
       // step on any unparsed row) punished the whole pipeline for one
       // corrupt producer message.
       val obs = new org.apache.spark.sql.Observation()
+      val obsQ = new org.apache.spark.sql.Observation()
+      // stamp = event time for valid rows (deterministic re-runs), but
+      // a fully-unparseable payload HAS no event time — fall back to
+      // wall clock so the DLQ's quarantined_at is never null (it is
+      // the triage/retention key)
       val (valid, quarantine) = Silver.parseWithQuarantine(
-        raw, ingestionTs = col("data.transaction_time"))
+        raw, ingestionTs =
+          coalesce(col("data.transaction_time"), current_timestamp()))
       Silver.writeSilver(
         valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)
-      val nq = quarantine.count()
-      if (nq > 0)
-        quarantine.write.mode(SaveMode.Append)
-          .parquet(s"${cfg.lakeDir}/silver/quarantine")
-      (obs.get("n_rows").asInstanceOf[Long], nq)
+      // unconditional write + Observation: one job yields both the DLQ
+      // rows and their count — not a count() pass plus a write pass
+      // each re-parsing the feed
+      quarantine.observe(obsQ, count(lit(1)).as("n_rows"))
+        .write.mode(SaveMode.Append)
+        .parquet(s"${cfg.lakeDir}/silver/quarantine")
+      // a side that collapsed to a zero-task plan (e.g. every envelope
+      // quarantined → empty valid write) finishes with an EMPTY
+      // metrics map — no tasks ran the observe operator, which can
+      // only mean zero rows, so default the count rather than throw
+      def rows(o: org.apache.spark.sql.Observation): Long =
+        o.get.getOrElse("n_rows", 0L).asInstanceOf[Long]
+      (rows(obs), rows(obsQ))
     }
     val silver = Silver.readSilver(spark, silverPath)
 
     // promote → fact (incremental, honest dedup; idempotent ⇒ retryable)
     val appended = sparkStep("fact_incremental") {
+      // probe by ATTEMPTING the read, not java.nio Files.exists (the
+      // StreamingGold.startIncrementalFact pattern): nio can't see
+      // object stores, and a dir holding only _SUCCESS (first run
+      // appended zero rows) must mean "no target yet", not a wedge
       val target =
-        if (Files.exists(Paths.get(factPath)))
-          Some(spark.read.parquet(factPath))
-        else None
+        try Some(Gold.readFact(spark, factPath))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+            None
+        }
       val fct = Gold.fctPurchases(silver)
       val toAppend = Gold.incrementalRows(fct, target)
       val n = toAppend.count()
@@ -167,7 +187,7 @@ object Pipeline {
     }
 
     // analytics (+ CSV result sink, K6 of anomaly_detection.py:56-60)
-    val daily = Anomaly.dailySales(spark.read.parquet(factPath))
+    val daily = Anomaly.dailySales(Gold.readFact(spark, factPath))
     val anomalies = Anomaly.RobustZScorer().score(daily)
     sparkStep("score_anomalies") {
       anomalies.coalesce(1).write.mode(SaveMode.Overwrite)

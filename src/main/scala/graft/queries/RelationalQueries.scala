@@ -315,17 +315,27 @@ object RelationalQueries {
           FROM feats),
         mad AS (
           SELECT quantile_cont(ABS(f.f1 - med1), 0.5) AS mad1,
-                 quantile_cont(ABS(f.f2 - med2), 0.5) AS mad2
+                 quantile_cont(ABS(f.f2 - med2), 0.5) AS mad2,
+                 AVG(ABS(f.f1 - med1)) AS meanad1,
+                 AVG(ABS(f.f2 - med2)) AS meanad2
           FROM feats f, med),
         z AS (
           SELECT purchase_date,
                  ROUND(-GREATEST(
-                   COALESCE(ABS(0.6745 * (f1 - med1) / NULLIF(mad1, 0)), 0),
-                   COALESCE(ABS(0.6745 * (f2 - med2) / NULLIF(mad2, 0)), 0)), 6)
+                   COALESCE(ABS(CASE WHEN mad1 <> 0
+                     THEN 0.6745 * (f1 - med1) / mad1
+                     ELSE (f1 - med1) / NULLIF(1.253314 * meanad1, 0) END), 0),
+                   COALESCE(ABS(CASE WHEN mad2 <> 0
+                     THEN 0.6745 * (f2 - med2) / mad2
+                     ELSE (f2 - med2) / NULLIF(1.253314 * meanad2, 0) END), 0)), 6)
                    AS z_score,
                  GREATEST(
-                   COALESCE(ABS(0.6745 * (f1 - med1) / NULLIF(mad1, 0)), 0),
-                   COALESCE(ABS(0.6745 * (f2 - med2) / NULLIF(mad2, 0)), 0))
+                   COALESCE(ABS(CASE WHEN mad1 <> 0
+                     THEN 0.6745 * (f1 - med1) / mad1
+                     ELSE (f1 - med1) / NULLIF(1.253314 * meanad1, 0) END), 0),
+                   COALESCE(ABS(CASE WHEN mad2 <> 0
+                     THEN 0.6745 * (f2 - med2) / mad2
+                     ELSE (f2 - med2) / NULLIF(1.253314 * meanad2, 0) END), 0))
                    > 3.5 AS z_flag
           FROM feats, med, mad)
         SELECT COUNT(*) AS n_days,

@@ -30,25 +30,20 @@ object StreamingGold {
         // probe by ATTEMPTING the read, not java.nio Files.exists:
         // the nio check consults the driver-local filesystem (always
         // false for an HDFS/S3 factPath — dedup silently skipped,
-        // duplicates appended), and a crash during the first batch
-        // can leave the directory existing with zero committed
-        // footers, where exists=true + read=AnalysisException would
-        // wedge every replay. ONLY the two "table not born yet"
-        // analysis outcomes (path missing; dir with no committed
-        // footers to infer from) mean "no rows yet" — any other
-        // failure (transient storage fault, permissions, corrupt
-        // footer) must propagate and fail the batch, because running
-        // with target=None silently disables the watermark filter and
-        // the anti-join dedup and appends already-committed keys
-        // as permanent duplicates. (Spark's read ignores _temporary
-        // leftovers.)
+        // duplicates appended). The read is schema-explicit
+        // (Gold.readFact), so a dir with zero committed footers (a
+        // crash during the first batch) reads as an empty target and
+        // the replay stays correct; ONLY "path missing" means "no
+        // table yet" — any other failure (transient storage fault,
+        // permissions, corrupt footer) must propagate and fail the
+        // batch, because running with target=None silently disables
+        // the watermark filter and the anti-join dedup and appends
+        // already-committed keys as permanent duplicates.
         val target =
-          try Some(spark.read.parquet(factPath))
+          try Some(Gold.readFact(spark, factPath))
           catch {
             case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition).exists(c =>
-                  c.startsWith("PATH_NOT_FOUND") ||
-                    c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+                if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
               None
           }
         Gold.incrementalRows(batch, target)

@@ -375,6 +375,40 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.latestVersion(root) === Some(0))
   }
 
+  test("partitioned merge with an empty source is a version-stable no-op, like merge") {
+    val root = tmpDir("atomic-pmerge-noop")
+    def rows(t: (Long, String, String)*) = t.toSeq.toDF("k", "v", "p")
+    AtomicTable.appendPartitioned(spark, rows((1L, "a", "x"), (2L, "b", "y")), root, "p")
+    val before = AtomicTable.read(spark, root).inputFiles.toSet
+    // an idle caller (e.g. a per-micro-batch merge with nothing fresh)
+    // must not publish a content-identical new version each call
+    assert(AtomicTable.mergePartitioned(spark,
+      Seq.empty[(Long, String, String)].toDF("k", "v", "p"), root, "k", "p") === 0)
+    assert(AtomicTable.latestVersion(root) === Some(0))
+    assert(AtomicTable.read(spark, root).inputFiles.toSet === before)
+    // empty source on a nonexistent table: nothing committed at all
+    val root2 = tmpDir("atomic-pmerge-noop2")
+    assert(AtomicTable.mergePartitioned(spark,
+      Seq.empty[(Long, String, String)].toDF("k", "v", "p"), root2, "k", "p") === -1)
+    assert(AtomicTable.latestVersion(root2) === None)
+  }
+
+  test("vacuum prunes _snap exports of expired versions; kept versions stay exported") {
+    val root = tmpDir("atomic-snapvac")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    AtomicTable.merge(spark, Seq((2L, "b")).toDF("k", "v"), root, "k")
+    val snap0 = AtomicTable.exportSnapshot(root, 0)
+    val snap1 = AtomicTable.exportSnapshot(root, 1)
+    assert(spark.read.parquet(snap0).count() === 1)
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
+    // the expired export is unlinked (its hard links would otherwise
+    // pin every vacuumed data file's inode forever)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap0)))
+    // the live version's export survives and still reads
+    assert(spark.read.parquet(snap1).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
   test("partition-pruned merge: non-round-tripping STRING partition values stay correct") {
     val root = tmpDir("atomic-zeropad")
     // all-numeric-looking string values with leading zeros: partition

@@ -55,6 +55,14 @@ class GeneratorSpec extends SparkSpec {
       e.existing_level <= 10 && e.stock_quantity === 15 &&
         e.new_level === e.existing_level + 15))
   }
+  test("duplicate propensity values in the seed fail loudly, not silently shadow a product") {
+    val dup = EventGenerator.defaultProducts.take(2)
+      .map(_.copy(propensity_to_buy = 7))
+    val e = intercept[IllegalArgumentException] {
+      EventGenerator.generate(dup, 10)
+    }
+    assert(e.getMessage.contains("propensity_to_buy"))
+  }
   test("closestMatch = reference's linear argmin (producer.py:203-204)") {
     val ladder = IndexedSeq(3, 6, 9, 30, 60)
     def linear(k: Int) = ladder.minBy(v => (math.abs(v - k), v))
@@ -109,6 +117,21 @@ class SilverSpec extends SparkSpec {
       === Set("not json at all", """{"wrong":"shape"}"""))
     assert(q.forall(_.getAs[String]("reason") == "unparseable_or_missing_key"))
   }
+  test("quarantine split: partially-malformed envelope (missing money field) → DLQ, not null columns") {
+    // an envelope that parses but lacks price/quantity would poison
+    // final_amount downstream as silent nulls — it must quarantine
+    // with its own reason, distinct from fully-unparseable payloads
+    val partial =
+      """{"transaction_id":"x9","transaction_time":"2025-06-01 00:00:00","product_id":"CS01"}"""
+    val raw = Seq(EventGenerator.toJson(p), partial).toDF("value")
+    val (valid, quarantined) = Silver.parseWithQuarantine(raw, ingestionTs = lit(ts))
+    assert(valid.count() === 1)
+    assert(valid.head().getAs[String]("transaction_id") === "123")
+    val q = quarantined.collect()
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("raw_payload") === partial)
+    assert(q.head.getAs[String]("reason") === "missing_required_field")
+  }
 }
 
 class GoldSpec extends SparkSpec {
@@ -153,6 +176,19 @@ class GoldSpec extends SparkSpec {
     val appended = Gold.incrementalRows(newer, Some(older)).collect()
     assert(appended.map(_.getAs[String]("transaction_id")).toSeq === Seq("9"))
   }
+  test("watermark is inclusive: a NEW id sharing the boundary stamp is admitted, not lost") {
+    // one micro-batch stamps all rows with the same current_timestamp;
+    // a file source can deliver them across two triggers — the second
+    // trigger's rows tie the watermark exactly and must still land
+    // (the anti-join, not the watermark, removes true duplicates)
+    val older = Gold.fctPurchases(purchaseDf(
+      Purchase(ts, "1", "CS01", 4.99, 1, false, 0.0, false, 0.0)))
+    val straggler = Gold.fctPurchases(purchaseDf(
+      Purchase(ts, "1", "CS01", 4.99, 1, false, 0.0, false, 0.0),
+      Purchase(ts, "2", "CS02", 5.99, 1, false, 0.0, false, 0.0)))
+    val appended = Gold.incrementalRows(straggler, Some(older)).collect()
+    assert(appended.map(_.getAs[String]("transaction_id")).toSeq === Seq("2"))
+  }
 }
 
 class AnomalySpec extends SparkSpec {
@@ -172,5 +208,21 @@ class AnomalySpec extends SparkSpec {
     // contract columns present, score negative-oriented
     val spike = scored.find(_.getAs[java.sql.Date]("purchase_date").toString == "2025-06-15").get
     assert(spike.getAs[Double]("anomaly_score") < -3.5)
+  }
+  test("MAD=0 (over-half-constant feature) falls back to meanAD — spike still flagged") {
+    import spark.implicits._
+    // 30 identical days + one 10000× spike: median deviation is 0, so
+    // the old nullif(mad,0) path nulled EVERY z and masked the outlier
+    val days = (1 to 31).map { d =>
+      val sales = if (d == 15) 1000000.0 else 100.0
+      (java.sql.Date.valueOf(f"2025-07-$d%02d"), sales, 24L)
+    }
+    val daily = days.toDF("purchase_date", "daily_total_sales", "daily_transaction_count")
+    val scored = Anomaly.RobustZScorer().score(daily).collect()
+    val flagged = scored.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[java.sql.Date]("purchase_date").toString)
+    assert(flagged.toSeq === Seq("2025-07-15"))
+    // fully-constant feature (count) stays neutral: no day flagged on it
+    assert(scored.count(_.getAs[Boolean]("is_anomaly")) === 1)
   }
 }

@@ -463,4 +463,22 @@ class EndToEndPipelineSpec extends SparkSpec {
     val silver = spark.read.parquet(s"$lake/silver/purchases")
     assert(silver.filter(silver("transaction_id").isNull).count() === 0)
   }
+
+  test("every envelope quarantined → run completes empty, DLQ holds them all (no crash)") {
+    val lake = tmpDir("lake-all-dlq")
+    val garbage = Seq("""not json""", """{"no":"key"}""", """broken{""")
+    val cfg = graft.pipeline.Pipeline.Config(
+      lakeDir = lake, nEvents = 0, rawExtra = garbage)
+    val r = graft.pipeline.Pipeline.run(spark, cfg)
+    assert(r.silverRows === 0)
+    assert(r.quarantinedRows === 3)
+    assert(r.factRowsAppended === 0)
+    assert(r.daily.count() === 0)
+    assert(r.anomalies.count() === 0)
+    val dlq = spark.read.parquet(s"$lake/silver/quarantine")
+    assert(dlq.count() === 3)
+    // quarantined_at never null — unparseable payloads get the
+    // wall-clock fallback stamp (the DLQ's triage/retention key)
+    assert(dlq.filter(dlq("quarantined_at").isNull).count() === 0)
+  }
 }
