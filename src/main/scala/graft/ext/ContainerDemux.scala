@@ -204,8 +204,11 @@ object ContainerDemux {
       // ID3v2.4 footer flag (bit 4 of the flags byte): the tag carries
       // a trailing 10-byte "3DI" footer NOT counted in the syncsafe
       // size — without this skip the frame scan lands on the footer
-      // and a valid file reads as "not an MP3"
-      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      // and a valid file reads as "not an MP3". Footers exist only in
+      // v2.4+; in v2.2/v2.3 that bit is reserved-zero, so honoring it
+      // there would skip 10 bytes of real audio on a nonconforming tag
+      val footer =
+        if ((bytes(3) & 0xff) >= 4 && (bytes(5) & 0x10) != 0) 10 else 0
       o = 10 + sz + footer
     }
     var nFrames = 0L

@@ -489,6 +489,13 @@ object Dedup {
     */
   def lshBandIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
+    // same fail-fast as minhashDupPairs: bands > k makes every band
+    // slice empty (all docs collide on one hash, every stored bucket
+    // overflows maxBucket downstream and incrementalDupPairs silently
+    // returns zero pairs); a non-dividing k silently discards the
+    // trailing signature components
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k: k=$k, bands=$bands")
     val rows = k / bands
     minhashSignatures(explodedShingles(docs, idCol, textCol), k)
       .select(col("doc_id"),

@@ -119,7 +119,14 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val w = weightsPpm.toSeq.toDF(strataCol, "w_ppm")
-    val counts0 = df.groupBy(col(strataCol))
+    // a NULL stratum (untagged row) can never match a Map[String,Long]
+    // weight — neither the weights join nor the fail-fast below can
+    // cover it. Such rows are dropped from the mixture by definition
+    // (a target mixture has no "unknown domain" share); excluding them
+    // here keeps the coverage check from permanently rejecting any
+    // corpus that contains one untagged row.
+    val counts0 = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
     // fail fast on a stratum the weights don't cover: the inner joins
     // below would otherwise silently DELETE the whole stratum from the

@@ -797,9 +797,22 @@ object AtomicTable {
     val snapRoot = Paths.get(root, "_snap")
     if (Files.isDirectory(snapRoot)) {
       val keptSet = kept.toSet
+      // two guards against a CONCURRENT writer's export (the same
+      // race the _staged age gate covers): (1) never touch a version
+      // newer than this vacuum's manifest listing — a commit that
+      // landed after the listing has an export vacuum must not see as
+      // "unreferenced"; (2) age-gate the delete, so a half-built
+      // export of a just-expired version (keepLast=1 under rapid
+      // commits) survives until a later vacuum finds it old AND
+      // still expired
+      val maxListed = versions.lastOption.getOrElse(-1)
+      val snapCutoff = System.currentTimeMillis() - retentionMs
       listDir(snapRoot)(_.filter { p =>
         p.getFileName.toString match {
-          case SnapDirRe(v) => !keptSet.contains(v.toInt)
+          case SnapDirRe(v) =>
+            val vi = v.toInt
+            !keptSet.contains(vi) && vi <= maxListed &&
+              Files.getLastModifiedTime(p).toMillis < snapCutoff
           case _ => false
         }
       }.toSeq).foreach { dir =>

@@ -90,4 +90,24 @@ object Silver {
           org.apache.spark.sql.types.TimestampType))
     spark.read.schema(schema).parquet(path)
   }
+
+  /** Schema of the quarantine DLQ rows [[parseWithQuarantine]] emits. */
+  val quarantineSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("quarantined_at",
+        org.apache.spark.sql.types.TimestampType)))
+
+  /** Schema-explicit DLQ reader — the [[readSilver]] twin for the
+    * quarantine store. A healthy run appends an EMPTY frame (the
+    * single-job write-plus-Observation count), leaving parquet dirs
+    * with no data footers; inference-based reads fail on those, an
+    * explicit schema does not.
+    */
+  def readQuarantine(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(quarantineSchema).parquet(path)
 }

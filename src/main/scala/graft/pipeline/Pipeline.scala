@@ -151,7 +151,9 @@ object Pipeline {
         valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)
       // unconditional write + Observation: one job yields both the DLQ
       // rows and their count — not a count() pass plus a write pass
-      // each re-parsing the feed
+      // each re-parsing the feed. A healthy run leaves an EMPTY
+      // footerless parquet dir here — consumers read it through the
+      // schema-explicit Silver.readQuarantine, like readSilver/readFact
       quarantine.observe(obsQ, count(lit(1)).as("n_rows"))
         .write.mode(SaveMode.Append)
         .parquet(s"${cfg.lakeDir}/silver/quarantine")

@@ -409,6 +409,38 @@ class AtomicTableSpec extends SparkSpec {
       === Set((1L, "a"), (2L, "b")))
   }
 
+  test("vacuum never touches a _snap export newer than its manifest listing") {
+    // the concurrent-writer race: a commit (and its export) that lands
+    // AFTER vacuum lists manifests must not be swept as "unreferenced"
+    val root = tmpDir("atomic-snapvac-race")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    AtomicTable.merge(spark, Seq((2L, "b")).toDF("k", "v"), root, "k")
+    val phantom = java.nio.file.Paths.get(root, "_snap", "v99")
+    java.nio.file.Files.createDirectories(phantom)
+    java.nio.file.Files.write(phantom.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L)
+    assert(java.nio.file.Files.exists(phantom.resolve("part-0.parquet")))
+  }
+
+  test("vacuum age-gates _snap deletion (young expired export survives)") {
+    val root = tmpDir("atomic-snapvac-age")
+    AtomicTable.append(spark, Seq((1L, "a")).toDF("k", "v"), root)
+    val snap0 = AtomicTable.exportSnapshot(root, 0)
+    AtomicTable.merge(spark, Seq((2L, "b")).toDF("k", "v"), root, "k")
+    // v0 is expired by keepLast=1, but its export is seconds old — a
+    // retention window keeps a possibly-mid-build export alive
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 3600000L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(snap0)))
+    // once old AND still expired, the next vacuum reaps it
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(snap0),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    AtomicTable.vacuum(root, keepLast = 1, retentionMs = 3600000L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap0)))
+  }
+
   test("partition-pruned merge: non-round-tripping STRING partition values stay correct") {
     val root = tmpDir("atomic-zeropad")
     // all-numeric-looking string values with leading zeros: partition

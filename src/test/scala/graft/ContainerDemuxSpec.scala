@@ -149,6 +149,15 @@ class ContainerDemuxSpec extends AnyFunSuite {
     assert(m.exists(_.n_frames == 1L), m)
   }
 
+  test("mp3: pre-v2.4 tag with the (reserved) footer bit set skips no audio") {
+    // v2.3 has no footer; a nonconforming tag with bit 4 set must not
+    // make the scan jump 10 bytes past the tag into mid-frame
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0x10) ++
+      Array[Byte](0, 0, 0, 20) ++ Array.fill[Byte](20)(0x41)
+    val m = ContainerDemux.mp3Info(7L, id3 ++ mp3Frame(9, 417))
+    assert(m.exists(_.n_frames == 1L), m)
+  }
+
   test("mp3: trailing garbage tolerated, leading garbage rejected") {
     val ok = mp3Frame(9, 417) ++ "trailing junk".getBytes
     assert(ContainerDemux.mp3Info(5L, ok).get.n_frames == 1L)

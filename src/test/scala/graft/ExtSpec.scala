@@ -117,6 +117,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshBandIndex fails fast on a non-dividing banding (incremental path)") {
+    import org.apache.spark.sql.functions.col
+    // bands > k would make every band slice empty → every stored
+    // bucket overflows maxBucket → incrementalDupPairs silently
+    // returns zero pairs; the shared index builder must reject it
+    val newBatch = docs.filter(col("doc_id") === 2L)
+    val existing = docs.filter(col("doc_id") =!= 2L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDupPairs(newBatch, existing, "doc_id", "text",
+        k = 64, bands = 128)
+    }
+    assert(e.getMessage.contains("bands must divide k"), e.getMessage)
+    // a non-dividing k silently discards trailing signature components
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandIndex(existing, "doc_id", "text", k = 64, bands = 48)
+    }
+  }
+
   test("incrementalDupPairs drops stored-index buckets past maxBucket") {
     // 8 exact copies in history + 1 matching new doc: every band bucket
     // the new doc touches holds all 8 old members, so maxBucket=7

@@ -40,6 +40,18 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("de"), e.getMessage)
   }
 
+  test("mixtureResample: NULL-stratum rows are dropped, not a permanent failure") {
+    import graft.ext.Sampling
+    // an untagged row can never be covered by a Map[String,Long]
+    // weight — it must not make every call throw
+    val df = Seq((1L, Some("en")), (2L, Some("fr")), (3L, None))
+      .toDF("id", "stratum")
+    val out = Sampling.mixtureResample(df, "stratum", "id",
+      Map("en" -> 500000L, "fr" -> 500000L))
+    assert(out.filter(col("stratum").isNull).count() === 0)
+    assert(out.count() <= 2)
+  }
+
   test("hashSplit: disjoint, complete, deterministic, ratio-faithful") {
     val docs = spark.range(20000).select(col("id").as("doc_id"))
     val split = Sampling.hashSplit(docs, "doc_id",

@@ -453,7 +453,7 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(r.silverRows === 50)
     assert(r.quarantinedRows === 2)
     assert(r.factRowsAppended > 0)
-    val dlq = spark.read.parquet(s"$lake/silver/quarantine")
+    val dlq = graft.ingest.Silver.readQuarantine(spark, s"$lake/silver/quarantine")
     assert(dlq.count() === 2)
     val rows = dlq.collect().map(x =>
       (x.getAs[String]("raw_payload"), x.getAs[String]("reason"))).toSet
@@ -475,10 +475,23 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(r.factRowsAppended === 0)
     assert(r.daily.count() === 0)
     assert(r.anomalies.count() === 0)
-    val dlq = spark.read.parquet(s"$lake/silver/quarantine")
+    val dlq = graft.ingest.Silver.readQuarantine(spark, s"$lake/silver/quarantine")
     assert(dlq.count() === 3)
     // quarantined_at never null — unparseable payloads get the
     // wall-clock fallback stamp (the DLQ's triage/retention key)
     assert(dlq.filter(dlq("quarantined_at").isNull).count() === 0)
+  }
+
+  test("healthy run: empty quarantine dir stays readable via readQuarantine") {
+    val lake = tmpDir("lake-clean-dlq")
+    val cfg = graft.pipeline.Pipeline.Config(lakeDir = lake, nEvents = 10)
+    val r = graft.pipeline.Pipeline.run(spark, cfg)
+    assert(r.quarantinedRows === 0)
+    // the unconditional DLQ write leaves only _SUCCESS (no footers);
+    // the schema-explicit reader must still see an empty, well-typed
+    // frame where inference would throw UNABLE_TO_INFER_SCHEMA
+    val dlq = graft.ingest.Silver.readQuarantine(spark, s"$lake/silver/quarantine")
+    assert(dlq.count() === 0)
+    assert(dlq.schema === graft.ingest.Silver.quarantineSchema)
   }
 }
