@@ -33,8 +33,15 @@ object Decontam {
   def contaminationPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
+    // eval side deduped per (doc, gram): explodedShingles is NOT
+    // per-doc-distinct, so an eval doc repeating a boilerplate gram
+    // b times would inflate the broadcast index b× and multiply the
+    // join output a·b per logical pair before count_distinct collapses
+    // it. The TRAIN side stays raw — a distinct there would shuffle
+    // the corpus, defeating the map-side streaming shape.
     val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
       .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+      .distinct()
     val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
       .select(col("doc_id").as("train_id"), col("s").as("gram"))
     val index = if (broadcastEval) broadcast(evalGrams) else evalGrams
@@ -63,8 +70,15 @@ object Decontam {
       idCol: String, textCol: String, n: Int = 8,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     import graft.functions.BloomSketch
-    val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
-      .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+    // staged once: the (eval_id, gram) distinct frame feeds BOTH the
+    // bloom build and the exact join — without the stage the whole
+    // eval-side tokenize+shingle pipeline executes twice, in exactly
+    // the too-big-to-broadcast regime this function exists for
+    val evalGrams = graft.Staging.checkpoint(
+      Dedup.explodedShingles(eval, idCol, textCol, n)
+        .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+        .distinct(),
+      "decontam-eval-grams")
     val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
       .select(col("doc_id").as("train_id"), col("s").as("gram"))
     val bloom = evalGrams.select(col("gram")).distinct()

@@ -29,13 +29,18 @@ object Packing {
   /** Adds `bin_id` (0-based within shard) + `run_tokens_before`. */
   def packByTokenBudget(docs: DataFrame, shardCol: Column, orderCol: Column,
       tokenCol: Column, budget: Long): DataFrame = {
+    // budget=0 would otherwise divide to Infinity → Long.MaxValue bins
+    require(budget > 0, s"token budget must be positive: $budget")
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("run_tokens_before",
         coalesce(sum(tokenCol).over(w), lit(0L)))
+      // integer DIV, the Chunking/lengthBucket discipline: double
+      // division loses integer precision past 2^53 cumulative tokens
+      // and could shift a bin boundary by one
       .withColumn("bin_id",
-        floor(col("run_tokens_before") / lit(budget.toDouble)).cast("bigint"))
+        expr(s"run_tokens_before DIV ${budget}L").cast("bigint"))
   }
 
   /** Power-of-two length buckets on the ladder 32…`maxLen` (min 32,
@@ -44,7 +49,10 @@ object Packing {
     * log2, whose boundary rounding differs across engines).
     */
   def lengthBucket(tokenCol: Column, maxLen: Int = 2048): Column = {
-    val rungs = Iterator.iterate(32)(_ * 2).takeWhile(_ < maxLen).toSeq
+    // r > 0 stops the ladder if the doubling overflows Int (maxLen >
+    // 2^30 would otherwise cycle -2^31 → 0 → 0... forever)
+    val rungs = Iterator.iterate(32)(_ * 2)
+      .takeWhile(r => r > 0 && r < maxLen).toSeq
     rungs.foldRight(lit(maxLen.toLong): Column) { (rung, rest) =>
       when(tokenCol <= rung, lit(rung.toLong)).otherwise(rest)
     }

@@ -57,7 +57,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    // zero-norm guard, mirroring CosineSimilarity: NaN would pass every
+    // >= threshold filter and win every desc ranking under Spark's
+    // NaN-is-greatest semantics
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
 
   /** Native codegen'd twins (register [[graft.functions.GraftFunctions]]
     * on the session first; all entry points here do).
@@ -270,7 +276,11 @@ object Similarity {
   def ivfIndex(embeddings: DataFrame, nCells: Int, sampleN: Int = 2048)
       : (DataFrame, Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // null embeddings are skipped (the matryoshkaRecall convention) —
+    // one null row sorting into the sample would otherwise NPE the
+    // driver-side k-means
     val sample = embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .orderBy(pmod(xxhash64(col("vec_id")), lit(997)), col("vec_id"))
       .limit(sampleN)
       .collect()
@@ -483,6 +493,8 @@ object Similarity {
       .withColumn("sim_r", round(cosineNative(col("va"), col("vb")), 6))
       .filter(col("sim_r") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim_r"))
-      .distinct()
+    // no distinct: one bucket signature per vector (single-band LSH),
+    // so the a<b self-join emits each candidate pair exactly once — a
+    // dedup here would only add an output-scale shuffle
   }
 }

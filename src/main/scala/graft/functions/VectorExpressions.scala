@@ -72,7 +72,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 would be NaN, and Spark's NaN-is-greatest
+    // ordering/comparison semantics make a NaN similarity pass every
+    // `>= threshold` filter and claim every desc top-k slot — a zero
+    // (padding/dead) vector must instead be similar to nothing
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -92,7 +97,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
           final double $yi = ${getCode(right, b, i)};
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        final double ${dot}_d =
+          java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = (${dot}_d == 0.0) ? 0.0 : $dot / ${dot}_d;
       """
     })
 

@@ -41,6 +41,24 @@ class VectorExpressionSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  test("zero-norm vectors: cosine is 0.0, never NaN (all eval paths)") {
+    // NaN would pass every >= threshold filter and win every desc
+    // top-k under Spark's NaN-is-greatest semantics — a padding/dead
+    // vector must be similar to nothing instead
+    val z = Seq((1L, Array.fill(4)(0.0), Array(1.0, 2.0, 3.0, 4.0)))
+      .toDF("id", "a", "b")
+    // codegen path (repartition keeps it off ConvertToLocalRelation)
+    val r = z.repartition(2).select(
+      Similarity.cosineNative(col("a"), col("b")).as("nc"),
+      Similarity.cosine(col("a"), col("b")).as("hc"),
+      Similarity.cosineNative(col("a"), col("a")).as("zz")).head()
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0
+      && r.getDouble(2) === 0.0)
+    // interpreted path (local relation pre-evaluates driver-side)
+    val i = z.select(Similarity.cosineNative(col("a"), col("b"))).head()
+    assert(i.getDouble(0) === 0.0)
+  }
+
   test("expression participates in whole-stage codegen") {
     // repartition prevents ConvertToLocalRelation from pre-evaluating
     // the projection driver-side; AQE finalizes the plan only after
