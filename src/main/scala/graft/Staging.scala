@@ -57,8 +57,29 @@ object Staging {
     * over it. All columns come back nullable (parquet round-trip) —
     * same as any staged table read, and invisible to value semantics.
     */
+  /** Staging root: `GRAFT_STAGE_DIR` (env) when set, else the JVM temp
+    * dir. local[*] is fine with the default; a MULTI-NODE deployment
+    * must point this at storage every executor and the driver share
+    * (object store / NFS) — a node-local path would scatter staged
+    * partitions across hosts and truncate every operator built on
+    * staging.
+    */
+  private def stageRoot: Option[java.nio.file.Path] =
+    sys.env.get("GRAFT_STAGE_DIR").map { r =>
+      val p = java.nio.file.Paths.get(r)
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+
+  private def mkStageDir(tag: String): java.nio.file.Path = stageRoot match {
+    case Some(root) =>
+      java.nio.file.Files.createTempDirectory(root, s"graft-stage-$tag-")
+    case None =>
+      java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+  }
+
   def checkpoint(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+    val dir = mkStageDir(tag)
     tracked.add(dir)
     df.write.mode("overwrite").parquet(dir.toString)
     df.sparkSession.read.parquet(dir.toString)
@@ -77,7 +98,7 @@ object Staging {
   def scope[A](body: ((DataFrame, String) => DataFrame) => A): A = {
     val dirs = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
     val stager = (df: DataFrame, tag: String) => {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+      val dir = mkStageDir(tag)
       tracked.add(dir)
       dirs.synchronized { dirs += dir }
       df.write.mode("overwrite").parquet(dir.toString)
@@ -101,7 +122,7 @@ object Staging {
     * gone afterwards.
     */
   def checkpointScoped[A](df: DataFrame, tag: String)(use: DataFrame => A): A = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+    val dir = mkStageDir(tag)
     tracked.add(dir)
     try {
       df.write.mode("overwrite").parquet(dir.toString)

@@ -165,9 +165,16 @@ object Anomaly {
 
     def score(daily: DataFrame): DataFrame = {
       val spark = daily.sparkSession
+      // coalesce-to-0: a day whose sum aggregated to NULL must not NPE
+      // the driver collect below (getDouble on a null cell) or
+      // null-skip the scoring UDF — RobustZScorer tolerates the same
+      // frame, so the scorers must not diverge on it
       val feats = daily
-        .withColumn("f1", log1p(col("daily_total_sales")))
-        .withColumn("f2", log1p(col("daily_transaction_count")))
+        .withColumn("f1",
+          log1p(coalesce(col("daily_total_sales"), lit(0.0))))
+        .withColumn("f2",
+          log1p(coalesce(col("daily_transaction_count").cast("double"),
+            lit(0.0))))
       // bounded collect: one row per day (see scaladoc). Sorted after
       // collection — collect() order follows partition layout, and the
       // seeded subsample indexes into this array, so an unsorted fit
@@ -205,7 +212,12 @@ object Anomaly {
         var t = 0
         while (t < trees.length) { s += pathLength(trees(t), x); t += 1 }
         val eh = s / trees.length
-        val anomalyness = math.pow(2.0, -eh / cPsi) // ∈ (0,1], ↑ = anomalous
+        // psi=1 (single-day history) makes c(psi)=0 and -0/0 = NaN;
+        // with one training point isolation is meaningless, so score
+        // the neutral 0.5 (⇒ decision 0.0, not anomalous) instead
+        val anomalyness =
+          if (cPsi > 0) math.pow(2.0, -eh / cPsi) // ∈ (0,1], ↑ = anomalous
+          else 0.5
         0.5 - anomalyness // sklearn decision_function with auto offset
       }
       feats

@@ -14,8 +14,10 @@ object Skew {
   /** Two-phase salted aggregation: groupBy(key, salt) partial →
     * groupBy(key) final. Splits a hot key across `buckets` tasks at
     * the cost of a second (tiny) shuffle. Correct for any algebraic
-    * aggregate expressed as (partial, merge) pairs — here sum/count,
-    * which cover avg = sum/count.
+    * aggregate expressed as (partial, merge) pairs — here sum/count.
+    * `n` is the ROW count (COUNT(*), the q121 oracle contract), so
+    * total/n equals AVG(value) only when `value` has no NULLs — SQL
+    * AVG skips null rows, count(lit(1)) does not.
     */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
       buckets: Int = 16): DataFrame = {

@@ -26,7 +26,11 @@ object KmvSketch {
   /** Sorted ascending, at most k values. */
   final case class Buf(k: Int, values: Vector[Long])
 
-  final class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Double] {
+  // boxed input so NULL column values can be SKIPPED like
+  // COUNT(DISTINCT)/approx_count_distinct skip them — a primitive Long
+  // input would decode null rows as 0L and count a phantom distinct
+  final class KmvAggregator(k: Int)
+      extends Aggregator[java.lang.Long, Buf, Double] {
     require(k >= 2, "k >= 2")
 
     override def zero: Buf = Buf(k, Vector.empty)
@@ -41,7 +45,8 @@ object KmvSketch {
         Buf(b.k, (b.values.take(idx) :+ h) ++ b.values.drop(idx) take b.k)
       }
 
-    override def reduce(b: Buf, a: Long): Buf = insert(b, a)
+    override def reduce(b: Buf, a: java.lang.Long): Buf =
+      if (a eq null) b else insert(b, a.longValue)
 
     override def merge(b1: Buf, b2: Buf): Buf =
       b2.values.foldLeft(b1)(insert)
@@ -58,7 +63,12 @@ object KmvSketch {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Column form: `kmvDistinct(k)(xxhash64-able column)`. */
+  /** Column form: `kmvDistinct(k)(xxhash64-able column)`. NULLs are
+    * skipped (COUNT(DISTINCT) semantics): xxhash64(null) would
+    * otherwise hash to the constant seed value and count as one
+    * phantom distinct.
+    */
   def kmvDistinct(k: Int)(c: Column): Column =
-    udaf(new KmvAggregator(k)).apply(xxhash64(c))
+    udaf(new KmvAggregator(k))
+      .apply(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c)))
 }
