@@ -21,6 +21,22 @@ class KmvSketchSpec extends SparkSpec {
     assert(small === 100.0)
   }
 
+  test("KMV skips NULLs like COUNT(DISTINCT) — no phantom distinct") {
+    // xxhash64(null) is the constant seed hash; un-skipped it would
+    // enter the sketch as one extra "value"
+    val df = spark.range(100)
+      .select(when(col("id") < 50, col("id")).as("v")) // 50 nulls
+    val r = df.agg(
+      KmvSketch.kmvDistinct(256)(col("v")).as("est"),
+      count_distinct(col("v")).as("exact")).head()
+    assert(r.getDouble(0) === 50.0) // exact mode below k, nulls ignored
+    assert(r.getLong(1) === 50L)
+    // all-null column → empty sketch → 0 distinct
+    val allNull = spark.range(10).select(lit(null).cast("long").as("v"))
+      .agg(KmvSketch.kmvDistinct(16)(col("v"))).head().getDouble(0)
+    assert(allNull === 0.0)
+  }
+
   test("KMV is deterministic under repartitioning (order/merge invariant)") {
     val base = spark.range(100000).select((col("id") % 7919).as("v"))
     val a = base.repartition(3).agg(KmvSketch.kmvDistinct(64)(col("v")))
