@@ -49,8 +49,17 @@ def main(sf_dir, out_dir):
             a, b = got[c], exp[c]
             try:
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    eq = (a.astype(float).fillna(-1e308)
-                          == b.astype(float).fillna(-1e308)).all()
+                    # hash-faithful: compare IEEE-754 BYTES, not float ==,
+                    # so a -0.0 vs 0.0 (or any formatting-class) artifact
+                    # fails HERE exactly as it fails the driver's hash
+                    # gate (the q145 r5 lesson). NaN/None both canonicalize
+                    # through Python float -> one quiet-NaN bit pattern.
+                    import struct
+
+                    def packed(s):
+                        return s.astype(float).fillna(float("nan")).map(
+                            lambda x: struct.pack("<d", x))
+                    eq = (packed(a) == packed(b)).all()
                 else:
                     eq = (a.astype(str) == b.astype(str)).all()
             except Exception:

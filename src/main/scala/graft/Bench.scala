@@ -136,7 +136,8 @@ object Bench {
     def captureMinhash(entry: String): Unit =
       graft.ext.Dedup.lastMinhashDiag.foreach { d =>
         minhashDiag(entry) =
-          s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}"}"""
+          s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}",""" +
+            f""""candidate_sec":${d.candidateSec}%.2f}"""
       }
     def captureLsh(entry: String): Unit =
       // the thunk runs the histogram job HERE, after best() stopped

@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     RelationalQueries.all ++ AdvancedQueries.all ++ EventQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ CurationQueries.all ++ Sf0Queries.all
+      MultimodalQueries.all ++ CurationQueries.all ++ Sf0Queries.all ++
+      Sf1RowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region — the purchases⋈dims star join the reference's BI

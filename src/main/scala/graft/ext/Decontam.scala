@@ -65,6 +65,13 @@ object Decontam {
     * (At this test scale Catalyst/AQE may still pick a broadcast for
     * the exact join — the operator forces the shuffle-join shape with
     * a merge hint so the plan under test is the 100 TB plan.)
+    *
+    * EAGER: the eval-side tokenize+shingle pipeline executes AT CALL
+    * TIME (the stage below materializes it to a session-scoped parquet
+    * dir that lives until JVM exit). Repeated calls in a long-lived
+    * session each leave one eval-gram-sized staging dir; callers that
+    * loop over many eval suites should bound that with
+    * [[graft.Staging]]'s scoped checkpoint or a periodic sweep.
     */
   def bloomContaminationPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,

@@ -30,7 +30,8 @@ object Dedup {
     * otherwise be invisible in a wall-clock number (the round-3
     * x10_q65 post-mortem's ask).
     */
-  final case class MinhashDiag(nPairs: Long, verifyJoin: String)
+  final case class MinhashDiag(nPairs: Long, verifyJoin: String,
+      candidateSec: Double = -1.0)
   @volatile var lastMinhashDiag: Option[MinhashDiag] = None
 
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
@@ -437,6 +438,13 @@ object Dedup {
     // instead of re-running the whole LSH pipeline — with no cache
     // entry left behind in the caller's session, and no eviction race
     // between the counted set and the joined set.
+    // candidateSec spans the EAGER stage write (checkpoint runs the
+    // shingle->signature->band->collect pipeline at call time) plus
+    // the count: the r5 x30_q65 wobble (19 s vs a ~10 s r4 rerun with
+    // IDENTICAL candidate counts and join strategy) needs the cost
+    // SPLIT on record — candidate build vs verify join — so a
+    // recurrence names its phase instead of restarting the hunt
+    val tCand0 = System.nanoTime()
     val candidates = graft.Staging.checkpoint(withSig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
@@ -451,7 +459,8 @@ object Dedup {
       .distinct(), "mh-cands")
     val nPairs = candidates.count()
     lastMinhashDiag = Some(MinhashDiag(nPairs,
-      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle"))
+      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle",
+      (System.nanoTime() - tCand0) / 1e9))
     // single-scan text attach: explode each pair into its two sides,
     // broadcast-join the corpus once, re-pair with a tiny aggregation
     // keyed on the pair. The broadcast side is the operator's OUTPUT
@@ -578,12 +587,14 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(wBucket))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
+    val tCand0 = System.nanoTime()
     val candidates = stager(
       capped.join(broadcast(newBands), Seq("band_id", "band_hash"))
         .select(col("new_id"), col("old_id")).distinct(), "inc-cands")
     val nPairs = candidates.count()
     lastMinhashDiag = Some(MinhashDiag(nPairs,
-      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle"))
+      if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle",
+      (System.nanoTime() - tCand0) / 1e9))
     val hinted = if (nPairs <= broadcastPairLimit) broadcast(candidates)
       else candidates
     // texts attach candidate-side only: history streams ONE map-side

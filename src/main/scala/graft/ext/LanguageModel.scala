@@ -107,9 +107,15 @@ object LanguageModel {
             / (col("n_s") + col("v")).cast("double"))) * lit(1e9d))
           .cast("long"))
       .groupBy(col("doc_id"))
+      // `+ 0.0` after the round normalizes IEEE signed zero: a tiny
+      // NEGATIVE fixed-point sum rounds to -0.0 in DuckDB's ROUND but
+      // +0.0 in Spark's HALF_UP BigDecimal path — float-equal, hash-
+      // different. `-0.0 + 0.0 = +0.0` in both engines (IEEE-754), so
+      // both sides of the oracle carry the same normalization. Repo
+      // convention: every SIGNED rounded output column does this.
       .agg(sum(col("dtf")).as("n_tokens"),
-        round((sum(col("dtf") * col("lr_fp")).cast("double") / lit(1e9d))
-          / sum(col("dtf")).cast("double"), 4).as("log_weight"))
+        (round((sum(col("dtf") * col("lr_fp")).cast("double") / lit(1e9d))
+          / sum(col("dtf")).cast("double"), 4) + lit(0.0)).as("log_weight"))
       // the resampling decision on the ROUNDED weight, so the flag is
       // exactly as engine-stable as the weight itself
       .withColumn("keep_target", (col("log_weight") > 0).cast("int"))

@@ -34,8 +34,15 @@ object Packing {
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
+      // negative token counts (dirty input) would make the cumulative
+      // sum non-monotone and, under DIV's truncate-toward-zero, pin
+      // negative prefixes to bin 0 instead of a (meaningless) negative
+      // bin — fail fast instead of packing garbage
       .withColumn("run_tokens_before",
-        coalesce(sum(tokenCol).over(w), lit(0L)))
+        coalesce(sum(when(tokenCol < 0, raise_error(concat(
+            lit("packByTokenBudget: negative token count: "),
+            tokenCol.cast("string")))).otherwise(tokenCol)).over(w),
+          lit(0L)))
       // integer DIV, the Chunking/lengthBucket discipline: double
       // division loses integer precision past 2^53 cumulative tokens
       // and could shift a bin boundary by one

@@ -74,6 +74,17 @@ object Similarity {
   def dotNative(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** 6dp-rounded cosine with IEEE signed zero normalized away: a tiny
+    * NEGATIVE cosine rounds to -0.0 under DuckDB's ROUND but +0.0
+    * under Spark's HALF_UP BigDecimal path — float-equal yet
+    * hash/byte-different (the q145 r5 lesson). `-0.0 + 0.0 = +0.0` in
+    * both engines, so every sim_r column (and every SIGNED rounded
+    * output column repo-wide — the oracle SQL carries the matching
+    * `+ 0.0`) goes through this normalization.
+    */
+  def simR(a: Column, b: Column): Column =
+    round(cosineNative(a, b), 6) + lit(0.0)
+
   /** Brute-force top-k cosine neighbors for the query vectors.
     * Queries are broadcast; neighbors never shuffle until the
     * (small) per-query top-k.
@@ -90,7 +101,7 @@ object Similarity {
       col("embedding").as("qv"))
     val pairs = n.crossJoin(broadcast(q))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("sim_r", simR(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("sim_r").desc, col("n_vec"))
     pairs
@@ -124,7 +135,7 @@ object Similarity {
       col("label").as("q_label"), col("embedding").as("qv"))
     val pairs = n.crossJoin(broadcast(a))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("sim_r", simR(col("qv"), col("nv")))
       .withColumn("kind", when(col("q_label") === col("n_label"), lit("pos"))
         .otherwise(lit("neg")))
     // rank on the ROUNDED similarity (ties broken by n_vec) so the
@@ -190,9 +201,9 @@ object Similarity {
       .select(col("q_vec"), col("n_vec"),
         explode(lit(dims.toArray)).as("dim"),
         col("qv"), col("nv"))
-      .withColumn("sim_r", round(cosineNative(
+      .withColumn("sim_r", simR(
         slice(col("qv"), lit(1), col("dim")),
-        slice(col("nv"), lit(1), col("dim"))), 6))
+        slice(col("nv"), lit(1), col("dim"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("dim"), col("q_vec"))
           .orderBy(col("sim_r").desc, col("n_vec"))))
@@ -352,7 +363,7 @@ object Similarity {
         col("vec_id").as("n_vec"), col("embedding").as("nv")),
       Seq("cell_id"))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("sim_r", simR(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("sim_r").desc, col("n_vec"))
     cands.withColumn("rn", row_number().over(w).cast("bigint"))
@@ -409,7 +420,7 @@ object Similarity {
       .orderBy(col("sim_r").desc, col("n_vec"))
     probed.join(indexed, Seq("cell_id"))
       .filter(col("q_vec") =!= col("n_vec"))
-      .withColumn("sim_r", round(cosineNative(col("qv"), col("nv")), 6))
+      .withColumn("sim_r", simR(col("qv"), col("nv")))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
       .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
@@ -455,24 +466,46 @@ object Similarity {
     * output-scale aggregate keyed on the dropped id.
     */
   def semanticDedup(embeddings: DataFrame, dim: Int, threshold: Double,
-      nPlanes: Int = 8): DataFrame =
+      nPlanes: Int = 0): DataFrame =
     lshNeighborPairs(embeddings, dim, threshold, nPlanes)
       .groupBy(col("vec_b").as("dropped_id"))
       .agg(
         min(col("vec_a")).as("kept_id"),
         min_by(col("sim_r"), col("vec_a")).as("kept_sim"))
 
+  /** Plane count the LAST [[lshNeighborPairs]] call actually bucketed
+    * with — observable evidence for the auto-sizing default (specs and
+    * the bench diag read it; same diag-var pattern as [[lastLshDiag]]).
+    */
+  @volatile var lastResolvedPlanes: Int = 0
+
   /** LSH-bucketed near-neighbor pairs: same bucket ⇒ candidate; exact
     * cosine filters at `threshold`. Recall trades off with nPlanes.
+    *
+    * `nPlanes <= 0` (the default) auto-sizes the plane family via
+    * [[autoPlanes]] from a corpus count — the scale-safe default: a
+    * FIXED family saturates (occupancy grows linearly with the corpus,
+    * same-bucket candidates quadratically — measured in the r5 bench
+    * diag), while the auto-sized family holds expected occupancy
+    * constant so candidates stay linear. The count is one extra
+    * column-pruned job over the input (cheap next to the pair
+    * search); callers that already know the corpus size, or whose
+    * oracle embeds plane constants (q72/q102/q106), pass an explicit
+    * positive nPlanes and skip both the count and the sizing.
+    * Precondition: `vec_id` values are unique — duplicate ids yield
+    * duplicate candidate pairs (single-band LSH emits each a<b bucket
+    * pair exactly once only when ids are distinct).
     */
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
-      threshold: Double, nPlanes: Int = 8): DataFrame = {
+      threshold: Double, nPlanes: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(embeddings.count())
+    lastResolvedPlanes = np
     // disk-staged: the bucket self-join reads it twice (no cross-branch
     // exchange reuse); one row per vector, so small relative to a scan
     val e = graft.Staging.checkpoint(
       embeddings.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes)),
+        .withColumn("bucket", hyperplaneBucket(col("v"), dim, np)),
       "lsh-vecs")
     // diag over the staged 1-row-per-vector frame (vec_id only — the
     // embedding column never re-reads): candidate count Σ n·(n−1)/2
@@ -490,7 +523,7 @@ object Similarity {
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim_r", round(cosineNative(col("va"), col("vb")), 6))
+      .withColumn("sim_r", simR(col("va"), col("vb")))
       .filter(col("sim_r") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim_r"))
     // no distinct: one bucket signature per vector (single-band LSH),

@@ -128,9 +128,11 @@ object AdvancedQueries {
           .agg(
             round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
             round(var_samp(col("l_quantity")), 4).as("var_qty"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
-              .as("covar_qp"),
+            // + 0.0: signed-rounded-output convention (Similarity.simR)
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+              + lit(0.0)).as("corr_qp"),
+            (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+              + lit(0.0)).as("covar_qp"),
             min(col("l_shipdate")).as("min_ship"),
             max(col("l_shipdate")).as("max_ship"))
           .orderBy(col("l_returnflag")),
@@ -138,8 +140,8 @@ object AdvancedQueries {
         SELECT l_returnflag,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
                ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
-               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
-               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qp,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qp,
                MIN(l_shipdate) AS min_ship,
                MAX(l_shipdate) AS max_ship
         FROM lineitem

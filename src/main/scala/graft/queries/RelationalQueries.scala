@@ -214,8 +214,10 @@ object RelationalQueries {
           expr("percentile(abs(daily_total_sales - med), 0.5)").as("mad_v"))
         withMed.crossJoin(mad)
           .withColumn("anomaly_score",
+            // + 0.0 normalizes IEEE signed zero after the round (repo
+            // convention for SIGNED rounded outputs; see Similarity.simR)
             round(lit(0.6745) * (col("daily_total_sales") - col("med"))
-              / nullif(col("mad_v"), lit(0.0)), 4))
+              / nullif(col("mad_v"), lit(0.0)), 4) + lit(0.0))
           .withColumn("is_anomaly", abs(col("anomaly_score")) > 3.5)
           .select("purchase_date", "daily_total_sales",
             "daily_transaction_count", "anomaly_score", "is_anomaly")
@@ -232,7 +234,7 @@ object RelationalQueries {
               FROM daily d, s)
         SELECT d.purchase_date, d.daily_total_sales, d.daily_transaction_count,
                ROUND(0.6745 * (d.daily_total_sales - s.med) / NULLIF(m.mad_v, 0), 4)
-                 AS anomaly_score,
+                 + 0.0 AS anomaly_score,
                ABS(ROUND(0.6745 * (d.daily_total_sales - s.med) / NULLIF(m.mad_v, 0), 4))
                  > 3.5 AS is_anomaly
         FROM daily d, s, m
@@ -283,7 +285,7 @@ object RelationalQueries {
             count(lit(1)).as("daily_transaction_count"))
         val z = graft.analytics.Anomaly.RobustZScorer().score(daily)
           .select(col("purchase_date"),
-            round(col("anomaly_score"), 6).as("z_score"),
+            (round(col("anomaly_score"), 6) + lit(0.0)).as("z_score"),
             col("is_anomaly").as("z_flag"))
         val f = graft.analytics.Anomaly.IsolationForestScorer().score(daily)
           .select(col("purchase_date"), col("is_anomaly").as("forest_flag"))
@@ -328,7 +330,7 @@ object RelationalQueries {
                    COALESCE(ABS(CASE WHEN mad2 <> 0
                      THEN 0.6745 * (f2 - med2) / mad2
                      ELSE (f2 - med2) / NULLIF(1.253314 * meanad2, 0) END), 0)), 6)
-                   AS z_score,
+                   + 0.0 AS z_score,
                  GREATEST(
                    COALESCE(ABS(CASE WHEN mad1 <> 0
                      THEN 0.6745 * (f1 - med1) / mad1
@@ -530,13 +532,14 @@ object RelationalQueries {
         t(s, dir, "events")
           .select(
             col("user_id"), col("event_id"),
-            round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+            (round(col("value") - lag(col("value"), 1).over(w), 4) + lit(0.0))
+              .as("delta"))
           .orderBy(col("user_id"), col("event_id"))
       },
       Some("""
         SELECT user_id, event_id,
                ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id
-                 ORDER BY event_id), 4) AS delta
+                 ORDER BY event_id), 4) + 0.0 AS delta
         FROM events
         ORDER BY user_id, event_id""")),
 

@@ -56,30 +56,10 @@ object Sf0Queries {
       })
 
   /** Prepend shadow CTEs that rebind every table name to a 0-row
-    * projection of the base view. Handles plain SELECT, WITH, and
-    * WITH RECURSIVE originals.
+    * projection of the base view (shared machinery: [[DegenShadow]]).
     */
-  private def shadowEmpty(sql: String): String = {
-    // fail FAST at registry build if a pick's oracle defines a CTE
-    // named like a table (the shadow would collide) — a future pick
-    // with `WITH part AS (...)` must break here with a clear message,
-    // not at gate time with a DuckDB binder error
-    Tables.names.foreach { t =>
-      require(!s"(?is)\\b$t\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined,
-        s"sf0 oracle defines a CTE shadowing table '$t'; rename the CTE")
-    }
-    val shadows = Tables.names
-      .map(t => s"$t AS (SELECT * FROM main.$t WHERE FALSE)")
-      .mkString(", ")
-    val trimmed = sql.trim
-    val up = trimmed.toUpperCase(java.util.Locale.ROOT)
-    if (up.startsWith("WITH RECURSIVE"))
-      s"WITH RECURSIVE $shadows, " + trimmed.drop("WITH RECURSIVE".length).trim
-    else if (up.startsWith("WITH"))
-      s"WITH $shadows, " + trimmed.drop("WITH".length).trim
-    else
-      s"WITH $shadows $trimmed"
-  }
+  private def shadowEmpty(sql: String): String =
+    DegenShadow.shadow(sql, t => s"SELECT * FROM main.$t WHERE FALSE")
 
   val all: Seq[QueryDef] = {
     val base = (RelationalQueries.all ++ AdvancedQueries.all ++

@@ -27,7 +27,7 @@ object SimilarityQueries {
         p AS (
           SELECT q_vec, n_vec,
             ROUND(list_dot_product(qv, nv)
-              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) + 0.0
               AS sim_r
           FROM q, n WHERE q_vec <> n_vec),
         r AS (
@@ -103,7 +103,7 @@ object SimilarityQueries {
         Tables.load(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
-          .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+          .agg((round(avg(col("v").cast("double")), 6) + lit(0.0)).as("mean_v"),
             count(lit(1)).as("n_vecs"))
           .orderBy(col("label"), col("dim")),
       Some("""
@@ -112,7 +112,7 @@ object SimilarityQueries {
                      UNNEST(range(1, len(v) + 1)) AS dim
               FROM e)
         SELECT label, CAST(dim AS BIGINT) AS dim,
-               ROUND(AVG(val), 6) AS mean_v,
+               ROUND(AVG(val), 6) + 0.0 AS mean_v,
                COUNT(*) AS n_vecs
         FROM x
         GROUP BY label, dim
@@ -138,8 +138,7 @@ object SimilarityQueries {
           .join(emb.select(col("vec_id").as("doc_id_b"),
             col("embedding").as("eb")), Seq("doc_id_b"))
           .select(col("doc_id_a"), col("doc_id_b"),
-            round(Similarity.cosineNative(col("ea"), col("eb")), 6)
-              .as("emb_sim"))
+            Similarity.simR(col("ea"), col("eb")).as("emb_sim"))
           .orderBy(col("doc_id_a"), col("doc_id_b"))
       },
       Some("""
@@ -151,7 +150,7 @@ object SimilarityQueries {
         SELECT doc_id_a, doc_id_b,
                ROUND(list_dot_product(ea.v, eb.v)
                  / (sqrt(list_dot_product(ea.v, ea.v))
-                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS emb_sim
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) + 0.0 AS emb_sim
         FROM p
         JOIN e ea ON ea.vec_id = doc_id_a
         JOIN e eb ON eb.vec_id = doc_id_b
@@ -221,8 +220,7 @@ object SimilarityQueries {
         e.select(col("vec_id").as("n_vec"), col("r").as("nr"))
           .crossJoin(broadcast(q))
           .filter(col("q_vec") =!= col("n_vec"))
-          .withColumn("sim_r",
-            round(Similarity.cosineNative(col("qr"), col("nr")), 6))
+          .withColumn("sim_r", Similarity.simR(col("qr"), col("nr")))
           .withColumn("rn", row_number().over(w).cast("bigint"))
           .filter(col("rn") <= 5)
           .select(col("q_vec"), col("n_vec"), col("sim_r"), col("rn"))
@@ -244,7 +242,7 @@ object SimilarityQueries {
         p AS (
           SELECT q_vec, n_vec,
             ROUND(list_dot_product(qr, nr)
-              / (sqrt(list_dot_product(qr, qr)) * sqrt(list_dot_product(nr, nr))), 6)
+              / (sqrt(list_dot_product(qr, qr)) * sqrt(list_dot_product(nr, nr))), 6) + 0.0
               AS sim_r
           FROM q, n WHERE q_vec <> n_vec),
         rk AS (
@@ -279,7 +277,7 @@ object SimilarityQueries {
           SELECT q_vec, e.vec_id AS n_vec,
             CASE WHEN e.label = q_label THEN 'pos' ELSE 'neg' END AS kind,
             ROUND(list_dot_product(qv, e.v)
-              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0.0
               AS sim_r
           FROM a, e WHERE q_vec <> e.vec_id),
         r AS (
@@ -324,7 +322,7 @@ object SimilarityQueries {
           SELECT dim, q_vec, n_vec,
                  ROUND(list_dot_product(qv[1:dim], nv[1:dim])
                    / (sqrt(list_dot_product(qv[1:dim], qv[1:dim]))
-                      * sqrt(list_dot_product(nv[1:dim], nv[1:dim]))), 6) AS sim_r
+                      * sqrt(list_dot_product(nv[1:dim], nv[1:dim]))), 6) + 0.0 AS sim_r
           FROM q, n, d WHERE q_vec <> n_vec),
         r AS (
           SELECT dim, q_vec, n_vec,
@@ -373,8 +371,8 @@ object SimilarityQueries {
             sum(col("sxx")).as("sxx"),
             sum(col("sx")).as("sx"))
           .select(col("dim"), col("n_vecs"),
-            round((col("smu2") - col("sx") * col("mu"))
-              / nullif(col("sxx") - col("smu2"), lit(0.0)), 4)
+            (round((col("smu2") - col("sx") * col("mu"))
+              / nullif(col("sxx") - col("smu2"), lit(0.0)), 4) + lit(0.0))
               .as("fisher_ratio"))
           .orderBy(col("dim"))
       },
@@ -396,7 +394,7 @@ object SimilarityQueries {
                  SUM(sx) AS sx
           FROM bc GROUP BY 1)
         SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
-               ROUND((smu2 - sx * mu) / NULLIF(sxx - smu2, 0.0), 4)
+               ROUND((smu2 - sx * mu) / NULLIF(sxx - smu2, 0.0), 4) + 0.0
                  AS fisher_ratio
         FROM d
         ORDER BY dim"""))
@@ -551,7 +549,7 @@ object SimilarityQueries {
         cand AS (
           SELECT q_vec, n_vec,
             ROUND(list_dot_product(qv, nv)
-              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) + 0.0
               AS sim_r
           FROM probed JOIN idx USING (cell_id)
           WHERE q_vec <> n_vec),

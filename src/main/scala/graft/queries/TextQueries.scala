@@ -522,7 +522,7 @@ object TextQueries {
                      LN(CAST(v.tf_t + 1 AS DOUBLE) / (tot.n_t + tot.vv))
                    - LN(CAST(v.tf_s + 1 AS DOUBLE) / (tot.n_s + tot.vv))
                    ) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
-                   / CAST(SUM(dtf.dtf) AS DOUBLE), 4) AS log_weight
+                   / CAST(SUM(dtf.dtf) AS DOUBLE), 4) + 0.0 AS log_weight
           FROM dtf JOIN v USING (tok) CROSS JOIN tot
           GROUP BY dtf.doc_id)
         SELECT doc_id, n_tokens, log_weight,
@@ -1087,10 +1087,14 @@ object TextQueries {
             sum(col("c_all")).as("q_num"),
             first(col("n_all")).as("n_all"))
           .select(col("source"), col("n_tokens"),
-            round(lit(0.5) * (col("t_fp").cast("double") / lit(1e15d)) +
+            // + 0.0: the term_fp floor can net a tiny NEGATIVE when
+            // p ~= q (ln(p/m) < 0 < ln(q/m) summed in floating point),
+            // so jsd is a SIGNED rounded output — signed-zero
+            // normalization per the repo convention (Similarity.simR)
+            (round(lit(0.5) * (col("t_fp").cast("double") / lit(1e15d)) +
               lit(0.5) * lit(0.6931471805599453) *
                 (lit(1.0) - col("q_num").cast("double")
-                  / col("n_all").cast("double")), 4)
+                  / col("n_all").cast("double")), 4) + lit(0.0))
               .as("jsd"))
           .orderBy(col("source"))
       },
@@ -1114,7 +1118,7 @@ object TextQueries {
                      AS DOUBLE) / 1e15)
                    + 0.5 * 0.6931471805599453
                      * (1.0 - CAST(SUM(c_all) AS DOUBLE) / ANY_VALUE(n_all)),
-                 4) AS jsd
+                 4) + 0.0 AS jsd
         FROM terms
         GROUP BY source, n_s
         ORDER BY source""")),

@@ -323,6 +323,19 @@ class PackingSpec extends SparkSpec {
     // each shard restarts at bin 0
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("negative token counts fail fast instead of packing garbage") {
+    // dirty input: a negative count would make the cumulative sum
+    // non-monotone (DIV truncate-toward-zero pins it to bin 0)
+    val docs = Seq((1L, 600L), (2L, -5L), (3L, 600L))
+      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+    val e = intercept[Exception] {
+      graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L).collect()
+    }
+    assert(e.getMessage.contains("negative token count")
+      || Option(e.getCause).exists(_.getMessage.contains("negative token count")))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

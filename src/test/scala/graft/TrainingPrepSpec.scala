@@ -273,6 +273,27 @@ class TrainingPrepSpec extends SparkSpec {
     assert(autoPlanes(64000L, 25) > 8)
   }
 
+  test("lshNeighborPairs DEFAULT path auto-sizes planes with corpus size") {
+    // the r5 scale finding made default behavior: with no explicit
+    // nPlanes the plane family grows with the corpus (linear candidate
+    // growth), instead of a fixed family that saturates quadratically
+    import graft.ext.Similarity
+    val dim = 8
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.lshNeighborPairs(corpus(100), dim, threshold = 0.999)
+    val small = Similarity.lastResolvedPlanes
+    Similarity.lshNeighborPairs(corpus(3000), dim, threshold = 0.999)
+    val large = Similarity.lastResolvedPlanes
+    assert(small === Similarity.autoPlanes(100L))
+    assert(large === Similarity.autoPlanes(3000L))
+    assert(large > small) // the family actually grew with the corpus
+    // explicit nPlanes still wins (the oracle-constant path)
+    Similarity.lshNeighborPairs(corpus(100), dim, threshold = 0.999, nPlanes = 8)
+    assert(Similarity.lastResolvedPlanes === 8)
+  }
+
   test("containment catches a small doc quoted inside a larger one") {
     // doc 1's shingles all appear in doc 2; the reverse direction is
     // below threshold — asymmetry is the point of the operator
