@@ -7,6 +7,20 @@ import graft.ext.TextAnalysis._
   * (training-data pipeline surface; see graft.ext.TextAnalysis).
   * Every oracle mirrors the Spark expression tree op-for-op so double
   * arithmetic is bit-identical before ROUND().
+  *
+  * Two registry-wide determinism conventions under the driver's hash
+  * gate (grep anchors: "q145 convention", "signed-rounded-output"):
+  *  1. FIXED-POINT: any libm result (ln/exp) that gets SUMMED is
+  *     floored to 1e-9/1e-12/1e-15 integer units per term first, so
+  *     the aggregation is exact long arithmetic in both engines —
+  *     immune to libm ulp and summation-order drift.
+  *  2. SIGNED ZERO: every SIGNED rounded output column appends `+ 0.0`
+  *     after the round in BOTH engines (Spark's BigDecimal round
+  *     yields +0.0 where DuckDB's ROUND yields -0.0 on tiny
+  *     negatives — float-equal, hash-different). Helper for cosine
+  *     columns: [[graft.ext.Similarity.simR]]. Non-negative outputs
+  *     (counts, ratios in [0,1], surprisals, Jaccard) skip it — a
+  *     non-negative double can only round to +0.0.
   */
 object TextQueries {
 
