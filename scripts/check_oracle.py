@@ -52,13 +52,18 @@ def main(sf_dir, out_dir):
                     # hash-faithful: compare IEEE-754 BYTES, not float ==,
                     # so a -0.0 vs 0.0 (or any formatting-class) artifact
                     # fails HERE exactly as it fails the driver's hash
-                    # gate (the q145 r5 lesson). NaN/None both canonicalize
-                    # through Python float -> one quiet-NaN bit pattern.
+                    # gate (the q145 r5 lesson). NaNs are canonicalized
+                    # explicitly (engines can carry different NaN bit
+                    # patterns — sign/payload — that struct.pack would
+                    # preserve, while the driver's string hash sees one
+                    # 'NaN'); sign of zero is NOT canonicalized, which
+                    # is the point.
                     import struct
+                    _nan = struct.pack("<d", float("nan"))
 
                     def packed(s):
-                        return s.astype(float).fillna(float("nan")).map(
-                            lambda x: struct.pack("<d", x))
+                        return s.astype(float).map(
+                            lambda x: _nan if x != x else struct.pack("<d", x))
                     eq = (packed(a) == packed(b)).all()
                 else:
                     eq = (a.astype(str) == b.astype(str)).all()

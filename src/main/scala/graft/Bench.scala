@@ -135,9 +135,13 @@ object Bench {
 
     def captureMinhash(entry: String): Unit =
       graft.ext.Dedup.lastMinhashDiag.foreach { d =>
+        // Double.toString, not the f-interpolator: %f formats via the
+        // JVM default locale, so a comma-decimal locale would emit
+        // "candidate_sec":3,55} — invalid JSON in the diag file
+        val cs = math.rint(d.candidateSec * 100) / 100
         minhashDiag(entry) =
           s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}",""" +
-            f""""candidate_sec":${d.candidateSec}%.2f}"""
+            s""""candidate_sec":$cs}"""
       }
     def captureLsh(entry: String): Unit =
       // the thunk runs the histogram job HERE, after best() stopped

@@ -37,12 +37,18 @@ object Packing {
       // negative token counts (dirty input) would make the cumulative
       // sum non-monotone and, under DIV's truncate-toward-zero, pin
       // negative prefixes to bin 0 instead of a (meaningless) negative
-      // bin — fail fast instead of packing garbage
+      // bin — fail fast instead of packing garbage. The guard is a
+      // FILTER, not an expression inside the window aggregate: the
+      // (unboundedPreceding, -1) frame never consumes the LAST row of
+      // a partition, so a guard embedded in the sum's input would skip
+      // a trailing negative. A filter predicate evaluates on EVERY
+      // row; assert_true returns NULL (isNull → keep) when the check
+      // passes and throws when it fails.
+      .filter(assert_true(tokenCol >= 0,
+        concat(lit("packByTokenBudget: negative token count: "),
+          tokenCol.cast("string"))).isNull)
       .withColumn("run_tokens_before",
-        coalesce(sum(when(tokenCol < 0, raise_error(concat(
-            lit("packByTokenBudget: negative token count: "),
-            tokenCol.cast("string")))).otherwise(tokenCol)).over(w),
-          lit(0L)))
+        coalesce(sum(tokenCol).over(w), lit(0L)))
       // integer DIV, the Chunking/lengthBucket discipline: double
       // division loses integer precision past 2^53 cumulative tokens
       // and could shift a bin boundary by one

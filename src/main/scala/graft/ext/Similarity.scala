@@ -499,13 +499,24 @@ object Similarity {
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val np = if (nPlanes > 0) nPlanes else autoPlanes(embeddings.count())
+    // auto path: stage the raw projection FIRST and count the staged
+    // parquet (footer-count, no recompute) — counting `embeddings`
+    // directly would execute a derived input pipeline twice (once for
+    // the count, once for the stage write). Cost: one extra disk
+    // round-trip of the vectors, only on the auto path; the explicit-
+    // planes path keeps the single-stage shape.
+    val projected = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val (src, np) =
+      if (nPlanes > 0) (projected, nPlanes)
+      else {
+        val raw = graft.Staging.checkpoint(projected, "lsh-raw")
+        (raw, autoPlanes(raw.count()))
+      }
     lastResolvedPlanes = np
     // disk-staged: the bucket self-join reads it twice (no cross-branch
     // exchange reuse); one row per vector, so small relative to a scan
     val e = graft.Staging.checkpoint(
-      embeddings.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("bucket", hyperplaneBucket(col("v"), dim, np)),
+      src.withColumn("bucket", hyperplaneBucket(col("v"), dim, np)),
       "lsh-vecs")
     // diag over the staged 1-row-per-vector frame (vec_id only — the
     // embedding column never re-reads): candidate count Σ n·(n−1)/2

@@ -28,11 +28,6 @@ import org.apache.spark.sql.functions.lit
   */
 object Sf0Queries {
 
-  private val picks = Seq(
-    "q01_pricing_summary", "q10_daily_sales", "q31_running_total",
-    "q61_doc_stats", "q65_minhash_dedup", "q70_knn_bruteforce",
-    "q96_unigram_surprisal", "q145_dsir_weights")
-
   /** Memoized per (session, source dir): a temp dir in the SF layout
     * holding a 0-row, schema-identical copy of every table (the
     * `filter(false)` write preserves schema — the r4 empty-overwrite
@@ -61,17 +56,12 @@ object Sf0Queries {
   private def shadowEmpty(sql: String): String =
     DegenShadow.shadow(sql, t => s"SELECT * FROM main.$t WHERE FALSE")
 
-  val all: Seq[QueryDef] = {
-    val base = (RelationalQueries.all ++ AdvancedQueries.all ++
-      EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all).map(q => q.name -> q).toMap
-    picks.map { name =>
-      val orig = base(name)
+  val all: Seq[QueryDef] =
+    DegenShadow.picks.map { name =>
+      val orig = DegenShadow.baseByName(name)
       QueryDef(
         s"sf0_$name",
         (s, dir) => orig.run(s, emptySfDir(s, dir)),
         orig.oracle.map(shadowEmpty))
     }
-  }
 }

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions.col
   */
 private[queries] object DegenShadow {
 
+  /** The shared 8-query representative slice BOTH degenerate groups
+    * run (one place, so the boundary nets cannot desynchronize):
+    * scan-agg, time-series agg, window, text analysis, MinHash dedup,
+    * broadcast kNN, LM scoring, fixed-point DSIR weights.
+    */
+  val picks: Seq[String] = Seq(
+    "q01_pricing_summary", "q10_daily_sales", "q31_running_total",
+    "q61_doc_stats", "q65_minhash_dedup", "q70_knn_bruteforce",
+    "q96_unigram_surprisal", "q145_dsir_weights")
+
+  /** Name → QueryDef over every non-degenerate registry group. Lazy:
+    * the group objects' `all` initializers must run first.
+    */
+  lazy val baseByName: Map[String, QueryDef] =
+    (RelationalQueries.all ++ AdvancedQueries.all ++
+      EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all ++
+      CurationQueries.all).map(q => q.name -> q).toMap
+
   /** `perTable(t)` must be a standalone SELECT over `main.<t>`. */
   def shadow(sql: String, perTable: String => String): String = {
     // fail FAST at registry build if a pick's oracle defines a CTE
@@ -56,11 +75,6 @@ private[queries] object DegenShadow {
   */
 object Sf1RowQueries {
 
-  private val picks = Seq(
-    "q01_pricing_summary", "q10_daily_sales", "q31_running_total",
-    "q61_doc_stats", "q65_minhash_dedup", "q70_knn_bruteforce",
-    "q96_unigram_surprisal", "q145_dsir_weights")
-
   /** Memoized per (session, source dir): a temp dir in the SF layout
     * holding a deterministic 1-row copy of every table.
     */
@@ -75,7 +89,7 @@ object Sf1RowQueries {
         val out = java.nio.file.Files.createTempDirectory("graft-sf1row-")
         Tables.names.foreach { t =>
           val d = Tables.load(s, dir, t)
-          d.orderBy(d.columns.map(c => col(c).asc_nulls_first): _*)
+          d.orderBy(d.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
             .limit(1)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$out/$t.parquet")
@@ -83,18 +97,13 @@ object Sf1RowQueries {
         out.toString
       })
 
-  val all: Seq[QueryDef] = {
-    val base = (RelationalQueries.all ++ AdvancedQueries.all ++
-      EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all).map(q => q.name -> q).toMap
-    picks.map { name =>
-      val orig = base(name)
+  val all: Seq[QueryDef] =
+    DegenShadow.picks.map { name =>
+      val orig = DegenShadow.baseByName(name)
       QueryDef(
         s"sf1row_$name",
         (s, dir) => orig.run(s, oneRowSfDir(s, dir)),
         orig.oracle.map(DegenShadow.shadow(_,
           t => s"SELECT * FROM main.$t ORDER BY ALL NULLS FIRST LIMIT 1")))
     }
-  }
 }

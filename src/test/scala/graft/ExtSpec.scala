@@ -326,15 +326,25 @@ class PackingSpec extends SparkSpec {
 
   test("negative token counts fail fast instead of packing garbage") {
     // dirty input: a negative count would make the cumulative sum
-    // non-monotone (DIV truncate-toward-zero pins it to bin 0)
-    val docs = Seq((1L, 600L), (2L, -5L), (3L, 600L))
-      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
-    val e = intercept[Exception] {
-      graft.ext.Packing.packByTokenBudget(docs, col("shard"),
-        col("doc_id"), col("n_tokens"), budget = 1000L).collect()
+    // non-monotone (DIV truncate-toward-zero pins it to bin 0). Three
+    // placements, because the guard must not live inside the window
+    // aggregate: the (unboundedPreceding, -1) frame never consumes a
+    // partition's LAST row, so mid-partition, trailing, and
+    // single-row-shard negatives must all throw
+    def negFails(rows: Seq[(Long, Long)]): Unit = {
+      val docs = rows.toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+      val e = intercept[Exception] {
+        graft.ext.Packing.packByTokenBudget(docs, col("shard"),
+          col("doc_id"), col("n_tokens"), budget = 1000L).collect()
+      }
+      def hasMsg(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("negative token count"))
+          || hasMsg(t.getCause))
+      assert(hasMsg(e), s"wrong failure: $e")
     }
-    assert(e.getMessage.contains("negative token count")
-      || Option(e.getCause).exists(_.getMessage.contains("negative token count")))
+    negFails(Seq((1L, 600L), (2L, -5L), (3L, 600L))) // mid-partition
+    negFails(Seq((1L, 600L), (2L, -5L)))             // trailing row
+    negFails(Seq((1L, -5L)))                         // sole row of shard
   }
 }
 
