@@ -235,13 +235,36 @@ object Bench {
     val x30Probe: Seq[(String, Double)] = {
       var dir30: String = null
       corpusBuild30 = timed { dir30 = buildScaledCorpus(spark, sfDir, copies = 30) }
-      Seq("q65_minhash_dedup", "q122_repeated_ngrams",
+      val fixed = Seq("q65_minhash_dedup", "q122_repeated_ngrams",
         "q125_substring_spans").map { n =>
         val entry = s"x30_$n"
         val t = best(entry, 2)(runIn(n, dir30))
         captureMinhash(entry)
         entry -> t
       }
+      // the auto-planes sizing rule's SECOND scale point (x10 above is
+      // the first): with occupancy targeted at the 1× family's ~8 per
+      // bucket, linear candidate growth across x10 AND x30 is the
+      // two-point fit that separates "held occupancy" from "got lucky
+      // at one scale" — same argument the fixed x10/x30 pairs make for
+      // the minhash family
+      val autoEntry = "x30_q72_lsh_auto"
+      val nVec30 = spark.read.parquet(s"$dir30/embeddings.parquet").count()
+      val planes30 = graft.ext.Similarity.autoPlanes(nVec30, targetPerBucket = 8)
+      System.err.println(s"[bench] $autoEntry: n=$nVec30 -> nPlanes=$planes30")
+      val tAuto = best(autoEntry, 2) {
+        try timed {
+          graft.ext.Similarity.lshNeighborPairs(
+            spark.read.parquet(s"$dir30/embeddings.parquet"),
+            dim = 64, threshold = 0.3, nPlanes = planes30)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $autoEntry failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      captureLsh(autoEntry)
+      fixed :+ (autoEntry -> tAuto)
     }
 
     val results =
