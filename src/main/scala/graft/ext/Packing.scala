@@ -43,8 +43,10 @@ object Packing {
       // a partition, so a guard embedded in the sum's input would skip
       // a trailing negative. A filter predicate evaluates on EVERY
       // row; assert_true returns NULL (isNull → keep) when the check
-      // passes and throws when it fails.
-      .filter(assert_true(tokenCol >= 0,
+      // passes and throws when it fails. NULL counts stay allowed —
+      // assert_true throws on non-true, and sum() has always ignored
+      // them (a null contributes 0 tokens; only NEGATIVE is garbage).
+      .filter(assert_true(tokenCol.isNull || tokenCol >= 0,
         concat(lit("packByTokenBudget: negative token count: "),
           tokenCol.cast("string"))).isNull)
       .withColumn("run_tokens_before",

@@ -345,6 +345,15 @@ class PackingSpec extends SparkSpec {
     negFails(Seq((1L, 600L), (2L, -5L), (3L, 600L))) // mid-partition
     negFails(Seq((1L, 600L), (2L, -5L)))             // trailing row
     negFails(Seq((1L, -5L)))                         // sole row of shard
+    // NULL counts stay allowed (sum ignores them — always have been;
+    // the guard rejects only NEGATIVE values)
+    val withNull = Seq((1L, Some(600L)), (2L, None), (3L, Some(600L)))
+      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+    val got = graft.ext.Packing.packByTokenBudget(withNull, col("shard"),
+        col("doc_id"), col("n_tokens"), budget = 1000L)
+      .select("doc_id", "bin_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // null adds 0 tokens
   }
 }
 
