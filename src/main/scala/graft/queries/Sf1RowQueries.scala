@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
   * unmodified over the shrunken inputs (the `main.` qualifier avoids
   * the circular-CTE error in DuckDB).
   */
-private[queries] object DegenShadow {
+private[graft] object DegenShadow {
 
   /** The shared 8-query representative slice BOTH degenerate groups
     * run (one place, so the boundary nets cannot desynchronize):
