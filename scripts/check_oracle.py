@@ -49,15 +49,20 @@ def main(sf_dir, out_dir):
             a, b = got[c], exp[c]
             try:
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                    # hash-faithful: compare IEEE-754 BYTES, not float ==,
-                    # so a -0.0 vs 0.0 (or any formatting-class) artifact
-                    # fails HERE exactly as it fails the driver's hash
-                    # gate (the q145 r5 lesson). NaNs are canonicalized
-                    # explicitly (engines can carry different NaN bit
-                    # patterns — sign/payload — that struct.pack would
-                    # preserve, while the driver's string hash sees one
-                    # 'NaN'); sign of zero is NOT canonicalized, which
-                    # is the point.
+                    # hash-faithful for VALUES: compare IEEE-754 BYTES,
+                    # not float ==, so a -0.0 vs 0.0 (or any formatting-
+                    # class) artifact fails HERE exactly as it fails the
+                    # driver's hash gate (the q145 r5 lesson). NaNs are
+                    # canonicalized explicitly (engines can carry
+                    # different NaN bit patterns — sign/payload — that
+                    # struct.pack would preserve). KNOWN BLIND SPOT:
+                    # the float64 pandas path surfaces SQL NULL and NaN
+                    # as the same np.nan, so a NULL-vs-NaN engine
+                    # divergence cannot be detected here — registry
+                    # convention keeps NaN out of result columns
+                    # (cosine zero-norm guards, nullif()-guarded
+                    # divisions), making NULL the only absent-value
+                    # representation in practice.
                     import struct
                     _nan = struct.pack("<d", float("nan"))
 

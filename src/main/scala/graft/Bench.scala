@@ -33,6 +33,12 @@ object Bench {
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     val minhashDiag = scala.collection.mutable.LinkedHashMap[String, String]()
     val lshDiag = scala.collection.mutable.LinkedHashMap[String, String]()
+    // candidate_sec varies RUN TO RUN (it is the phase split the r5
+    // x30_q65 wobble hunt needed), unlike n_pairs/verify_join which
+    // are run-stable — so it is snapshotted after EVERY run inside
+    // best(), not once after the last run, and published as an array
+    // aligned with the raw_runs entry
+    val candSecs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
     def prepare(entry: String): Unit = {
       // every entry starts from an empty cache. Registered queries no
@@ -76,7 +82,16 @@ object Bench {
       * visible).
       */
     def best(entry: String, n: Int)(body: => Double): Double = {
-      val ts = (1 to n).map { _ => prepare(entry); body }
+      val ts = (1 to n).map { _ =>
+        prepare(entry)
+        val t = body
+        graft.ext.Dedup.lastMinhashDiag.foreach { d =>
+          candSecs(entry) =
+            candSecs.getOrElse(entry, Seq.empty) :+
+              math.rint(d.candidateSec * 100) / 100
+        }
+        t
+      }
       rawRuns(entry) = ts
       if (ts.exists(_ < 0)) ts.max else ts.min
     }
@@ -137,8 +152,11 @@ object Bench {
       graft.ext.Dedup.lastMinhashDiag.foreach { d =>
         // Double.toString, not the f-interpolator: %f formats via the
         // JVM default locale, so a comma-decimal locale would emit
-        // "candidate_sec":3,55} — invalid JSON in the diag file
-        val cs = math.rint(d.candidateSec * 100) / 100
+        // invalid JSON in the diag file. candidate_sec is the per-run
+        // array collected in best() (aligned with raw_runs), so the
+        // phase split of EVERY run is on record, including a wobble
+        // that lands only on a non-min run.
+        val cs = candSecs.getOrElse(entry, Seq.empty).mkString("[", ",", "]")
         minhashDiag(entry) =
           s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}",""" +
             s""""candidate_sec":$cs}"""
@@ -158,6 +176,31 @@ object Bench {
       }
       captureMinhash(n); captureLsh(n)
       n -> t
+    }
+
+    /** One auto-sized LSH pair-search probe over `dir`'s embeddings:
+      * plane count from autoPlanes(n, target=8 — the 1× family's
+      * measured occupancy). Shared by the x10 and x30 entries so the
+      * two scale points of the occupancy-held fit can never
+      * desynchronize on harness details.
+      */
+    def lshAutoProbe(dir: String, entry: String, runs: Int): (String, Double) = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val planes = graft.ext.Similarity.autoPlanes(n, targetPerBucket = 8)
+      System.err.println(s"[bench] $entry: n=$n -> nPlanes=$planes")
+      val t = best(entry, runs) {
+        try timed {
+          graft.ext.Similarity.lshNeighborPairs(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            dim = 64, threshold = 0.3, nPlanes = planes)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $entry failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      captureLsh(entry)
+      entry -> t
     }
 
     // ── 10× dedup/ANN scale probe ─────────────────────────────────
@@ -202,28 +245,11 @@ object Bench {
       // pulling occupancy back to the target and candidates back to
       // ~linear — the PLANS.md q72 analysis as a measured record
       // rather than an argument (r4 verdict ask #3 follow-through).
-      val autoEntry = "x10_q72_lsh_auto"
-      val nVec10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
       // target = the 1× family's MEASURED occupancy (~2000 vectors
-      // over 252 populated buckets ≈ 8/bucket), so the probe tests
+      // over 252 populated buckets ≈ 8/bucket), so the probes test
       // the rule's actual scale claim — occupancy held CONSTANT as
       // the corpus grows — not merely "fewer candidates than fixed"
-      val planes10 = graft.ext.Similarity.autoPlanes(nVec10, targetPerBucket = 8)
-      System.err.println(
-        s"[bench] $autoEntry: n=$nVec10 -> nPlanes=$planes10")
-      val tAuto = best(autoEntry, 3) {
-        try timed {
-          graft.ext.Similarity.lshNeighborPairs(
-            spark.read.parquet(s"$dir10/embeddings.parquet"),
-            dim = 64, threshold = 0.3, nPlanes = planes10)
-            .write.format("noop").mode("overwrite").save()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $autoEntry failed: ${e.getMessage}")
-          -1.0
-        }
-      }
-      captureLsh(autoEntry)
-      fixed :+ (autoEntry -> tAuto)
+      fixed :+ lshAutoProbe(dir10, "x10_q72_lsh_auto", runs = 3)
     }
 
     // ── 30× probe for the three heaviest linear ops ───────────────
@@ -248,23 +274,7 @@ object Bench {
       // two-point fit that separates "held occupancy" from "got lucky
       // at one scale" — same argument the fixed x10/x30 pairs make for
       // the minhash family
-      val autoEntry = "x30_q72_lsh_auto"
-      val nVec30 = spark.read.parquet(s"$dir30/embeddings.parquet").count()
-      val planes30 = graft.ext.Similarity.autoPlanes(nVec30, targetPerBucket = 8)
-      System.err.println(s"[bench] $autoEntry: n=$nVec30 -> nPlanes=$planes30")
-      val tAuto = best(autoEntry, 2) {
-        try timed {
-          graft.ext.Similarity.lshNeighborPairs(
-            spark.read.parquet(s"$dir30/embeddings.parquet"),
-            dim = 64, threshold = 0.3, nPlanes = planes30)
-            .write.format("noop").mode("overwrite").save()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $autoEntry failed: ${e.getMessage}")
-          -1.0
-        }
-      }
-      captureLsh(autoEntry)
-      fixed :+ (autoEntry -> tAuto)
+      fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 2)
     }
 
     val results =

@@ -499,25 +499,32 @@ object Similarity {
   def lshNeighborPairs(embeddings: DataFrame, dim: Int,
       threshold: Double, nPlanes: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // auto path: stage the raw projection FIRST and count the staged
-    // parquet (footer-count, no recompute) — counting `embeddings`
-    // directly would execute a derived input pipeline twice (once for
-    // the count, once for the stage write). Cost: one extra disk
-    // round-trip of the vectors, only on the auto path; the explicit-
-    // planes path keeps the single-stage shape.
+    // Both paths stage the vectors ONCE (the self-join reads the stage
+    // twice; no cross-branch exchange reuse, and one row per vector is
+    // small relative to a scan).
+    // - explicit planes: the bucket is computed before the stage, so
+    //   the hashing runs once and the staged file carries it.
+    // - auto planes: the plane count needs a corpus count FIRST, so
+    //   the raw projection is staged (a derived input pipeline thus
+    //   executes once, not once for a count plus once for the write),
+    //   the count reads parquet footers, and the bucket column is
+    //   computed ON READ — nPlanes dot products per row per read is
+    //   far cheaper than a second full write+read of the corpus, and
+    //   no second staged copy accumulates in a long-lived session.
     val projected = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val (src, np) =
-      if (nPlanes > 0) (projected, nPlanes)
-      else {
-        val raw = graft.Staging.checkpoint(projected, "lsh-raw")
-        (raw, autoPlanes(raw.count()))
+    val e =
+      if (nPlanes > 0) {
+        lastResolvedPlanes = nPlanes
+        graft.Staging.checkpoint(
+          projected.withColumn("bucket",
+            hyperplaneBucket(col("v"), dim, nPlanes)),
+          "lsh-vecs")
+      } else {
+        val raw = graft.Staging.checkpoint(projected, "lsh-vecs")
+        val np = autoPlanes(raw.count())
+        lastResolvedPlanes = np
+        raw.withColumn("bucket", hyperplaneBucket(col("v"), dim, np))
       }
-    lastResolvedPlanes = np
-    // disk-staged: the bucket self-join reads it twice (no cross-branch
-    // exchange reuse); one row per vector, so small relative to a scan
-    val e = graft.Staging.checkpoint(
-      src.withColumn("bucket", hyperplaneBucket(col("v"), dim, np)),
-      "lsh-vecs")
     // diag over the staged 1-row-per-vector frame (vec_id only — the
     // embedding column never re-reads): candidate count Σ n·(n−1)/2
     // and the largest bucket, the two numbers that move if the
