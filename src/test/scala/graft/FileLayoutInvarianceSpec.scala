@@ -30,7 +30,13 @@ class FileLayoutInvarianceSpec extends SparkSpec {
     }
     val names = graft.queries.DegenShadow.picks ++ Seq(
       "q08_stat_aggs", "q75_label_centroids",
-      "q169_fisher_separability", "q155_source_divergence")
+      "q169_fisher_separability", "q155_source_divergence",
+      // the fixed-point families: each exists BECAUSE its naive form
+      // is summation-order-sensitive, so each must prove the floor
+      // convention actually bought layout invariance
+      "q94_tfidf_topk", "q105_corpus_datasheet", "q118_decayed_value",
+      "q123_collocations", "q138_benford_screen", "q141_pagerank",
+      "q152_bpe_pair_stats", "q166_psi_drift")
     val failures = names.flatMap { name =>
       val run = SparkEntry.queries(name)
       def rows(dir: String): Seq[String] =
