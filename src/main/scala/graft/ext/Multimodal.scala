@@ -82,12 +82,10 @@ object Multimodal {
     * instead of rows-only counts.
     */
   object StubCodec extends MediaCodec {
-    private def h60(bytes: Array[Byte], seed: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(seed.toByte)
-      // first 15 hex chars of the digest = top 60 bits; non-negative
-      (BigInt(1, md.digest(bytes).take(8)) >> 4).toLong
-    }
+    // first 15 hex chars of md5(seed byte ++ payload) = top 60 bits,
+    // non-negative — the shared [[graft.functions.Md5Hash60]] convention
+    private def h60(bytes: Array[Byte], seed: Int): Long =
+      graft.functions.Md5Hash60.of(Array(seed.toByte), bytes)
     // shared synthesis: dims and pixel bytes are pure integer
     // arithmetic over a non-negative 60-bit h (shift/xor/mod only, so
     // the oracle can replay them without signed-shift ambiguity)

@@ -106,6 +106,14 @@ object BloomSketch {
     * build-set size), false negatives impossible.
     */
   def mightContain(c: Column, bf: Column, numBits: Int, numHashes: Int): Column = {
+    // same validation as BloomAggregator: numHashes=0 would die in an
+    // obscure empty.reduce at plan build, and a numBits that differs
+    // from the build side (non-power-of-two typo) yields bit indices
+    // incongruent with the aggregator's — FALSE NEGATIVES, the one
+    // failure mode a Bloom prefilter must never have
+    require(numBits >= 64 && Integer.bitCount(numBits) == 1,
+      "numBits must be a power of two >= 64 (and equal the build side's)")
+    require(numHashes >= 1, "numHashes >= 1")
     val (h1r, h2r) = hashPair(c)
     // same small-domain congruent form as the aggregator: mod first,
     // then the linear combination — no Long overflow under ANSI, and

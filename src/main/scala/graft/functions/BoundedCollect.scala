@@ -17,13 +17,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * stops appending once the count passes cap, so a non-overflowing
   * group always finishes with ALL members.
   */
+// boxed input so NULL ids are SKIPPED like collect_list skips them —
+// a primitive Long input would decode a null row as id 0L, emitting a
+// phantom document 0 into candidate pairs AND inflating the group
+// count toward the cap (the KmvSketch null trap, same fix)
 final class BoundedCollect(cap: Int)
-    extends Aggregator[Long, (Long, Seq[Long]), Seq[Long]] {
+    extends Aggregator[java.lang.Long, (Long, Seq[Long]), Seq[Long]] {
 
   override def zero: (Long, Seq[Long]) = (0L, Vector.empty)
 
-  override def reduce(b: (Long, Seq[Long]), a: Long): (Long, Seq[Long]) =
-    (b._1 + 1, if (b._1 < cap + 1) b._2 :+ a else b._2)
+  override def reduce(b: (Long, Seq[Long]), a: java.lang.Long): (Long, Seq[Long]) =
+    if (a eq null) b
+    else (b._1 + 1, if (b._1 < cap + 1) b._2 :+ a.longValue else b._2)
 
   override def merge(x: (Long, Seq[Long]), y: (Long, Seq[Long]))
       : (Long, Seq[Long]) =

@@ -34,27 +34,14 @@ object CountMin {
 
   final case class Buf(d: Int, w: Int, cells: Array[Long])
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Same value as `Dedup.md5Hash60` / the oracle's
-    * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`: the first 15
-    * hex chars of the md5 digest as a non-negative long — computed
-    * straight off the digest bytes (first 8 bytes big-endian, low
-    * nibble shifted out). The hex-format-then-parse form this replaces
-    * ran a fresh getInstance plus 32 Formatter calls per hash, d times
-    * per input row — the aggregation's dominant cost on a token
-    * stream.
+    * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)` — the JVM-side
+    * convention lives in [[Md5Hash60]] (shared with the multimodal
+    * stub synthesis). The hex-format-then-parse form this replaced ran
+    * a fresh getInstance plus 32 Formatter calls per hash, d times per
+    * input row — the aggregation's dominant cost on a token stream.
     */
-  def md5Hash60(s: String): Long = {
-    val dig = md5.get().digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+  def md5Hash60(s: String): Long = Md5Hash60.of(s.getBytes("UTF-8"))
 
   def bucket(i: Int, item: String, w: Int): Int =
     (md5Hash60(s"cms$i:$item") % w).toInt
@@ -66,6 +53,14 @@ object CountMin {
     override def zero: Buf = Buf(d, w, Array.fill(d * w)(0L))
 
     override def reduce(b: Buf, a: (String, Long)): Buf = {
+      // null items are SKIPPED (COUNT semantics): interpolating one
+      // into "cms<i>:null" would collide exactly with the real token
+      // string "null" and inflate its estimate past the 2N/w bound —
+      // an overcount a DuckDB replay (which drops NULLs) can't
+      // reproduce. A null weight decodes as 0 through the primitive
+      // Long and contributes nothing, which is already the right
+      // semantics.
+      if (a._1 == null) return b
       var i = 0
       while (i < b.d) {
         b.cells(i * b.w + bucket(i, a._1, b.w)) += a._2

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the lambda formulation bit-for-bit for double
   * inputs: sequential left-to-right double accumulation in element
   * order (so results hash-compare equal against the DuckDB oracle's
-  * list_dot_product). Array elements must be non-null.
+  * list_dot_product). Dirty input FAILS FAST instead of silently
+  * truncating/zeroing: mismatched vector lengths and null array
+  * elements throw (a corrupted 3-element row scored against 64-dim
+  * queries would otherwise return a plausible similarity and pass
+  * threshold filters; a null element would read as 0.0 from unsafe
+  * rows). The null-element check is emitted only when a side's
+  * ArrayType says containsNull — literal plane arrays stay check-free
+  * in the hottest loops.
   */
 abstract class VectorBinaryExpression extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
@@ -54,6 +61,52 @@ abstract class VectorBinaryExpression extends BinaryExpression with Serializable
       case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
       case _ => s"$arr.getDouble($i)"
     }
+
+  // resolved once per expression instance, not per row (the
+  // interpreted path used to re-match the element type and allocate
+  // two closures for every evaluated row)
+  @transient protected lazy val getL: (ArrayData, Int) => Double = getD(left)
+  @transient protected lazy val getR: (ArrayData, Int) => Double = getD(right)
+
+  private def containsNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  @transient protected lazy val chkL: Boolean = containsNulls(left)
+  @transient protected lazy val chkR: Boolean = containsNulls(right)
+
+  protected def checkedLength(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(s"$prettyName: vector length " +
+        s"mismatch: $n vs ${y.numElements()}")
+    n
+  }
+
+  protected def checkElems(x: ArrayData, y: ArrayData, i: Int): Unit =
+    if ((chkL && x.isNullAt(i)) || (chkR && y.isNullAt(i)))
+      throw new IllegalArgumentException(
+        s"$prettyName: null vector element at index $i")
+
+  /** Codegen twin of [[checkedLength]]. */
+  protected def lengthCheckCode(a: String, b: String, n: String): String =
+    s"""if ($a.numElements() != $b.numElements())
+          throw new IllegalArgumentException("$prettyName: vector length mismatch: "
+            + $a.numElements() + " vs " + $b.numElements());
+        final int $n = $a.numElements();"""
+
+  /** Codegen twin of [[checkElems]]; empty when neither side can hold
+    * null elements (plane literals), keeping the hot loop check-free.
+    */
+  protected def nullElemCheckCode(a: String, b: String, i: String): String = {
+    val checks = Seq(
+      if (chkL) Some(s"$a.isNullAt($i)") else None,
+      if (chkR) Some(s"$b.isNullAt($i)") else None).flatten
+    if (checks.isEmpty) ""
+    else s"""if (${checks.mkString(" || ")})
+            throw new IllegalArgumentException(
+              "$prettyName: null vector element at index " + $i);"""
+  }
 }
 
 /** cosine(a, b) = a·b / (‖a‖·‖b‖) in one fused pass. */
@@ -64,11 +117,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val gx = getD(left); val gy = getD(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength(x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = gx(x, i); val yi = gy(y, i)
+      checkElems(x, y, i)
+      val xi = getL(x, i); val yi = getR(y, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -90,9 +143,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthCheckCode(a, b, n)}
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          ${nullElemCheckCode(a, b, i)}
           final double $xi = ${getCode(left, a, i)};
           final double $yi = ${getCode(right, b, i)};
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
@@ -116,10 +170,13 @@ case class DotProduct(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val gx = getD(left); val gy = getD(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength(x, y)
     var dot = 0.0; var i = 0
-    while (i < n) { dot += gx(x, i) * gy(y, i); i += 1 }
+    while (i < n) {
+      checkElems(x, y, i)
+      dot += getL(x, i) * getR(y, i)
+      i += 1
+    }
     dot
   }
 
@@ -129,9 +186,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthCheckCode(a, b, n)}
         double $dot = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          ${nullElemCheckCode(a, b, i)}
           $dot += (${getCode(left, a, i)}) * (${getCode(right, b, i)});
         }
         ${ev.value} = $dot;
@@ -155,11 +213,19 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"),
       info(classOf[CosineSimilarity], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two vectors"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_cosine requires exactly 2 arguments, got ${es.length}")
+        CosineSimilarity(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_dot"),
       info(classOf[DotProduct], "graft_dot",
         "graft_dot(a, b) - dot product of two vectors"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${es.length}")
+        DotProduct(es(0), es(1))
+      }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, inf, builder) =>

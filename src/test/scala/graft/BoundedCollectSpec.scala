@@ -46,4 +46,21 @@ class BoundedCollectSpec extends SparkSpec {
       }.toMap
     assert(bounded === reference)
   }
+
+  test("NULL ids are skipped like collect_list, not collected as id 0") {
+    // a primitive-Long input would decode null rows as 0L: a phantom
+    // document 0 in candidate pairs AND count inflation toward the cap
+    val cap = 3
+    val rows = Seq[(Int, Option[Long])](
+      (1, Some(10L)), (1, None), (1, Some(11L)), (1, None), (1, Some(12L)),
+      (2, None), (2, None))
+    val got = rows.toDF("g", "v").repartition(3)
+      .groupBy(col("g"))
+      .agg(BoundedCollect.collectIds(col("v"), cap).as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    // group 1: three real ids, nulls neither retained nor counted —
+    // without the skip the count would be 5 > cap and the group empties
+    assert(got(1) === Set(10L, 11L, 12L))
+    assert(got(2) === Set.empty[Long]) // all-null group collects nothing
+  }
 }

@@ -215,6 +215,18 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("CMS skips NULL items — no collision with the literal token 'null'") {
+    // a null item interpolated into "cms<i>:null" would collide with
+    // the real string "null" and inflate its estimate past the 2N/w
+    // bound, an overcount the DuckDB replay (which drops NULLs) can't
+    // reproduce
+    val withNulls = Seq(
+      (Option("null"), 3L), (None, 100L), (Option("x"), 2L), (None, 50L))
+      .toDF("item", "w")
+    val clean = Seq(("null", 3L), ("x", 2L)).toDF("item", "w")
+    assert(sketchOf(withNulls) === sketchOf(clean))
+  }
+
   test("CMS cells are bit-identical under repartitioning (linear sketch)") {
     val df = spark.range(30000)
       .select(concat(lit("x"), (col("id") % 997).cast("string")).as("item"),

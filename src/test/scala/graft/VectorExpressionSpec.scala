@@ -59,6 +59,49 @@ class VectorExpressionSpec extends SparkSpec {
     assert(i.getDouble(0) === 0.0)
   }
 
+  test("dirty input fails fast: length mismatch and null elements throw") {
+    GraftFunctions.register(spark)
+    def failsWith(sql: String, msgPart: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def has(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains(msgPart)) || has(t.getCause))
+      assert(has(e), s"expected '$msgPart' in: $e")
+    }
+    // a corrupted 3-element row against a 64-dim query would otherwise
+    // return a plausible truncated similarity and pass threshold filters
+    failsWith(
+      "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d))",
+      "length mismatch")
+    failsWith(
+      "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d))",
+      "length mismatch")
+    // a null element would read as 0.0 from unsafe rows (silent) or
+    // NPE (interpreted) — both replaced by a named error
+    failsWith(
+      "SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d))",
+      "null vector element")
+    // codegen path too (repartition off the local-relation fast path)
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("id", "a", "b").repartition(2)
+    val e = intercept[Exception] {
+      bad.select(Similarity.dotNative(col("a"), col("b"))).collect()
+    }
+    def has(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("length mismatch")) || has(t.getCause))
+    assert(has(e))
+  }
+
+  test("wrong arity gets a named error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0d))").collect()
+    }
+    def has(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("exactly 2 arguments")) || has(t.getCause))
+    assert(has(e), s"got: $e")
+  }
+
   test("expression participates in whole-stage codegen") {
     // repartition prevents ConvertToLocalRelation from pre-evaluating
     // the projection driver-side; AQE finalizes the plan only after
