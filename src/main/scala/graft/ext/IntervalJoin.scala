@@ -37,11 +37,15 @@ object IntervalJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       tsCol: String, loCol: String, hiCol: String,
       binSeconds: Long = 3600L): DataFrame = {
+    // fail at the API edge, not as an ANSI DIVIDE_BY_ZERO (or garbage
+    // negative bins) deep inside the join
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
     // integer DIV on the epoch keeps the bin key exact (no double
-    // division anywhere near a join key)
-    val pBin = expr(s"unix_timestamp($tsCol) DIV $binSeconds")
-    val loBin = expr(s"unix_timestamp($loCol) DIV $binSeconds")
-    val hiBin = expr(s"unix_timestamp($hiCol) DIV $binSeconds")
+    // division anywhere near a join key); column names ride in
+    // backquoted so names with spaces/hyphens work like the col() API
+    val pBin = expr(s"unix_timestamp(`$tsCol`) DIV $binSeconds")
+    val loBin = expr(s"unix_timestamp(`$loCol`) DIV $binSeconds")
+    val hiBin = expr(s"unix_timestamp(`$hiCol`) DIV $binSeconds")
     val binned = intervals.withColumn("bin", explode(sequence(loBin, hiBin)))
     points.withColumn("bin", pBin)
       .join(binned, Seq("bin"))
@@ -61,11 +65,12 @@ object IntervalJoin {
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
       binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
     def bins(df: DataFrame, lo: String, hi: String, tag: String) =
-      df.withColumn(s"${tag}_lo_bin", expr(s"unix_timestamp($lo) DIV $binSeconds"))
+      df.withColumn(s"${tag}_lo_bin", expr(s"unix_timestamp(`$lo`) DIV $binSeconds"))
         .withColumn("bin", explode(sequence(
           col(s"${tag}_lo_bin"),
-          expr(s"unix_timestamp($hi) DIV $binSeconds"))))
+          expr(s"unix_timestamp(`$hi`) DIV $binSeconds"))))
     bins(left, lLo, lHi, "l")
       .join(bins(right, rLo, rHi, "r"), Seq("bin"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))

@@ -18,14 +18,31 @@ import org.apache.spark.sql.functions._
   * bucket by a hash of a stable id — no shuffle, no state, stable
   * across runs/machines/engine versions, and rows never migrate
   * between splits when the dataset grows.
+  *
+  * NULL-id convention (uniform across the id-keyed operators here): a
+  * row without a stable id has no deterministic hash, so it cannot be
+  * split, ranked, or gated reproducibly — such rows are EXCLUDED from
+  * the output (hashSplit, groupHashSample, mixtureResample all drop
+  * them; filter or synthesize ids upstream if they must participate).
+  * The alternatives are worse: xxhash64(NULL) returns the seed, which
+  * would funnel every null-id row into ONE split deterministically,
+  * and a NULL md5 rank sorts first, which would hand null-id rows
+  * every stratum's top-k.
   */
 object Sampling {
 
   /** Draw `n` rows (with replacement) from `dim`, each row weighted by
-    * `weightCol`. Deterministic for a fixed seed.
+    * `weightCol` (weights must be positive). Deterministic for a fixed
+    * seed INCLUDING across cluster layouts: the per-draw uniform is
+    * derived from xxhash64(draw_id, seed) — a pure function of the
+    * draw index — not from `rand(seed)`, which reseeds per PARTITION
+    * (seed + partitionIndex) and so yields a different sample on a
+    * 4-core laptop than on a 32-core executor for the same seed.
     */
   def weightedSample(dim: DataFrame, weightCol: String, n: Int,
       seed: Long = 42L): DataFrame = {
+    require(!dim.columns.contains("draw_id"),
+      "weightedSample: dim must not already have a draw_id column")
     // content-hash tiebreak keeps the cumulative ranges deterministic
     // regardless of partition layout
     val w = Window.orderBy(col(weightCol),
@@ -38,13 +55,26 @@ object Sampling {
       .withColumn("__hi", sum(col(weightCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__lo", coalesce(lag(col("__hi"), 1).over(w), lit(0.0)))
-    val total = cum.agg(max(col("__hi"))).head().get(0).toString.toDouble
+    val bounds = cum.agg(max(col("__hi")), min(col(weightCol))).head()
+    // empty dim / all-NULL weights → a clear error, not a driver NPE;
+    // non-positive weights → a clear error, not silently distorted
+    // draw probabilities (a negative weight makes the ladder
+    // non-monotone, so max(__hi) understates the positive mass)
+    require(!bounds.isNullAt(0),
+      "weightedSample: dim is empty or its weight column is all NULL")
+    require(bounds.getDouble(1) > 0.0,
+      s"weightedSample: weights must be positive, min=${bounds.getDouble(1)}")
+    val total = bounds.getDouble(0)
+    // uniform in [0, total): 20 high bits of the hash (exactly
+    // representable in double) / 2^20 — draw-indexed, layout-free
     val draws = dim.sparkSession.range(n.toLong)
-      .withColumn("__r", rand(seed) * total)
+      .select(col("id").as("draw_id"))
+      .withColumn("__r",
+        shiftrightunsigned(xxhash64(col("draw_id"), lit(seed)), 44)
+          .cast("double") / lit((1L << 20).toDouble) * lit(total))
     draws.join(broadcast(cum),
         col("__r") >= col("__lo") && col("__r") < col("__hi"))
       .drop("__r", "__lo", "__hi")
-      .withColumnRenamed("id", "draw_id")
   }
 
   /** Deterministic hash split: assigns each row to the first named
@@ -56,6 +86,10 @@ object Sampling {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
     val buckets = 1000000L
+    // xxhash64(NULL) returns the SEED, not NULL — unfiltered, every
+    // null-id row would land deterministically in one split (silent
+    // skew); the object-level NULL-id convention excludes them
+    val df0 = df.filter(col(idCol).isNotNull)
     val h = pmod(xxhash64(col(idCol)), lit(buckets))
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val expr0: Column = lit(fractions.last._1)
@@ -63,7 +97,7 @@ object Sampling {
       .foldLeft(expr0) { case (acc, (name, cut)) =>
         when(h < (cut * buckets).toLong, lit(name)).otherwise(acc)
       }
-    df.withColumn("split", split)
+    df0.withColumn("split", split)
   }
 
   /** Stratified sample: per-stratum fractions, seeded (builtin
@@ -89,7 +123,11 @@ object Sampling {
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+    // NULL ids rank FIRST under ascending NULL ordering — they would
+    // deterministically occupy every stratum's top-k; the object-level
+    // NULL-id convention excludes them instead
+    df.filter(col(idCol).isNotNull)
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
       .filter(col("sample_rank") <= k)
   }
 
@@ -116,6 +154,8 @@ object Sampling {
     */
   def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
       weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.values.forall(_ >= 0L),
+      "mixtureResample: weights must be non-negative (0 = drop stratum)")
     val spark = df.sparkSession
     import spark.implicits._
     val w = weightsPpm.toSeq.toDF(strataCol, "w_ppm")
@@ -137,7 +177,11 @@ object Sampling {
     require(missing.isEmpty,
       s"mixtureResample: weightsPpm has no entry for strata present in " +
         s"df: ${missing.mkString(", ")}")
-    val counts = counts0.join(w, Seq(strataCol))
+    // weight 0 = "exclude this domain": the stratum passes the
+    // coverage check but joins out of the gates entirely (its rows
+    // drop), and it must not constrain N_target — dividing by it
+    // would be an ANSI DIVIDE_BY_ZERO crash
+    val counts = counts0.join(w.filter(col("w_ppm") > 0L), Seq(strataCol))
     val nTarget = counts.agg(
       min(expr("n_stratum * 1000000 DIV w_ppm")).as("n_target_total"))
     val gates = counts.crossJoin(nTarget)

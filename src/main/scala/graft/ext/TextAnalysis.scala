@@ -61,7 +61,12 @@ object TextAnalysis {
     // the space-delimited lowercase literals miss every capitalized or
     // line-initial stopword ("The cat… And then…" would score
     // stopHits=0 and halve a clean document's quality)
-    val p = concat(lit(" "), lower(text), lit(" "))
+    // spaces are DOUBLED before probing so consecutive stopwords each
+    // get their own delimiters: non-overlapping replace-count over
+    // " the the the " sees only 2 matches (adjacent matches share a
+    // space); over "  the  the  the  " it sees all 3
+    val p = call_function("replace",
+      concat(lit(" "), lower(text), lit(" ")), lit(" "), lit("  "))
     val stopHits = (occurrences(p, " the ") + occurrences(p, " and ")
       + occurrences(p, " a ")).cast("double")
     val stopRatio = stopHits / greatest(nTok, lit(1.0))
@@ -149,7 +154,10 @@ object TextAnalysis {
     * highest stopword hit count in fixed order fr → es → de → en.
     */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    // doubled spaces: each stopword occurrence owns its delimiters, so
+    // consecutive repeats all count (see [[qualityScore]])
+    val padded = call_function("replace",
+      concat(lit(" "), lower(text), lit(" ")), lit(" "), lit("  "))
     val en = occurrences(padded, " the ") + occurrences(padded, " and ")
     val fr = occurrences(padded, " le ") + occurrences(padded, " la ") +
       occurrences(padded, " et ")

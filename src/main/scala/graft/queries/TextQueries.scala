@@ -36,9 +36,9 @@ object TextQueries {
          (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
           / GREATEST(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))
      * (0.5 + 0.5 * LEAST(
-         CAST(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT)
-            + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS BIGINT)
-            + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3 AS BIGINT)
+         CAST(CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' and ', ''))) / 5 AS BIGINT)
+            + CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' a ', ''))) / 3 AS BIGINT)
            AS DOUBLE)
          / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
          * 10.0, 1.0)))"""
@@ -77,7 +77,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
-          SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+          SELECT doc_id, text, replace(' ' || lower(text) || ' ', ' ', '  ') AS p,
             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
@@ -111,7 +111,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
-          SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p, text
+          SELECT doc_id, lang, replace(' ' || lower(text) || ' ', ' ', '  ') AS p, text
           FROM documents),
         c AS (
           SELECT doc_id, lang,

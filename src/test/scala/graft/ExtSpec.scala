@@ -360,6 +360,30 @@ class PackingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stopword probes count CONSECUTIVE repeats (doubled-space frame)") {
+    // non-overlapping replace over " the the the " counts 2 (adjacent
+    // matches share a delimiter space); the doubled-space probe frame
+    // gives every occurrence its own delimiters — repetition-heavy
+    // spam must not read as stopword-poor
+    val df = Seq(
+      (1L, "the the the"),   // 3 consecutive
+      (2L, "the cat the"),   // 2 separated
+      (3L, "a a a a")        // 4 consecutive, 1-char word
+    ).toDF("doc_id", "text")
+    // stopRatio saturates (hits >= tokens/10) for all three, so probe
+    // through the score's stop factor at exact values: score =
+    // ntok/200 * 1 * (0.5 + 0.5*min(hits/ntok*10, 1))
+    val q = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) === 3.0 / 200.0)  // hits 3/3 → stop factor 1.0
+    assert(q(3L) === 4.0 / 200.0)  // hits 4/4 → stop factor 1.0
+    // langId: "le le le le le" must beat "the the" on raw counts
+    val l = Seq((1L, "le le le le le the the")).toDF("doc_id", "text")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0)
+    assert(l === "fr")
+  }
+
   test("token/punct counts and fingerprint normalization") {
     val df = Seq(
       (1L, "Hello, world! This is   a test."),

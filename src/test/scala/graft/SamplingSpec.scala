@@ -30,6 +30,72 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.select(col("draw_id")).distinct().count() === n.toLong)
   }
 
+  test("weightedSample: dim with an `id` column survives; dirty dims fail fast") {
+    // spark.range's internal id used to collide: withColumnRenamed
+    // renamed BOTH ids to draw_id → ambiguous downstream references
+    val dim = Seq((1L, "a", 1.0), (2L, "b", 3.0)).toDF("id", "k", "w")
+    val out = Sampling.weightedSample(dim, "w", 100, seed = 5)
+    assert(out.columns.count(_ == "draw_id") === 1)
+    assert(out.columns.contains("id")) // the DIM's id survives untouched
+    assert(out.select("draw_id").distinct().count() === 100L)
+    // non-positive weights silently distort every draw probability —
+    // the ladder max understates the positive mass
+    val neg = Seq(("a", 5.0), ("b", -3.0), ("c", 4.0)).toDF("k", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(neg, "w", 10)
+    }
+    assert(e1.getMessage.contains("positive"))
+    // empty dim → named error, not a driver NPE
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(dim.filter(lit(false)), "w", 10)
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
+  test("weightedSample draws are a pure function of (draw_id, seed), not layout") {
+    // rand(seed) reseeds per PARTITION, so the old implementation
+    // sampled differently under a different default parallelism; the
+    // hash-derived uniform must give the same assignment no matter how
+    // the session is laid out — pinned as a golden assignment
+    val dim = Seq(("a", 1.0), ("b", 3.0)).toDF("k", "w")
+    val got = Sampling.weightedSample(dim, "w", 8, seed = 7)
+      .orderBy("draw_id").select("k").collect().map(_.getString(0)).toSeq
+    val again = Sampling.weightedSample(dim, "w", 8, seed = 7)
+      .orderBy("draw_id").select("k").collect().map(_.getString(0)).toSeq
+    assert(got === again)
+    // ~3:1 mixture sanity on the pinned assignment
+    assert(got.count(_ == "b") >= 4, got)
+  }
+
+  test("hashSplit and groupHashSample exclude NULL-id rows (documented convention)") {
+    // xxhash64(NULL) = the seed → all null-id rows would land in ONE
+    // split; a NULL md5 rank sorts first → null-id rows would own
+    // every stratum's top-k
+    val docs = Seq((Some(1L), "g"), (None, "g"), (Some(2L), "g"))
+      .toDF("doc_id", "g")
+    val split = Sampling.hashSplit(docs, "doc_id", Seq("train" -> 1.0))
+    assert(split.count() === 2)
+    assert(split.filter(col("doc_id").isNull).count() === 0)
+    val sampled = Sampling.groupHashSample(docs, "g", "doc_id", k = 3)
+    assert(sampled.count() === 2)
+    assert(sampled.filter(col("doc_id").isNull).count() === 0)
+  }
+
+  test("mixtureResample: weight 0 drops the stratum without constraining the rest") {
+    // 0 ppm = "exclude this domain": previously an ANSI DIVIDE_BY_ZERO
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "spam"))
+      .toDF("id", "stratum")
+    val out = Sampling.mixtureResample(df, "stratum", "id",
+      Map("en" -> 1000000L, "spam" -> 0L))
+    assert(out.filter(col("stratum") === "spam").count() === 0)
+    assert(out.filter(col("stratum") === "en").count() === 20) // unconstrained
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(df, "stratum", "id",
+        Map("en" -> 1000000L, "spam" -> -5L))
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("mixtureResample fails fast on a stratum the weights do not cover") {
     import graft.ext.Sampling
     val df = Seq((1L, "en"), (2L, "fr"), (3L, "de")).toDF("id", "stratum")
