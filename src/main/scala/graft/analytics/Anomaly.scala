@@ -98,6 +98,11 @@ object Anomaly {
     */
   final case class IsolationForestScorer(nTrees: Int = 100, seed: Long = 42L,
       subsample: Int = 256) extends AnomalyScorer {
+    // fail loudly at construction, not as an ArrayIndexOutOfBounds in
+    // grow() (subsample 0) or silent all-NaN scores that never flag
+    // (nTrees 0 -> 0/0): the EventGenerator require convention
+    require(nTrees >= 1, s"nTrees must be >= 1: $nTrees")
+    require(subsample >= 1, s"subsample must be >= 1: $subsample")
 
     // tree nodes in struct-of-arrays form: feature<0 marks a leaf whose
     // split slot stores the adjusted external-node size term c(n)
@@ -165,15 +170,21 @@ object Anomaly {
 
     def score(daily: DataFrame): DataFrame = {
       val spark = daily.sparkSession
-      // coalesce-to-0: a day whose sum aggregated to NULL must not NPE
-      // the driver collect below (getDouble on a null cell) or
-      // null-skip the scoring UDF — RobustZScorer tolerates the same
-      // frame, so the scorers must not diverge on it
+      // coalesce-to-0 AND clamp-at-0: a NULL daily sum must not NPE
+      // the driver collect below, and a NEGATIVE total <= -1 (corrupt
+      // but complete envelopes, e.g. negative prices) must not either —
+      // Spark's log1p returns null for x <= -1, which the coalesce
+      // (input-side only) never sees. A negative total carries no
+      // magnitude signal in this log-feature space; robust-z still
+      // flags it through the raw values, so the scorers stay
+      // non-divergent on the same dirty frame.
       val feats = daily
         .withColumn("f1",
-          log1p(coalesce(col("daily_total_sales"), lit(0.0))))
+          log1p(greatest(coalesce(col("daily_total_sales"), lit(0.0)),
+            lit(0.0))))
         .withColumn("f2",
-          log1p(coalesce(col("daily_transaction_count").cast("double"),
+          log1p(greatest(coalesce(
+            col("daily_transaction_count").cast("double"), lit(0.0)),
             lit(0.0))))
       // bounded collect: one row per day (see scaladoc). Sorted after
       // collection — collect() order follows partition layout, and the

@@ -16,6 +16,14 @@ object Silver {
     * the reference's "schema enforcement" (SURVEY.md §1.3). The
     * ingestion stamp is injectable so tests are deterministic; the
     * default matches `current_timestamp()` (streaming_consumer.py:72).
+    *
+    * Stamp resolution contract (differs from [[parseWithQuarantine]]):
+    * here the stamp column resolves AFTER `data.*` is flattened, so an
+    * injectable expression references flat names (`col("transaction_
+    * time")`); in parseWithQuarantine the `data` struct still exists
+    * at stamp time (the DLQ side needs it), so the same expression is
+    * written `col("data.transaction_time")`. Passing one form to the
+    * other function fails analysis with an unresolved column.
     */
   def parsePurchases(raw: DataFrame,
       ingestionTs: Column = current_timestamp()): DataFrame =
@@ -32,9 +40,16 @@ object Silver {
     * corrupt the money formulas downstream) — are routed to a
     * quarantine DataFrame carrying the RAW payload + failure stamp
     * (what the reference's permissive read never does, SURVEY.md
-    * §1.3). One pass: both sides derive from a shared parse
-    * projection, so Spark plans two filters over one scan — no second
-    * parse of the feed. Returns (valid typed rows, quarantine rows).
+    * §1.3). Both sides derive from one shared parse PROJECTION — but
+    * they are two lazy DataFrames: a caller that consumes them in two
+    * separate actions re-executes the scan+parse per action, and over
+    * an unstable source (a Kafka batch read with endingOffsets=latest)
+    * the two actions can even resolve different offset ranges, making
+    * the valid/DLQ split inconsistent. Callers needing one consistent
+    * snapshot stage the RAW feed first (the Pipeline does —
+    * `graft.Staging.checkpoint` before the split) or consume both
+    * sides inside one foreachBatch (the streaming gate does).
+    * Returns (valid typed rows, quarantine rows).
     */
   def parseWithQuarantine(raw: DataFrame,
       ingestionTs: Column = current_timestamp()): (DataFrame, DataFrame) = {

@@ -144,8 +144,14 @@ object Pipeline {
       // a fully-unparseable payload HAS no event time — fall back to
       // wall clock so the DLQ's quarantined_at is never null (it is
       // the triage/retention key)
+      // stage the raw feed ONCE: the valid and DLQ writes are two
+      // separate actions, and without the stage each would re-scan
+      // (and over a Kafka batch source, possibly re-RESOLVE) the feed
+      // — the split must be computed over one consistent snapshot
+      val rawStaged = graft.Staging.checkpoint(
+        raw.select(col("value").cast("string").as("value")), "silver-raw")
       val (valid, quarantine) = Silver.parseWithQuarantine(
-        raw, ingestionTs =
+        rawStaged, ingestionTs =
           coalesce(col("data.transaction_time"), current_timestamp()))
       Silver.writeSilver(
         valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)

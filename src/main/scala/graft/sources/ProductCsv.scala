@@ -22,18 +22,36 @@ object ProductCsv {
         col("Category").as("category"),
         col("Item").as("item"),
         col("Size").as("size"),
-        col("COGS").cast("double").as("cogs"),
-        col("Price").cast("double").as("price"),
-        col("Inventory").cast("int").as("inventory_level"),
+        numCol("COGS", "double").as("cogs"),
+        numCol("Price", "double").as("price"),
+        numCol("Inventory", "int").as("inventory_level"),
         boolCol("ContainsFruit").as("contains_fruit"),
         boolCol("ContainsVeggies").as("contains_veggies"),
         boolCol("ContainsNuts").as("contains_nuts"),
         boolCol("ContainsCaffeine").as("contains_caffeine"),
-        col("_RangeWeight").cast("int").as("propensity_to_buy"))
+        numCol("_RangeWeight", "int").as("propensity_to_buy"))
       .as[Product](Encoders.product[Product])
   }
 
-  /** `str(value).lower() == "true"` (producer.py:199-200). */
+  /** `str(value).lower() == "true"` (producer.py:199-200): a
+    * blank/missing cell is `str(None).lower() != "true"` → FALSE in
+    * the reference, so it must load as false here too — a raw NULL
+    * would instead crash the non-nullable Boolean encoder field with
+    * an opaque deserialization error.
+    */
   private def boolCol(name: String) =
-    lower(col(name)) === "true"
+    coalesce(lower(col(name)) === "true", lit(false))
+
+  /** Required numeric seed cell: a blank or untypeable value gets a
+    * NAMED error naming the column (the reference's float()/int()
+    * would raise ValueError there; the unguarded cast here would
+    * instead surface as an opaque non-nullable-encoder crash rows
+    * later).
+    */
+  private def numCol(name: String, t: String) = {
+    val c = col(name).cast(t)
+    when(c.isNull, raise_error(concat(
+      lit(s"products.csv: blank or untypeable $name cell: "),
+      coalesce(col(name), lit("<missing>"))))).otherwise(c)
+  }
 }

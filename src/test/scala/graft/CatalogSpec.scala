@@ -107,4 +107,29 @@ class CatalogSpec extends SparkSpec {
     assert(products("SC02").contains_caffeine) // mixed-case "tRuE"
     assert(products("SC02").propensity_to_buy === 5)
   }
+
+  test("product CSV dirty cells: blank bool loads FALSE, blank numeric names itself") {
+    val dir = tmpDir("products-csv-dirty")
+    // blank ContainsFruit: the reference's str(None).lower() != 'true'
+    // loads False — a raw NULL would crash the non-nullable encoder
+    val okCsv =
+      """ID,Category,Item,Size,COGS,Price,Inventory,ContainsFruit,ContainsVeggies,ContainsNuts,ContainsCaffeine,_RangeWeight
+        |CS01,Classic,Berry,24 oz.,1.50,4.99,75,,FALSE,FALSE,FALSE,3""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ok.csv"), okCsv)
+    val p = ProductCsv.load(spark, s"$dir/ok.csv").collect().head
+    assert(!p.contains_fruit)
+    // blank Price: a named error, not an opaque encoder crash
+    val badCsv =
+      """ID,Category,Item,Size,COGS,Price,Inventory,ContainsFruit,ContainsVeggies,ContainsNuts,ContainsCaffeine,_RangeWeight
+        |CS01,Classic,Berry,24 oz.,1.50,,75,TRUE,FALSE,FALSE,FALSE,3""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"), badCsv)
+    val e = intercept[Exception] {
+      ProductCsv.load(spark, s"$dir/bad.csv").collect()
+    }
+    def has(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("Price")) || has(t.getCause))
+    assert(has(e), s"got: $e")
+  }
 }

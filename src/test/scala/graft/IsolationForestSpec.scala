@@ -57,6 +57,25 @@ class IsolationForestSpec extends SparkSpec {
     assert(Set("2024-03-15", "2024-03-16").subsetOf(robust))
   }
 
+  test("dirty history: negative totals don't NPE; bad config fails loudly") {
+    // Spark's log1p returns null for x <= -1; the feature clamp keeps
+    // the driver collect alive and both scorers scoring the same frame
+    val dirty = daily.unionByName(
+      Seq((java.sql.Date.valueOf("2024-03-17"), -100.0, 5L))
+        .toDF("purchase_date", "daily_total_sales", "daily_transaction_count"))
+    val scored = Anomaly.IsolationForestScorer().score(dirty)
+    assert(scored.count() === 63)
+    assert(scored.filter(col("anomaly_score").isNull).count() === 0)
+    // robust-z still sees the raw negative — scorers stay non-divergent
+    assert(Anomaly.RobustZScorer().score(dirty).count() === 63)
+    intercept[IllegalArgumentException] {
+      Anomaly.IsolationForestScorer(nTrees = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Anomaly.IsolationForestScorer(subsample = 0)
+    }
+  }
+
   test("seed changes the forest, contract holds regardless") {
     val s1 = Anomaly.IsolationForestScorer(seed = 1L).score(daily)
       .orderBy(col("anomaly_score")).select("purchase_date")
