@@ -787,6 +787,41 @@ object AtomicTable {
           }
         }
       } finally walk.close()
+      // second pass, DEEPEST-FIRST: Hadoop sidecars and emptied dirs.
+      // The part-file pass above leaves .part-*.parquet.crc, _SUCCESS
+      // (+ its .crc), and the emptied _staged/<uuid> dirs behind — one
+      // orphan dir plus sidecars per expired commit, forever, which
+      // defeats vacuum's own purpose of bounding table-root growth. A
+      // .X.crc dies only once X itself is gone (kept data keeps its
+      // checksum); _SUCCESS dies only in a dir with no parquet left;
+      // both behind the same age gate as the data. Empty dirs then
+      // unlink bottom-up (deepest-first ordering makes parents empty
+      // by the time they are visited).
+      val walk2 = Files.walk(stagedRoot)
+      try {
+        val cutoff = System.currentTimeMillis() - retentionMs
+        walk2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().forEachRemaining { f =>
+            val n = f.getFileName.toString
+            if (Files.isDirectory(f)) {
+              if (f != stagedRoot) {
+                // deleteIfExists on a non-empty dir throws — probe first
+                val empty = listDir(f)(_.isEmpty)
+                if (empty) { try Files.deleteIfExists(f): Unit
+                  catch { case _: java.nio.file.DirectoryNotEmptyException => } }
+              }
+            } else {
+              val aged = Files.getLastModifiedTime(f).toMillis < cutoff
+              val orphanCrc = n.startsWith(".") && n.endsWith(".crc") &&
+                !Files.exists(f.resolveSibling(n.stripPrefix(".").stripSuffix(".crc")))
+              val orphanSuccess = n == "_SUCCESS" &&
+                listDir(f.getParent)(_.forall(p =>
+                  !p.getFileName.toString.endsWith(".parquet")))
+              if (aged && (orphanCrc || orphanSuccess))
+                Files.deleteIfExists(f): Unit
+            }
+          }
+      } finally walk2.close()
     }
     // prune _snap exports of expired versions: each export hard-links
     // every data file of its snapshot, so leaving them would pin the

@@ -108,6 +108,32 @@ object Pipeline {
     val silverPath = s"${cfg.lakeDir}/silver/purchases"
     val factPath = s"${cfg.lakeDir}/gold/fct_purchases"
 
+    // per-RUN token (stable across a step's retries, fresh per run):
+    // the append-mode Silver/DLQ writes are NOT idempotent on their
+    // own — a retry after one write committed would append every row
+    // again. Each write records its completion (and its observed row
+    // count) in a marker; a retrying attempt skips the committed write
+    // and returns the recorded count. Residual window: a write that
+    // commits but dies before its marker lands still duplicates on
+    // retry — the fact layer's key dedup absorbs Silver dups, DLQ dups
+    // are triage-only. Markers are tiny; one pair per run.
+    val runId = java.util.UUID.randomUUID().toString
+    val hadoopFs = new org.apache.hadoop.fs.Path(cfg.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeOnce(markerPath: String)(body: => Long): Long = {
+      val marker = new org.apache.hadoop.fs.Path(markerPath)
+      if (hadoopFs.exists(marker)) {
+        val in = hadoopFs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      } else {
+        val n = body
+        val out = hadoopFs.create(marker, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        n
+      }
+    }
+
     // produce (the generator stands in for Kafka; SURVEY.md §2.2 K7)
     val gen = EventGenerator.generate(
       EventGenerator.defaultProducts, cfg.nEvents, cfg.seed)
@@ -138,38 +164,52 @@ object Pipeline {
       // (`streaming_consumer.py:75-78`). The old behavior (fail the
       // step on any unparsed row) punished the whole pipeline for one
       // corrupt producer message.
-      val obs = new org.apache.spark.sql.Observation()
-      val obsQ = new org.apache.spark.sql.Observation()
-      // stamp = event time for valid rows (deterministic re-runs), but
-      // a fully-unparseable payload HAS no event time — fall back to
-      // wall clock so the DLQ's quarantined_at is never null (it is
-      // the triage/retention key)
-      // stage the raw feed ONCE: the valid and DLQ writes are two
-      // separate actions, and without the stage each would re-scan
+      //
+      // stage the raw feed ONCE (SCOPED — reclaimed at step end, so a
+      // scheduler loop calling run() repeatedly doesn't accumulate one
+      // raw copy per run until JVM exit): the valid and DLQ writes are
+      // two separate actions, and without the stage each would re-scan
       // (and over a Kafka batch source, possibly re-RESOLVE) the feed
       // — the split must be computed over one consistent snapshot
-      val rawStaged = graft.Staging.checkpoint(
-        raw.select(col("value").cast("string").as("value")), "silver-raw")
-      val (valid, quarantine) = Silver.parseWithQuarantine(
-        rawStaged, ingestionTs =
-          coalesce(col("data.transaction_time"), current_timestamp()))
-      Silver.writeSilver(
-        valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)
-      // unconditional write + Observation: one job yields both the DLQ
-      // rows and their count — not a count() pass plus a write pass
-      // each re-parsing the feed. A healthy run leaves an EMPTY
-      // footerless parquet dir here — consumers read it through the
-      // schema-explicit Silver.readQuarantine, like readSilver/readFact
-      quarantine.observe(obsQ, count(lit(1)).as("n_rows"))
-        .write.mode(SaveMode.Append)
-        .parquet(s"${cfg.lakeDir}/silver/quarantine")
-      // a side that collapsed to a zero-task plan (e.g. every envelope
-      // quarantined → empty valid write) finishes with an EMPTY
-      // metrics map — no tasks ran the observe operator, which can
-      // only mean zero rows, so default the count rather than throw
-      def rows(o: org.apache.spark.sql.Observation): Long =
-        o.get.getOrElse("n_rows", 0L).asInstanceOf[Long]
-      (rows(obs), rows(obsQ))
+      graft.Staging.checkpointScoped(
+        raw.select(col("value").cast("string").as("value")),
+        "silver-raw") { rawStaged =>
+        // stamp = event time for valid rows (deterministic re-runs),
+        // but a fully-unparseable payload HAS no event time — fall
+        // back to wall clock so the DLQ's quarantined_at is never null
+        // (it is the triage/retention key)
+        val (valid, quarantine) = Silver.parseWithQuarantine(
+          rawStaged, ingestionTs =
+            coalesce(col("data.transaction_time"), current_timestamp()))
+        // a side that collapsed to a zero-task plan (e.g. every
+        // envelope quarantined → empty valid write) finishes with an
+        // EMPTY metrics map — no tasks ran the observe operator, which
+        // can only mean zero rows, so default the count rather than
+        // throw
+        def rows(o: org.apache.spark.sql.Observation): Long =
+          o.get.getOrElse("n_rows", 0L).asInstanceOf[Long]
+        val nSilver = writeOnce(s"$silverPath/_runs/$runId.done") {
+          val obs = new org.apache.spark.sql.Observation()
+          Silver.writeSilver(
+            valid.observe(obs, count(lit(1)).as("n_rows")), silverPath)
+          rows(obs)
+        }
+        // unconditional write + Observation: one job yields both the
+        // DLQ rows and their count — not a count() pass plus a write
+        // pass each re-parsing the feed. A healthy run leaves an EMPTY
+        // footerless parquet dir here — consumers read it through the
+        // schema-explicit Silver.readQuarantine, like
+        // readSilver/readFact
+        val nDlq = writeOnce(
+            s"${cfg.lakeDir}/silver/quarantine/_runs/$runId.done") {
+          val obsQ = new org.apache.spark.sql.Observation()
+          quarantine.observe(obsQ, count(lit(1)).as("n_rows"))
+            .write.mode(SaveMode.Append)
+            .parquet(s"${cfg.lakeDir}/silver/quarantine")
+          rows(obsQ)
+        }
+        (nSilver, nDlq)
+      }
     }
     val silver = Silver.readSilver(spark, silverPath)
 
@@ -188,10 +228,16 @@ object Pipeline {
         }
       val fct = Gold.fctPurchases(silver)
       val toAppend = Gold.incrementalRows(fct, target)
-      val n = toAppend.count()
-      toAppend.write.mode(SaveMode.Append)
+      // count rides the write job via observe() (the ingest-step
+      // pattern): a separate count() action would execute the whole
+      // incremental plan — silver scan, watermark aggregate, window
+      // dedup, anti-join — twice. Zero-task empty append → empty
+      // metrics → default 0, as in the ingest step.
+      val obsF = new org.apache.spark.sql.Observation()
+      toAppend.observe(obsF, count(lit(1)).as("n_rows"))
+        .write.mode(SaveMode.Append)
         .partitionBy("purchase_date").parquet(factPath)
-      n
+      obsF.get.getOrElse("n_rows", 0L).asInstanceOf[Long]
     }
 
     // analytics (+ CSV result sink, K6 of anomaly_detection.py:56-60)

@@ -70,9 +70,15 @@ object SessionTracker {
             }
           }
           // emit exactly the sessions the watermark has sealed: no
-          // legal event (ts ≥ watermark) can fall within their gap
+          // legal event (ts ≥ watermark) can fall within their gap.
+          // STRICT <: at lastMs + gapMs == wm an on-time event with
+          // ts == wm still satisfies t <= lastMs + gapMs — sealing at
+          // equality would let that event open a second overlapping
+          // session and double-emit. Progress is safe: the event-time
+          // timeout fires only once the watermark EXCEEDS the set
+          // timestamp, at which point the strict predicate holds.
           val wm = state.getCurrentWatermarkMs()
-          val (sealedNow, stillOpen) = open.partition(_.lastMs + gapMs <= wm)
+          val (sealedNow, stillOpen) = open.partition(_.lastMs + gapMs < wm)
           if (stillOpen.isEmpty) state.remove()
           else {
             state.update(Sessions(stillOpen))

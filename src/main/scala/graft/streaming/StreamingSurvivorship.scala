@@ -74,8 +74,13 @@ object StreamingSurvivorship {
     // nondeterministic winner, breaking the replay-fixed-point
     // guarantee (the exceptAll delta would flip between runs and
     // commit a new version per replay)
+    // nulls LAST: a dirty row whose priority was missing/unparseable
+    // (cast("long") nulled it) must never displace a genuine keeper —
+    // default ascending puts NULL first, which would crown the dirty
+    // copy permanently for its fingerprint
     val w = Window.partitionBy(col("fp"))
-      .orderBy(col("priority"), col("doc_id"), col("source"), col("text"))
+      .orderBy(col("priority").asc_nulls_last, col("doc_id"),
+        col("source"), col("text"))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.gold.{AtomicTable, Gold}
 
@@ -282,6 +284,32 @@ class AtomicTableSpec extends SparkSpec {
     intercept[Exception] { AtomicTable.readVersion(spark, root, 0).collect() }
     // vacuum is idempotent
     assert(AtomicTable.vacuum(root, keepLast = 1, retentionMs = 0L) === ((0, 0)))
+    // sidecars and emptied staged dirs are reaped too: expired commits
+    // must not leak one _staged/<uuid> dir (plus .crc/_SUCCESS files)
+    // each — that would grow inodes unboundedly under frequent commits
+    val staged = java.nio.file.Paths.get(root, "_staged")
+    val leftover = java.nio.file.Files.walk(staged).iterator()
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    while (leftover.hasNext) {
+      val p = leftover.next()
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isDirectory(p)) {
+        // any surviving dir must still hold live parquet
+        val hasParquet = java.nio.file.Files.list(p).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+        if (p != staged && !hasParquet) orphans += s"empty dir $n"
+      } else if (n == "_SUCCESS" || (n.startsWith(".") && n.endsWith(".crc"))) {
+        // a sidecar may only survive next to its live data file
+        val twinAlive = n != "_SUCCESS" &&
+          java.nio.file.Files.exists(
+            p.resolveSibling(n.stripPrefix(".").stripSuffix(".crc")))
+        val dirHasParquet = java.nio.file.Files.list(p.getParent)
+          .iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        if (!(twinAlive || (n == "_SUCCESS" && dirHasParquet)))
+          orphans += s"orphan sidecar $n"
+      }
+    }
+    assert(orphans.isEmpty, orphans.mkString(", "))
   }
 
   test("mergeIncremental: crash-replay of the same fact batch cannot duplicate") {

@@ -53,6 +53,24 @@ class StreamingSurvivorshipSpec extends SparkSpec {
     assert(v1 >= 0 && v2 > v1)
   }
 
+  test("a NULL-priority (dirty) copy never displaces a genuine keeper") {
+    // priority missing/unparseable → cast nulls it → default ascending
+    // NULLS FIRST would crown the dirty copy permanently; nulls-last
+    // keeps it subordinate to ANY real priority
+    val root = tmpDir("surv-nullprio")
+    StreamingSurvivorship.processBatch(df(Seq(
+      (100L, "curated", 5L, "alpha beta gamma"))), root)
+    val dirty = Seq((200L, "webdump", "alpha gamma beta"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("priority", lit(null).cast("string")) // unparseable
+    StreamingSurvivorship.processBatch(
+      dirty.select(col("doc_id"), col("source"), col("priority"), col("text")),
+      root)
+    val keeper = AtomicTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keeper === Seq(100L)) // the real-priority keeper survives
+  }
+
   test("full tie on (fp, priority, doc_id) resolves deterministically; replay commits nothing") {
     val root = tmpDir("surv-tie")
     // same doc_id, priority, and token SET (so same fp) with different
