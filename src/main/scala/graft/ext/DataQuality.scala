@@ -44,10 +44,18 @@ object DataQuality {
     * a shuffled anti-join for a large one — both complete.
     */
   def fkCheck(name: String, child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame =
-    one(name, child.filter(child(childKey).isNotNull)
-      .join(parent, child(childKey) === parent(parentKey),
-        "left_anti"))
+      parent: DataFrame, parentKey: String): DataFrame = {
+    // the parent side is re-projected under a fresh name so a
+    // SELF-referential check (child eq parent — the canonical
+    // hierarchy-table relationships test) does not trip Spark's
+    // ambiguous-self-join detection
+    val pk = "__graft_fk_parent_key__"
+    require(!child.columns.contains(pk),
+      s"fkCheck: child must not already have a $pk column")
+    one(name, child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(pk)),
+        col(childKey) === col(pk), "left_anti"))
+  }
 
   /** Rows where `c` falls outside `allowed` (dbt `accepted_values`). */
   def acceptedValuesCheck(name: String, df: DataFrame, c: String,
@@ -59,8 +67,12 @@ object DataQuality {
     one(name, df.filter(violated))
 
   /** Union a suite into one (check_name, n_violations) report. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    // an all-disabled config-driven suite would otherwise die in an
+    // unhelpful empty.reduceLeft far from the cause
+    require(checks.nonEmpty, "report: no checks given")
     checks.reduce(_ unionByName _).orderBy(col("check_name"))
+  }
 
   /** Row-level expectations (Delta Live Tables style): each named
     * predicate must evaluate to TRUE per row — a NULL verdict (the
@@ -80,6 +92,12 @@ object DataQuality {
   def enforce(df: DataFrame, expectations: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
     require(expectations.nonEmpty, "need at least one expectation")
+    // the quarantine contract RESERVES this column name; silently
+    // overwriting a business column called "violation" (and dropping
+    // it from the passed side) would be silent data loss
+    require(!df.columns.contains("violation"),
+      "enforce: input already has a 'violation' column — rename it " +
+        "(the quarantine output reserves that name for the reason)")
     val reason = expectations.foldRight(lit(null).cast("string")) {
       // null-safe: `holds <=> true` is false (not NULL) for a NULL
       // verdict, so the row gets this expectation's name

@@ -20,16 +20,24 @@ import graft.ext.Multimodal._
   */
 object JdkCodec extends MediaCodec {
 
-  private def toRgb(id: Long, frameNo: Int,
-      img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+  private def toRgb(img: java.awt.image.BufferedImage)
+      : (Int, Int, Array[Byte]) = {
     val (w, h) = (img.getWidth, img.getHeight)
+    // ONE bulk getRGB per image, row-strided into a reused buffer: the
+    // per-pixel getRGB(x, y) form performs a color-model conversion
+    // call per pixel — ~an order of magnitude slower on the map-side
+    // decode hot path, where for a 12MP image that was ~12M calls.
+    // Values are identical (same default-ARGB conversion), which the
+    // byte-exact codec specs pin.
     val px = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
     var y = 0
     var i = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         px(i) = ((rgb >> 16) & 0xff).toByte
         px(i + 1) = ((rgb >> 8) & 0xff).toByte
         px(i + 2) = (rgb & 0xff).toByte
@@ -44,7 +52,7 @@ object JdkCodec extends MediaCodec {
   def decodeImage(id: Long, format: String, bytes: Array[Byte]): DecodedImage = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"media $id: no JDK decoder for payload (format=$format)")
-    val (w, h, px) = toRgb(id, 0, img)
+    val (w, h, px) = toRgb(img)
     DecodedImage(id, w, h, 3, px)
   }
 
@@ -100,7 +108,7 @@ object JdkCodec extends MediaCodec {
         // not whenever a lazy iterator happens to drain; sampled
         // frames per clip are bounded small
         (0 until n by everyNth).map { f =>
-          val (w, h, px) = toRgb(id, f, reader.read(f))
+          val (w, h, px) = toRgb(reader.read(f))
           Frame(id, f, w, h, px)
         }.iterator
       } finally reader.dispose()

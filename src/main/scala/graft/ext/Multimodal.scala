@@ -167,8 +167,13 @@ object Multimodal {
     */
   def payloadStats(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaStat] =
     asMedia(media).mapPartitions { it =>
-      it.map { m =>
-        m.kind match {
+      // flatMap + Try: corrupt media (or a kind the codec cannot own —
+      // a real ImageIO cannot decode an mp4 payload routed through the
+      // image branch) degrades to an ABSENT row, never a task failure —
+      // the containerMeta posture. StubCodec never throws, so the
+      // oracle-gated queries see identical rows.
+      it.flatMap { m =>
+        scala.util.Try(m.kind match {
           case "audio" =>
             val clip = codec.decodeAudio(m.media_id, m.format, m.bytes)
             var sum = 0L; var i = 0
@@ -182,7 +187,7 @@ object Multimodal {
             var sum = 0L; var i = 0
             while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
             MediaStat(m.media_id, m.kind, img.pixels.length, sum)
-        }
+        }).toOption
       }
     }(Encoders.product[MediaStat])
 
@@ -194,7 +199,8 @@ object Multimodal {
   def features(media: DataFrame, dim: Int = 16,
       codec: MediaCodec = StubCodec): Dataset[MediaFeature] =
     asMedia(media).mapPartitions { it =>
-      it.map { m =>
+      it.flatMap { m =>
+        scala.util.Try {
         val raw: Array[Float] = m.kind match {
           case "audio" => codec.decodeAudio(m.media_id, m.format, m.bytes).samples
           case _ =>
@@ -207,13 +213,17 @@ object Multimodal {
         val emb =
           if (raw.isEmpty) new Array[Float](dim)
           else Array.tabulate(dim) { j =>
-            val lo = j * raw.length / dim
-            val hi = math.max(lo + 1, (j + 1) * raw.length / dim)
+            // Long block bounds: j * raw.length overflows Int for
+            // ~140M-element media (a 48MP image, a long WAV) and wraps
+            // to a negative index
+            val lo = (j.toLong * raw.length / dim).toInt
+            val hi = math.max(lo + 1, ((j + 1).toLong * raw.length / dim).toInt)
             var s = 0.0f; var i = lo
             while (i < hi) { s += raw(i); i += 1 }
             s / (hi - lo)
           }
         MediaFeature(m.media_id, m.kind, emb)
+        }.toOption // Try: same degrade-to-absent posture as payloadStats
       }
     }(Encoders.product[MediaFeature])
 

@@ -55,17 +55,33 @@ object Gold {
     */
   def writeTable(spark: SparkSession, df: DataFrame, table: String,
       partitionCol: String,
-      format: TableFormat = TableFormat.Atomic): Unit = format match {
-    case TableFormat.CatalogParquet =>
-      if (spark.catalog.tableExists(table))
-        df.write.mode("append").format("parquet").partitionBy(partitionCol)
+      format: TableFormat = TableFormat.Atomic): Unit = {
+    // fail FAST when the catalog name is already bound to the OTHER
+    // format's object: Atomic publishes via CREATE OR REPLACE VIEW
+    // (throws on a real table AFTER the data committed — leaving the
+    // batch committed-but-unpublished in the _graft_atomic root), and
+    // CatalogParquet's saveAsTable throws on a view. One name, one
+    // format, for the table's lifetime.
+    def isView: Boolean = spark.catalog.tableExists(table) &&
+      spark.catalog.getTable(table).tableType == "VIEW"
+    format match {
+      case TableFormat.CatalogParquet =>
+        require(!isView,
+          s"writeTable: '$table' is an Atomic snapshot-pointer view; " +
+            "write it with TableFormat.Atomic")
+        if (spark.catalog.tableExists(table))
+          df.write.mode("append").format("parquet").partitionBy(partitionCol)
+            .saveAsTable(table)
+        else df.write.format("parquet").partitionBy(partitionCol)
           .saveAsTable(table)
-      else df.write.format("parquet").partitionBy(partitionCol)
-        .saveAsTable(table)
-    case TableFormat.Atomic =>
-      val root = atomicRoot(spark, table)
-      val v = AtomicTable.appendPartitioned(spark, df, root, partitionCol)
-      if (v >= 0) publishPointer(spark, table, root)
+      case TableFormat.Atomic =>
+        require(!spark.catalog.tableExists(table) || isView,
+          s"writeTable: '$table' is a catalog parquet table; " +
+            "write it with TableFormat.CatalogParquet")
+        val root = atomicRoot(spark, table)
+        val v = AtomicTable.appendPartitioned(spark, df, root, partitionCol)
+        if (v >= 0) publishPointer(spark, table, root)
+    }
   }
 
   /** Filesystem root backing an Atomic catalog table: under the
@@ -142,6 +158,19 @@ object Gold {
     * matched facts instead of duplicating them, and readers only ever
     * see complete snapshots. Returns the committed version.
     */
+  /** First-writer-wins in-batch dedup on the declared unique key —
+    * the ONE definition both incremental paths use: a tiebreak or
+    * watermark change applied to append-dedup must not silently
+    * diverge from merge-dedup (they must pick the same winners).
+    */
+  private def firstWriterWins(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("transaction_id"))
+      .orderBy(col("ingestion_timestamp"), col("product_id"),
+        col("final_amount"))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   def mergeIncremental(spark: SparkSession, source: DataFrame,
       tableRoot: String): Int = {
     val exists = AtomicTable.latestVersion(tableRoot).isDefined
@@ -167,15 +196,13 @@ object Gold {
           case None => source
         }
       }
-    val w = Window.partitionBy(col("transaction_id"))
-      .orderBy(col("ingestion_timestamp"), col("product_id"), col("final_amount"))
-    val deduped = fresh
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    // empty batch (idle trigger, fully-late data) → no commit at all:
-    // committing nothing would still bump versions, and an empty FIRST
-    // batch must not create a schema-less table
-    if (deduped.isEmpty) return AtomicTable.latestVersion(tableRoot).getOrElse(-1)
+    val deduped = firstWriterWins(fresh)
+    // empty batch (idle trigger, fully-late data) → no commit:
+    // mergePartitioned's own empty-source guard short-circuits with
+    // latestVersion.getOrElse(-1) — identical semantics to a pre-check
+    // here, without a separate isEmpty job executing the window plan a
+    // second time per micro-batch.
+    //
     // partition-pruned: an incremental batch touches a handful of
     // purchase dates — only those partitions rewrite; the rest of the
     // fact table's files carry over untouched. Stats on the ingestion
@@ -214,11 +241,7 @@ object Gold {
         else source.filter(col("ingestion_timestamp") >= lit(wm))
       case None => source
     }
-    val w = Window.partitionBy(col("transaction_id"))
-      .orderBy(col("ingestion_timestamp"), col("product_id"), col("final_amount"))
-    val deduped = fresh
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val deduped = firstWriterWins(fresh)
     target match {
       case Some(t) =>
         deduped.join(t.select(col("transaction_id")), Seq("transaction_id"),

@@ -84,6 +84,34 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("writeTable: a name bound to the OTHER format fails fast, not split-brain") {
+    // Atomic publishes via CREATE OR REPLACE VIEW (throws on a real
+    // table only AFTER the batch committed to the _graft_atomic root);
+    // CatalogParquet's saveAsTable throws on a view — both misuses
+    // must be caught BEFORE any data moves
+    val ts = Timestamp.valueOf("2025-06-01 10:00:00")
+    val fct = onePurchase(ts, "1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ecommerce_data_lake")
+    val plain = "ecommerce_data_lake.fmt_clash_plain"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    Gold.writeTable(spark, fct, plain, "purchase_date",
+      Gold.TableFormat.CatalogParquet)
+    val e1 = intercept[IllegalArgumentException] {
+      Gold.writeTable(spark, fct, plain, "purchase_date") // Atomic default
+    }
+    assert(e1.getMessage.contains("CatalogParquet"), e1.getMessage)
+    spark.sql(s"DROP TABLE $plain")
+    val atomic = "ecommerce_data_lake.fmt_clash_atomic"
+    spark.sql(s"DROP VIEW IF EXISTS $atomic")
+    Gold.writeTable(spark, fct, atomic, "purchase_date")
+    val e2 = intercept[IllegalArgumentException] {
+      Gold.writeTable(spark, fct, atomic, "purchase_date",
+        Gold.TableFormat.CatalogParquet)
+    }
+    assert(e2.getMessage.contains("Atomic"), e2.getMessage)
+    spark.sql(s"DROP VIEW $atomic")
+  }
+
   test("catalog introspection builtins (debug_catalog.sql:1-3)") {
     val r = spark.sql(
       "SELECT current_catalog() AS cat, current_schema() AS sch").head()

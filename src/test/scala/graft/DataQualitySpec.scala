@@ -87,4 +87,35 @@ class DataQualitySpec extends SparkSpec {
     assert(rows("fk_orders_customer") === 0L)
     assert(rows("accepted_values_o_orderstatus") === 0L)
   }
+
+  test("fkCheck handles a SELF-referential hierarchy (child eq parent)") {
+    // the canonical dbt relationships use case — previously tripped
+    // Spark's ambiguous-self-join detection
+    import graft.ext.DataQuality
+    val employees = Seq(
+      (1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(1L)),
+      (4L, Some(99L)) // orphan: manager 99 does not exist
+    ).toDF("emp_id", "manager_id")
+    val got = DataQuality.fkCheck("mgr_fk", employees, "manager_id",
+      employees, "emp_id").head()
+    assert(got.getString(0) === "mgr_fk")
+    assert(got.getLong(1) === 1L) // only the orphan; NULL manager skips
+  }
+
+  test("enforce refuses an input that already has a 'violation' column") {
+    import graft.ext.DataQuality
+    val df = Seq((1L, "x")).toDF("id", "violation")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.enforce(df, Seq("always" -> lit(true)))
+    }
+    assert(e.getMessage.contains("violation"))
+  }
+
+  test("report refuses an empty suite with a named error") {
+    import graft.ext.DataQuality
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.report(Seq.empty)
+    }
+    assert(e.getMessage.contains("no checks"))
+  }
 }
