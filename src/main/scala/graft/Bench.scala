@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   * `parsed: null` (r4 verdict ask #2).
   */
 object Bench {
+  /** Query names the x10 / x30 scale probes re-run over the scaled
+    * corpora (probe entries are these prefixed `x10_`/`x30_`, plus
+    * the `_q72_lsh_auto` auto-sizing probe). Constants so
+    * BenchReportSpec can assemble the REAL full entry roster and pin
+    * the contract line under the driver's measured 2000-char tail
+    * capture — the r4 `parsed: null` failure mode, gated against the
+    * actual shape rather than a synthetic one.
+    */
+  val x10Queries: Seq[String] = Seq("q60_dedup_exact", "q64_ngram_jaccard",
+    "q65_minhash_dedup", "q72_ann_lsh",
+    "q76_dedup_clusters", "q86_curation_pipeline",
+    "q89_decontamination", "q140_bloom_decontam",
+    "q95_doc_chunking", "q96_unigram_surprisal",
+    "q103_paragraph_dedup",
+    "q122_repeated_ngrams",
+    "q125_substring_spans")
+  val x30Queries: Seq[String] = Seq("q65_minhash_dedup",
+    "q122_repeated_ngrams", "q125_substring_spans")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,8 +48,44 @@ object Bench {
     // only this harness reads)
     graft.ext.Similarity.collectLshDiag = true
 
+    // run identity: stamped into BOTH the contract line and the diag,
+    // and into the diag's per-run evidence file name. Round 6 lost its
+    // official run's raw-run record because a same-day rerun overwrote
+    // BENCH_DIAG.json — the committed diag showed x30_q122 at
+    // [4.44, 3.59] while the committed BENCH_r06 line said 44.8 s, and
+    // nothing proved which run the diag described. With the id in both
+    // documents (and an accumulating bench_diag/ file per run) the
+    // pairing is verifiable and unclobberable.
+    val runId = System.currentTimeMillis()
+    val startedAt = java.time.Instant.ofEpochMilli(runId).toString
+    val t0Nanos = System.nanoTime()
+
+    /** First field of /proc/loadavg (1-min runnable average) — the
+      * host-contention witness for the r5/r6 one-entry-stalled-10×
+      * bench class. -1.0 where the interface is absent.
+      */
+    def loadavg1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    /** `some avg10` from /proc/pressure/<res> (fraction of the last
+      * 10 s any task was stalled on the resource).
+      */
+    def psi(res: String): Double =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/pressure/$res")), "UTF-8")
+        val m = java.util.regex.Pattern.compile("some avg10=([0-9.]+)")
+          .matcher(txt)
+        if (m.find()) m.group(1).toDouble else -1.0
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg1()
+
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val entryEnv =
+      scala.collection.mutable.LinkedHashMap[String, BenchReport.EntryEnv]()
     val minhashDiag = scala.collection.mutable.LinkedHashMap[String, String]()
     val lshDiag = scala.collection.mutable.LinkedHashMap[String, String]()
     // candidate_sec varies RUN TO RUN (it is the phase split the r5
@@ -61,6 +116,15 @@ object Bench {
       graft.ext.Similarity.lastLshDiag = None
       val rt = Runtime.getRuntime
       heapMb(entry) = (rt.totalMemory - rt.freeMemory) / (1L << 20)
+      // host-load evidence, one row per RUN (prepare runs before each),
+      // aligned with the entry's raw_runs array — see EntryEnv scaladoc
+      val prev = entryEnv.getOrElse(entry,
+        BenchReport.EntryEnv(Nil, Nil, Nil, Nil))
+      entryEnv(entry) = BenchReport.EntryEnv(
+        prev.loadavg1 :+ loadavg1(),
+        prev.psiCpu :+ psi("cpu"),
+        prev.psiIo :+ psi("io"),
+        prev.tOffsetSec :+ (System.nanoTime() - t0Nanos) / 1e9)
     }
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -223,14 +287,7 @@ object Bench {
     val x10Probe: Seq[(String, Double)] = {
       var dir10: String = null
       corpusBuild10 = timed { dir10 = buildScaledCorpus(spark, sfDir, copies = 10) }
-      val fixed = Seq("q60_dedup_exact", "q64_ngram_jaccard",
-        "q65_minhash_dedup", "q72_ann_lsh",
-        "q76_dedup_clusters", "q86_curation_pipeline",
-        "q89_decontamination", "q140_bloom_decontam",
-        "q95_doc_chunking", "q96_unigram_surprisal",
-        "q103_paragraph_dedup",
-        "q122_repeated_ngrams",
-        "q125_substring_spans").map { n =>
+      val fixed = x10Queries.map { n =>
         val entry = s"x10_$n"
         val t = best(entry, 3)(runIn(n, dir10))
         captureMinhash(entry); captureLsh(entry)
@@ -261,10 +318,15 @@ object Bench {
     val x30Probe: Seq[(String, Double)] = {
       var dir30: String = null
       corpusBuild30 = timed { dir30 = buildScaledCorpus(spark, sfDir, copies = 30) }
-      val fixed = Seq("q65_minhash_dedup", "q122_repeated_ngrams",
-        "q125_substring_spans").map { n =>
+      // three runs (was two through r6): both recorded x30 stalls
+      // (r5 x30_q65 19 s, r6 x30_q122 44.8 s) needed EVERY run of the
+      // entry contaminated to own the committed min, and a 44.8 s
+      // record means both r6 runs stalled — a third sample at ~3-10 s
+      // apiece is cheap insurance, and the per-run host_env rows say
+      // which runs were measured under load
+      val fixed = x30Queries.map { n =>
         val entry = s"x30_$n"
-        val t = best(entry, 2)(runIn(n, dir30))
+        val t = best(entry, 3)(runIn(n, dir30))
         captureMinhash(entry)
         entry -> t
       }
@@ -274,7 +336,7 @@ object Bench {
       // two-point fit that separates "held occupancy" from "got lucky
       // at one scale" — same argument the fixed x10/x30 pairs make for
       // the minhash family
-      fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 2)
+      fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 3)
     }
 
     val results =
@@ -290,13 +352,24 @@ object Bench {
     // on stderr AND as a side file; the compact driver contract line
     // is the LAST thing on stdout
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
-      corpusBuild10, corpusBuild30)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
-      diag.getBytes("UTF-8")): Unit
-    catch { case e: Throwable =>
+      corpusBuild10, corpusBuild30, runId, startedAt, entryEnv)
+    // canonical latest-run file PLUS an accumulating per-run-id copy:
+    // r6's official diag was lost when a rerun overwrote the canonical
+    // file; the per-run file makes every run's evidence permanent and
+    // the contract line's run_id names which file is the official
+    // run's record
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
+        diag.getBytes("UTF-8")): Unit
+      val dir = java.nio.file.Paths.get("bench_diag")
+      java.nio.file.Files.createDirectories(dir): Unit
+      java.nio.file.Files.write(dir.resolve(s"run_$runId.json"),
+        diag.getBytes("UTF-8")): Unit
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }
     System.err.println(s"[bench] diag: $diag")
-    println(BenchReport.contractLine(results, sfDir))
+    println(BenchReport.contractLine(results, sfDir, runId,
+      loadStart, loadavg1()))
     spark.stop()
   }
 

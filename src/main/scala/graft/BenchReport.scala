@@ -24,6 +24,20 @@ object BenchReport {
   private def num(v: Double): String =
     if (java.lang.Double.isFinite(v)) v.toString else "-1.0"
 
+  /** Contract-line timing: 3 decimals, Locale.ROOT (a comma-decimal
+    * locale would emit invalid JSON). The driver's tail capture is
+    * EXACTLY 2000 chars (measured across BENCH_r04/r06: `tail` is
+    * always len 2000, and r4's oversized line came back
+    * `parsed: null`), so every query timing at full Double.toString
+    * width (~11 chars × ~45 entries) was burning ~270 chars of a
+    * ~330-char slack. Millisecond precision is far below the bench's
+    * own run-to-run noise, so nothing is lost.
+    */
+  private def num3(v: Double): String =
+    if (java.lang.Double.isFinite(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    else "-1.0"
+
   /** Headline total: probe entries (x10_/x30_) and the q93 split
     * components are reported per-query but excluded, so the figure
     * stays comparable round to round; failed entries (< 0) don't
@@ -35,42 +49,82 @@ object BenchReport {
         !r._1.startsWith("q93b"))
       .map(_._2).filter(v => v >= 0 && java.lang.Double.isFinite(v)).sum
 
-  /** The driver contract line: {"metric","value","unit","queries","sf"}.
-    * Keys are code literals (no user text), so the only escape surface
-    * is `sfDir`, which is JSON-string-escaped.
+  /** The driver contract line: {"metric","value","unit","queries","sf"}
+    * plus the round-7 adjudication stamps — `run_id` (links this line
+    * to the matching `bench_diag/run_<id>.json` evidence file, closing
+    * the r6 gap where a rerun overwrote BENCH_DIAG.json and the
+    * official run's raw-run record was lost) and `load1` (host 1-min
+    * loadavg at bench start/end: an entry stalled by machine
+    * contention — the r5 x30_q65 / r6 x30_q122 class — shows a loaded
+    * host right in the committed BENCH_r{N}.json). Keys are code
+    * literals (no user text), so the only escape surface is `sfDir`,
+    * which is JSON-string-escaped. Budget: the line must stay under
+    * ~1900 chars (2000-char driver tail minus sbt's trailing
+    * `[success]` line) — pinned by BenchReportSpec over the real
+    * entry roster.
     */
-  def contractLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+  def contractLine(results: Seq[(String, Double)], sfDir: String,
+                   runId: Long = 0L,
+                   loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${num(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}"""
+    s"""{"metric":"total","value":${num3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"run_id":$runId,"load1":[${num3(loadStart)},${num3(loadEnd)}]}"""
   }
 
-  /** Diag document: raw per-run times, pre-entry heap, minhash verify
-    * decisions, LSH bucket histograms, corpus build costs. The
-    * minhash/lsh values arrive pre-rendered as JSON objects.
+  /** Per-run host-environment snapshot for one entry, arrays aligned
+    * index-for-index with that entry's `runs` array: 1-min loadavg,
+    * cgroup-wide CPU and IO pressure (`/proc/pressure/{cpu,io}` `some
+    * avg10`), and seconds since bench start at run begin. This is the
+    * r6 verdict's "load evidence per entry": when a committed artifact
+    * records a 10× outlier (r5 x30_q65 19 s, r6 x30_q122 44.8 s, both
+    * 3–10 s in every other same-day measurement), the aligned load
+    * row says whether the HOST was busy at that exact run — machine
+    * contention becomes adjudicable from the artifact, not from a
+    * next-round re-measurement.
+    */
+  final case class EntryEnv(loadavg1: Seq[Double], psiCpu: Seq[Double],
+                            psiIo: Seq[Double], tOffsetSec: Seq[Double])
+
+  private def dArr(ts: Seq[Double]): String =
+    "[" + ts.map(t =>
+      if (java.lang.Double.isFinite(t))
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+      else "-1.0").mkString(",") + "]"
+
+  /** Diag document: run identity (`run_id` matches the contract
+    * line's; `started_at` UTC ISO), raw per-run times, pre-entry heap,
+    * per-run host-load evidence, minhash verify decisions, LSH bucket
+    * histograms, corpus build costs. The minhash/lsh values arrive
+    * pre-rendered as JSON objects.
     */
   def diagJson(rawRuns: collection.Map[String, Seq[Double]],
                heapMb: collection.Map[String, Long],
                minhashDiag: collection.Map[String, String],
                lshDiag: collection.Map[String, String],
-               corpusBuild10: Double, corpusBuild30: Double): String = {
-    // Locale.ROOT: the default-locale f"" interpolator renders 0.9 as
-    // "0,900" under comma-decimal locales — still JSON, but four ints
-    // where two doubles belong, silently corrupting the record
-    val runsJson = rawRuns.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(t =>
-        if (java.lang.Double.isFinite(t))
-          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-        else "-1.0")
-        .mkString(",") + "]"
-    }.mkString("{", ",", "}")
+               corpusBuild10: Double, corpusBuild30: Double,
+               runId: Long = 0L, startedAt: String = "",
+               env: collection.Map[String, EntryEnv] =
+                 collection.Map.empty[String, EntryEnv]): String = {
+    // Locale.ROOT (in dArr): the default-locale f"" interpolator
+    // renders 0.9 as "0,900" under comma-decimal locales — still
+    // JSON, but four ints where two doubles belong, silently
+    // corrupting the record
+    val runsJson = rawRuns.map { case (k, ts) => "\"" + k + "\":" + dArr(ts) }
+      .mkString("{", ",", "}")
     val heapJson = heapMb.map { case (k, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    val envJson = env.map { case (k, e) =>
+      "\"" + k + "\":{\"loadavg1\":" + dArr(e.loadavg1) +
+        ",\"psi_cpu\":" + dArr(e.psiCpu) +
+        ",\"psi_io\":" + dArr(e.psiIo) +
+        ",\"t_offset_sec\":" + dArr(e.tOffsetSec) + "}"
+    }.mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val lshJson = lshDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    s"""{"runs":$runsJson,"heap_mb_before":$heapJson,""" +
+    s"""{"run_id":$runId,"started_at":${jstr(startedAt)},""" +
+      s""""runs":$runsJson,"heap_mb_before":$heapJson,"host_env":$envJson,""" +
       s""""minhash":$mhJson,"lsh":$lshJson,"corpus_build_sec":""" +
       s"""{"x10":${num(corpusBuild10)},"x30":${num(corpusBuild30)}}}"""
   }

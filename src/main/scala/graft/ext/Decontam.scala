@@ -70,18 +70,24 @@ object Decontam {
     * TIME (the stage below materializes it to a session-scoped parquet
     * dir that lives until JVM exit). Repeated calls in a long-lived
     * session each leave one eval-gram-sized staging dir; callers that
-    * loop over many eval suites should bound that with
-    * [[graft.Staging]]'s scoped checkpoint or a periodic sweep.
+    * loop over many eval suites bound that by running inside
+    * [[graft.Staging.scope]] and passing its stager as `stage` — every
+    * staged dir is reclaimed when the scope's body returns (consume
+    * the result inside the scope: the returned plan reads the staged
+    * file). The default stager keeps the plain session-lifetime
+    * behavior.
     */
   def bloomContaminationPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
-      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+      numBits: Int = 1 << 20, numHashes: Int = 5,
+      stage: (DataFrame, String) => DataFrame =
+        graft.Staging.checkpoint): DataFrame = {
     import graft.functions.BloomSketch
     // staged once: the (eval_id, gram) distinct frame feeds BOTH the
     // bloom build and the exact join — without the stage the whole
     // eval-side tokenize+shingle pipeline executes twice, in exactly
     // the too-big-to-broadcast regime this function exists for
-    val evalGrams = graft.Staging.checkpoint(
+    val evalGrams = stage(
       Dedup.explodedShingles(eval, idCol, textCol, n)
         .select(col("doc_id").as("eval_id"), col("s").as("gram"))
         .distinct(),

@@ -46,6 +46,22 @@ import scala.util.control.NonFatal
   */
 object AtomicTable {
 
+  /** Optional phase-timing sink (name, seconds) — a diag hook in the
+    * [[graft.ext.Dedup.lastMinhashDiag]] mold: profiling tools
+    * (ProfileQ93) set it to attribute merge cost to its internal
+    * phases; `None` (the default) is zero-overhead. Not part of any
+    * query semantics.
+    */
+  @volatile var phaseSink: Option[(String, Double) => Unit] = None
+  private def phase[T](name: String)(body: => T): T = phaseSink match {
+    case None => body
+    case Some(f) =>
+      val t0 = System.nanoTime()
+      val r = body
+      f(name, (System.nanoTime() - t0) / 1e9)
+      r
+  }
+
   private def commitsDir(root: String) = Paths.get(root, "_commits")
 
   // \d{5,}: %05d PADS to 5 digits but does not cap — version 100000
@@ -474,8 +490,9 @@ object AtomicTable {
     */
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
       key: String, partitionCol: String, statsCol: Option[String] = None): Int = {
-    val sourcePartRows = df.select(col(partitionCol)).distinct()
-      .collect() // bounded: partition cardinality
+    val sourcePartRows = phase("merge.src-parts")(
+      df.select(col(partitionCol)).distinct()
+        .collect()) // bounded: partition cardinality
     // empty source ⇔ empty distinct-partition set (a null partition
     // value still yields a row): short-circuit the no-op like
     // [[merge]] does — without this, an idle caller would publish a
@@ -490,7 +507,8 @@ object AtomicTable {
     while (committed < 0) {
       latestVersion(root) match {
         case None =>
-          val staged = stagePartitioned(df, root, partitionCol, statsCol)
+          val staged = phase("merge.stage-initial")(
+            stagePartitioned(df, root, partitionCol, statsCol))
           if (staged.isEmpty) return -1 // nothing to commit — never wedge
           if (tryPublish(root, 0, staged)) committed = 0
         case Some(v) =>
@@ -516,13 +534,13 @@ object AtomicTable {
           // guard below — previously two separate jobs per merge.
           val partScan: Option[Array[(String, Boolean)]] =
             if (!structuralSafe || priorEntries.isEmpty) None
-            else Some(priorEntries.get
+            else Some(phase("merge.part-scan")(priorEntries.get
               .join(df.select(col(key)).distinct()
                 .withColumn("__m", lit(1)), Seq(key), "left")
               .groupBy(col(partitionCol)).agg(max(col("__m")).as("__m"))
               .collect()
               .filterNot(_.isNullAt(0))
-              .map(r => (String.valueOf(r.get(0)), !r.isNullAt(1))))
+              .map(r => (String.valueOf(r.get(0)), !r.isNullAt(1)))))
           val matchedParts: Set[String] =
             partScan.map(_.collect { case (v, true) => v }.toSet)
               .getOrElse(Set.empty)
@@ -554,7 +572,8 @@ object AtomicTable {
             else readEntries(spark, root, toRewrite)
               .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
               .unionByName(df, allowMissingColumns = true)
-          val staged = stagePartitioned(merged, root, partitionCol, statsCol)
+          val staged = phase("merge.stage-upsert")(
+            stagePartitioned(merged, root, partitionCol, statsCol))
           if (tryPublish(root, v + 1, untouched ++ staged)) committed = v + 1
       }
     }

@@ -46,6 +46,16 @@ object EventQueries {
     */
   def mvMaintain(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.gold.AtomicTable
+    // same diag hook as AtomicTable.phaseSink: top-level maintenance
+    // phases for ProfileQ93's cost attribution; None = zero overhead
+    def ph[T](name: String)(body: => T): T = AtomicTable.phaseSink match {
+      case None => body
+      case Some(f) =>
+        val t0 = System.nanoTime()
+        val r = body
+        f(name, (System.nanoTime() - t0) / 1e9)
+        r
+    }
     val root = java.nio.file.Files.createTempDirectory("q93-mv").toString
     val ev = Tables.load(s, dir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
@@ -70,8 +80,8 @@ object EventQueries {
       def side(delta: Boolean) =
         partials.filter(col("is_delta") === delta).drop("is_delta")
           .repartition(col("event_date"))
-      AtomicTable.mergePartitioned(s, side(delta = false), root,
-        "mv_key", "event_date")
+      ph("mv.base-merge")(AtomicTable.mergePartitioned(s, side(delta = false),
+        root, "mv_key", "event_date"))
       // an all-empty base (0-row corpus) commits nothing by design —
       // serve the combine from an empty current state instead of
       // reading a table that was never created
@@ -91,9 +101,11 @@ object EventQueries {
       // this source's lineage joins against the MV table itself — one
       // delta-scale parquet round trip replaces two re-reads of the
       // table + join re-executions
-      graft.Staging.checkpointScoped(combined, "q93-combine") { staged =>
-        AtomicTable.mergePartitioned(s, staged, root, "mv_key", "event_date")
-      }: Unit
+      ph("mv.combine-stage-and-merge")(
+        graft.Staging.checkpointScoped(combined, "q93-combine") { staged =>
+          ph("mv.delta-merge")(AtomicTable.mergePartitioned(
+            s, staged, root, "mv_key", "event_date"))
+        }): Unit
     } finally partials.unpersist(): Unit
     root
   }

@@ -24,7 +24,8 @@ class BenchReportSpec extends AnyFunSuite {
     "x10_q72_lsh_auto" -> 1.3)
 
   test("contract line: valid single-line JSON with the driver's fields") {
-    val line = BenchReport.contractLine(results, "/root/testdata/sf0.1")
+    val line = BenchReport.contractLine(results, "/root/testdata/sf0.1",
+      runId = 1755192000123L, loadStart = 0.07, loadEnd = 1.25)
     assert(!line.contains("\n"))
     val j = parse(line)
     assert(j.get("metric").asText() === "total")
@@ -32,6 +33,10 @@ class BenchReportSpec extends AnyFunSuite {
     assert(j.get("sf").asText() === "/root/testdata/sf0.1")
     assert(j.get("queries").size() === results.size)
     assert(j.get("value").isNumber)
+    // round-7 adjudication stamps: run identity + start/end host load
+    assert(j.get("run_id").asLong() === 1755192000123L)
+    assert(j.get("load1").get(0).asDouble() === 0.07)
+    assert(j.get("load1").get(1).asDouble() === 1.25)
   }
 
   test("total excludes probe entries and q93 components, skips failures") {
@@ -59,15 +64,25 @@ class BenchReportSpec extends AnyFunSuite {
   }
 
   test("contract line stays within the driver's tail capture at full scale") {
-    // ~50 entries with long names ≈ the real bench's shape; the r4
-    // regression shipped a line two orders of magnitude larger
-    val big = (1 to 50).map(i => f"x10_q$i%03d_some_longish_entry_name" -> 1.234567890123)
-    val line = BenchReport.contractLine(big, "/root/testdata/sf0.1")
-    assert(line.length < 4096, s"contract line ${line.length}B risks tail-capture truncation")
+    // the REAL entry roster (headlines + ingest + q93 split + x10/x30
+    // probes), worst-case timing widths. The driver's tail capture is
+    // EXACTLY 2000 chars (BENCH_r04/r06 `tail` both len 2000; r4's
+    // oversized line came back `parsed: null` and zeroed the round),
+    // and sbt's trailing `[success] Total time: …` line (~70 chars)
+    // shares it — so the real line must stay under ~1900
+    val roster: Seq[String] =
+      SparkEntry.headlines ++
+        Seq("ingest_parse_write_100k", "q93a_mv_maintain", "q93b_mv_read") ++
+        (Bench.x10Queries.map("x10_" + _) ++ Seq("x10_q72_lsh_auto")) ++
+        (Bench.x30Queries.map("x30_" + _) ++ Seq("x30_q72_lsh_auto"))
+    val real = roster.map(_ -> 9999.999)
+    val line = BenchReport.contractLine(real, "/root/testdata/sf0.1",
+      runId = Long.MaxValue, loadStart = 99.999, loadEnd = 99.999)
+    assert(line.length < 1900, s"contract line ${line.length}B risks tail-capture truncation")
     parse(line): Unit
   }
 
-  test("diag json parses with all five sections") {
+  test("diag json parses with all sections, run identity, and host env") {
     val diag = BenchReport.diagJson(
       rawRuns = scala.collection.mutable.LinkedHashMap(
         "q01" -> Seq(0.9, 0.5), "x10_q65" -> Seq(6.1, 4.3, Double.NaN)),
@@ -76,10 +91,22 @@ class BenchReportSpec extends AnyFunSuite {
         "q65" -> """{"n_pairs":265,"verify_join":"broadcast"}"""),
       lshDiag = scala.collection.mutable.LinkedHashMap(
         "q72" -> """{"n_candidates":9354,"n_buckets":252,"max_bucket":23}"""),
-      corpusBuild10 = 2.15, corpusBuild30 = Double.NaN)
+      corpusBuild10 = 2.15, corpusBuild30 = Double.NaN,
+      runId = 1755192000123L, startedAt = "2026-08-14T17:20:00.123Z",
+      env = scala.collection.mutable.LinkedHashMap(
+        "q01" -> BenchReport.EntryEnv(
+          Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4))))
     val j = parse(diag)
+    assert(j.get("run_id").asLong() === 1755192000123L)
+    assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
     assert(j.get("runs").get("x10_q65").get(2).asDouble() === -1.0)
     assert(j.get("heap_mb_before").get("q01").asLong() === 127L)
+    // host-load rows align index-for-index with the entry's runs array
+    val e = j.get("host_env").get("q01")
+    assert(e.get("loadavg1").get(1).asDouble() === 8.15)
+    assert(e.get("psi_cpu").get(1).asDouble() === 42.5)
+    assert(e.get("psi_io").get(0).asDouble() === 0.0)
+    assert(e.get("t_offset_sec").get(1).asDouble() === 2.4)
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)

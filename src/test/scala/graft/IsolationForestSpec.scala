@@ -25,6 +25,44 @@ class IsolationForestSpec extends SparkSpec {
       .toDF("purchase_date", "daily_total_sales", "daily_transaction_count")
   }
 
+  test("self-golden: q77 at sf0.01 is bit-stable (sha256 pin)") {
+    // q77 is the registry's ONE query without a DuckDB hash gate (a
+    // trained ensemble isn't ANSI-SQL-expressible; the driver records
+    // rows-only). q88 pins cross-scorer agreement FACTS, but a forest
+    // regression that happens to preserve agreement counts would slip
+    // through — so this pin is the r6-verdict ask: a sha256 of the
+    // canonicalized score frame (columns name-sorted, rows sorted,
+    // doubles by exact IEEE bits) over the same sf0.01 corpus the
+    // driver verifies at. ANY output bit change — seed handling,
+    // subsampling, tree build, path-length scoring, flag threshold —
+    // flips the digest and fails here, locally, before a round ships.
+    // (Re-pin only on a DELIBERATE scorer change, with the q88
+    // agreement gate still green.)
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val df = SparkEntry.queries("q77_anomaly_iforest")(spark, dir)
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(col): _*).collect().toSeq
+    assert(rows.size > 1000, s"corpus shape changed: ${rows.size} rows")
+    val canon = rows.map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null => "null"
+          case d: java.lang.Double =>
+            java.lang.Long.toHexString(
+              java.lang.Double.doubleToLongBits(d.doubleValue()))
+          case v => v.toString
+        }
+      }.mkString("|")
+    }.sorted.mkString("\n")
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hex ===
+      "33722b796d923f17e4cb65f91ae024c9db535adf9dd870fc6afdd09ca65d4fd6",
+      "q77 canonical output drifted — if the scorer change is deliberate, " +
+        "re-pin this digest and re-verify the q88 agreement gate")
+  }
+
   test("deterministic: two fits produce identical scores") {
     val a = Anomaly.IsolationForestScorer().score(daily)
       .select("purchase_date", "anomaly_score").collect().toSeq

@@ -188,6 +188,31 @@ class BloomSketchSpec extends SparkSpec {
     assert(bloom === exact)
     assert(exact.nonEmpty) // the corpus must actually exercise the sweep
   }
+
+  test("scoped staging reclaims the eval-gram dir when the scope closes") {
+    // the r6-ADVICE leak class: each plain bloomContaminationPairs call
+    // stages eval grams until JVM exit; through Staging.scope the dir
+    // must be GONE as soon as the body returns (result consumed inside)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val docs = graft.queries.Tables.load(spark, dir, "documents")
+    val ev = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val tr = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    def stagedDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles((_, n) => n.startsWith("graft-stage-decontam-eval-grams"))
+        .map(_.getName).toSet
+    }
+    val before = stagedDirs()
+    val n = graft.Staging.scope { stager =>
+      graft.ext.Decontam
+        .bloomContaminationPairs(tr, ev, "doc_id", "text", n = 4,
+          stage = stager)
+        .count()
+    }
+    assert(n > 0)
+    assert(stagedDirs() === before, "scope leaked a staging dir")
+  }
 }
 
 class CountMinSpec extends SparkSpec {

@@ -19,6 +19,9 @@ object TestSpark {
       // mirrors GraftSession: the driver corpus' events.parquet is
       // TIMESTAMP(NANOS) and must scan as raw longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, must be set at build: ThriftServerSpec registers
+      // temp views and reads them over JDBC through the shared session
+      .config("spark.sql.hive.thriftserver.single.session", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
