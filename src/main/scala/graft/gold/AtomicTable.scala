@@ -487,9 +487,23 @@ object AtomicTable {
     * [[merge]]: losing the race recomputes against the new snapshot.
     * Returns -1 when there is nothing to commit (empty source on a
     * nonexistent table).
+    *
+    * `partitionLocalKeys = true` DECLARES that a key value can only
+    * ever live in the partition its source row carries (true whenever
+    * the key embeds the partition value — q93's `mv_key` =
+    * `date|type` under `event_date` — or the key is otherwise
+    * functionally bound to it). Matched-key partitions are then a
+    * subset of source partitions BY CONSTRUCTION, so the prior-
+    * snapshot key scan is skipped entirely: one fewer Spark job per
+    * merge, and the merge plans from manifest strings alone — the
+    * partition-scoped MERGE shape of the production formats. The
+    * declaration is the caller's contract; a key that silently moved
+    * partitions would leave its old row behind, exactly as a wrong
+    * partition predicate would in any partition-scoped MERGE.
     */
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
-      key: String, partitionCol: String, statsCol: Option[String] = None): Int = {
+      key: String, partitionCol: String, statsCol: Option[String] = None,
+      partitionLocalKeys: Boolean = false): Int = {
     val sourcePartRows = phase("merge.src-parts")(
       df.select(col(partitionCol)).distinct()
         .collect()) // bounded: partition cardinality
@@ -533,7 +547,8 @@ object AtomicTable {
           // full discovered partition-value set for the round-trip
           // guard below — previously two separate jobs per merge.
           val partScan: Option[Array[(String, Boolean)]] =
-            if (!structuralSafe || priorEntries.isEmpty) None
+            if (partitionLocalKeys || !structuralSafe || priorEntries.isEmpty)
+              None
             else Some(phase("merge.part-scan")(priorEntries.get
               .join(df.select(col(key)).distinct()
                 .withColumn("__m", lit(1)), Seq(key), "left")

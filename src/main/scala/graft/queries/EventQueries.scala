@@ -96,16 +96,22 @@ object EventQueries {
           (col("n_events") + coalesce(col("old_n"), lit(0L))).as("n_events"),
           (col("sum_value") + coalesce(col("old_sum"), lit(0.0))).as("sum_value"))
         .repartition(col("event_date"))
-      // stage the combine ONCE: mergePartitioned evaluates its source
-      // three times (partition discovery, key scan, final write), and
-      // this source's lineage joins against the MV table itself — one
-      // delta-scale parquet round trip replaces two re-reads of the
-      // table + join re-executions
-      ph("mv.combine-stage-and-merge")(
-        graft.Staging.checkpointScoped(combined, "q93-combine") { staged =>
-          ph("mv.delta-merge")(AtomicTable.mergePartitioned(
-            s, staged, root, "mv_key", "event_date"))
-        }): Unit
+      // materialize the combine ONCE (MV-scale, like partials — the
+      // cache is released before return): mergePartitioned evaluates
+      // its source several times (partition discovery, key distinct,
+      // final write), and this source's lineage joins against the MV
+      // table itself. An in-memory persist beats the r5-era parquet
+      // checkpoint here: same execute-once guarantee, one fewer write
+      // job (ProfileQ93 put the staging round trip at ~0.3 s of the
+      // q93a floor). partitionLocalKeys: mv_key embeds event_date, so
+      // the prior-snapshot key scan (another ~0.3 s job) is skipped —
+      // matched partitions are the delta's partitions by construction.
+      combined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        ph("mv.delta-merge")(AtomicTable.mergePartitioned(
+          s, combined, root, "mv_key", "event_date",
+          partitionLocalKeys = true)): Unit
+      finally combined.unpersist(): Unit
     } finally partials.unpersist(): Unit
     root
   }

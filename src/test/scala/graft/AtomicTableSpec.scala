@@ -124,6 +124,33 @@ class AtomicTableSpec extends SparkSpec {
       .as[(Long, String, java.sql.Date)].collect().toSet === got)
   }
 
+  test("partitionLocalKeys merge: same result, untouched partitions carry over") {
+    // the declared fast path (q93's delta merge): key embeds the
+    // partition value, so the prior-snapshot key scan is skipped and
+    // matched partitions are the source's partitions by construction —
+    // output must be IDENTICAL to the scanning path, and untouched
+    // partitions must still carry over by path
+    val root = tmpDir("atomic-plk")
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def rows(t: (String, String, java.sql.Date)*) = t.toSeq.toDF("k", "v", "pd")
+    // k = "<pd>|<name>": partition-local by construction
+    AtomicTable.appendPartitioned(spark,
+      rows(("2024-01-01|x", "a", d1), ("2024-01-02|x", "b", d2),
+        ("2024-01-02|y", "c", d2)), root, "pd")
+    val v0Files = AtomicTable.files(root, 0)
+    val v1 = AtomicTable.mergePartitioned(spark,
+      rows(("2024-01-02|x", "B", d2)), root, "k", "pd",
+      partitionLocalKeys = true)
+    val v1Files = AtomicTable.files(root, v1)
+    assert(v0Files.filter(_.contains("pd=2024-01-01")).toSet ===
+      v1Files.filter(_.contains("pd=2024-01-01")).toSet)
+    val got = AtomicTable.read(spark, root)
+      .as[(String, String, java.sql.Date)].collect().toSet
+    assert(got === Set(("2024-01-01|x", "a", d1), ("2024-01-02|x", "B", d2),
+      ("2024-01-02|y", "c", d2)))
+  }
+
   test("partition-pruned merge: a key MOVING partitions does not duplicate") {
     val root = tmpDir("atomic-move")
     val d1 = java.sql.Date.valueOf("2024-01-01")
