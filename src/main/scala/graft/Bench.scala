@@ -82,6 +82,27 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val loadStart = loadavg1()
 
+    /** Cumulative stop-the-world collection time across all collector
+      * beans (ms). Deltas across a timed run body attribute a slow run
+      * to GC directly from the artifact — the r5–r7 x30 wobble shows
+      * low cpu PSI with high runnable counts, which is in-JVM service
+      * work; this row names (or exonerates) the collector.
+      */
+    def gcMsTotal(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    /** Cumulative JIT compilation time (ms) — a first-run-only spike
+      * here is codegen/C2 warmup, the expected non-steady-state cost
+      * min-of-n exists to absorb.
+      */
+    def jitMsTotal(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    }
+
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     val entryEnv =
@@ -120,11 +141,14 @@ object Bench {
       // aligned with the entry's raw_runs array — see EntryEnv scaladoc
       val prev = entryEnv.getOrElse(entry,
         BenchReport.EntryEnv(Nil, Nil, Nil, Nil))
-      entryEnv(entry) = BenchReport.EntryEnv(
-        prev.loadavg1 :+ loadavg1(),
-        prev.psiCpu :+ psi("cpu"),
-        prev.psiIo :+ psi("io"),
-        prev.tOffsetSec :+ (System.nanoTime() - t0Nanos) / 1e9)
+      // copy, not positional construction: the gc_ms/jit_ms rows are
+      // appended after each RUN (in best()), so rebuilding here would
+      // silently drop the earlier runs' deltas
+      entryEnv(entry) = prev.copy(
+        loadavg1 = prev.loadavg1 :+ loadavg1(),
+        psiCpu = prev.psiCpu :+ psi("cpu"),
+        psiIo = prev.psiIo :+ psi("io"),
+        tOffsetSec = prev.tOffsetSec :+ (System.nanoTime() - t0Nanos) / 1e9)
     }
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -148,7 +172,13 @@ object Bench {
     def best(entry: String, n: Int)(body: => Double): Double = {
       val ts = (1 to n).map { _ =>
         prepare(entry)
+        // gc/jit sampled AFTER prepare: prepare's own System.gc() is
+        // deliberate hygiene, not part of the run being attributed
+        val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
         val t = body
+        val e = entryEnv(entry)
+        entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
+          jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0))
         graft.ext.Dedup.lastMinhashDiag.foreach { d =>
           candSecs(entry) =
             candSecs.getOrElse(entry, Seq.empty) :+

@@ -83,7 +83,11 @@ object BenchReport {
     * next-round re-measurement.
     */
   final case class EntryEnv(loadavg1: Seq[Double], psiCpu: Seq[Double],
-                            psiIo: Seq[Double], tOffsetSec: Seq[Double])
+                            psiIo: Seq[Double], tOffsetSec: Seq[Double],
+                            gcMs: Seq[Long] = Nil, jitMs: Seq[Long] = Nil)
+
+  private def lArr(ts: Seq[Long]): String =
+    ts.mkString("[", ",", "]")
 
   private def dArr(ts: Seq[Double]): String =
     "[" + ts.map(t =>
@@ -117,7 +121,18 @@ object BenchReport {
       "\"" + k + "\":{\"loadavg1\":" + dArr(e.loadavg1) +
         ",\"psi_cpu\":" + dArr(e.psiCpu) +
         ",\"psi_io\":" + dArr(e.psiIo) +
-        ",\"t_offset_sec\":" + dArr(e.tOffsetSec) + "}"
+        ",\"t_offset_sec\":" + dArr(e.tOffsetSec) +
+        // per-RUN deltas (start→end of the timed body), aligned with
+        // the entry's runs array like the rows above: gc_ms from the
+        // collector MXBeans' cumulative collection time, jit_ms from
+        // the compilation MXBean. The r5–r7 wobble runs show LOW cpu
+        // PSI with HIGH runnable counts — the signature of in-JVM
+        // service work, not host contention — and these two rows say
+        // which (a slow run with gc_ms ≈ the excess is a GC stall; a
+        // first-run-only jit_ms spike is warmup; both small means the
+        // stall was elsewhere).
+        ",\"gc_ms\":" + lArr(e.gcMs) +
+        ",\"jit_ms\":" + lArr(e.jitMs) + "}"
     }.mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -95,7 +95,8 @@ class BenchReportSpec extends AnyFunSuite {
       runId = 1755192000123L, startedAt = "2026-08-14T17:20:00.123Z",
       env = scala.collection.mutable.LinkedHashMap(
         "q01" -> BenchReport.EntryEnv(
-          Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4))))
+          Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
+          gcMs = Seq(12L, 4804L), jitMs = Seq(931L, -1L))))
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
@@ -107,6 +108,10 @@ class BenchReportSpec extends AnyFunSuite {
     assert(e.get("psi_cpu").get(1).asDouble() === 42.5)
     assert(e.get("psi_io").get(0).asDouble() === 0.0)
     assert(e.get("t_offset_sec").get(1).asDouble() === 2.4)
+    // per-run JVM-service deltas align with runs too; -1 = unsupported
+    assert(e.get("gc_ms").get(1).asLong() === 4804L)
+    assert(e.get("jit_ms").get(0).asLong() === 931L)
+    assert(e.get("jit_ms").get(1).asLong() === -1L)
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)
