@@ -85,6 +85,36 @@ object Staging {
     df.sparkSession.read.parquet(dir.toString)
   }
 
+  /** Global sort of an output-scale result whose PLAN is expensive.
+    *
+    * `expensive.orderBy(keys)` executes the expensive plan ~twice: the
+    * range exchange's boundary sampling traverses the child before the
+    * real pass does (AQE does not exempt the sampling traversal), and
+    * the two passes race the host — measured on the x30 minhash probe
+    * as verify-join 2.6 s vs verify-join+sort 4.5–28 s (the r5/r6
+    * committed one-entry bench stalls are this shape). Staging the
+    * result first bounds the sort's input to the staged file: the
+    * sample pass and the sort pass each read output-scale parquet, and
+    * the expensive plan runs exactly once, into the stage write.
+    *
+    * Only worth it when the result is far smaller than the work that
+    * produced it (candidate pairs, per-doc digests, audit rows — the
+    * registry's text/dedup family); a cheap plan pays more for the
+    * parquet round-trip than the second traversal costs.
+    */
+  /** Diag/test escape hatch for [[stagedSort]]: when false it degrades
+    * to the live `orderBy` it replaces, so one JVM can A/B the two
+    * shapes over the same registered queries (tools.ProfileSort — the
+    * per-query keep/revert evidence). Production default is true;
+    * nothing outside diag tooling flips it.
+    */
+  @volatile var sortStagingEnabled: Boolean = true
+
+  def stagedSort(df: DataFrame, tag: String)(
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    if (sortStagingEnabled) checkpoint(df, tag).orderBy(keys: _*)
+    else df.orderBy(keys: _*)
+
   /** Run `body` with a checkpoint-compatible stager whose EVERY staged
     * dir is deleted when `body` returns — the multi-stage sibling of
     * [[checkpointScoped]] for call paths that stage internally (e.g.

@@ -18,21 +18,43 @@ object CurationQueries {
     "en" -> 400000L, "de" -> 150000L, "zh" -> 150000L,
     "fr" -> 150000L, "es" -> 150000L)
 
+  /** Unsorted q89 core — also the PlanSpec target (the spec pins the
+    * operator shape without the presentation sort).
+    *
+    * Deterministic eval split: every 20th doc plays the benchmark
+    * set; the rest is the training corpus to sweep. 4-grams are
+    * long enough to be meaningful on this short-doc corpus while
+    * producing a non-trivial overlap report.
+    */
+  def q89Core(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Decontam.contaminationPairs(train, evalSet, "doc_id", "text", n = 4)
+  }
+
+  /** Unsorted q140 core (PlanSpec target, same contract as
+    * [[q89Core]]): q89's sweep through the LARGE-EVAL-SET path — a
+    * Bloom filter of the eval grams prefilters the train side
+    * map-side, then a forced shuffle join verifies exactly.
+    */
+  def q140Core(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    Decontam.bloomContaminationPairs(train, evalSet, "doc_id", "text", n = 4)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q89_decontamination",
-      (s, dir) => {
-        // deterministic eval split: every 20th doc plays the benchmark
-        // set; the rest is the training corpus to sweep. 4-grams are
-        // long enough to be meaningful on this short-doc corpus while
-        // producing a non-trivial overlap report.
-        val docs = Tables.load(s, dir, "documents")
-        val evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
-        val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-        Decontam.contaminationPairs(train, evalSet, "doc_id", "text", n = 4)
-          .orderBy(col("train_id"), col("eval_id"))
-      },
+      (s, dir) =>
+        // live sort: ProfileSort A/B put the staged variant at 1.27x
+        // (1x) / 1.06 (x10) — the round-trip loses here
+        q89Core(s, dir).orderBy(col("train_id"), col("eval_id")),
       Some("""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -411,21 +433,13 @@ object CurationQueries {
 
     QueryDef(
       "q140_bloom_decontam",
-      (s, dir) => {
-        // q89's sweep through the LARGE-EVAL-SET path: a Bloom filter
-        // of the eval grams prefilters the train side map-side, then a
-        // forced shuffle join verifies exactly — the plan for the
-        // regime where the eval index outgrows broadcast. Output (and
-        // therefore oracle) is IDENTICAL to q89 by construction: the
-        // bloom has no false negatives and the exact join kills its
-        // false positives, so any sketch bug that drops a true pair
-        // hash-fails this gate.
-        val docs = Tables.load(s, dir, "documents")
-        val evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
-        val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
-        Decontam.bloomContaminationPairs(train, evalSet, "doc_id", "text", n = 4)
-          .orderBy(col("train_id"), col("eval_id"))
-      },
+      (s, dir) =>
+        // the plan for the regime where the eval index outgrows
+        // broadcast ([[q140Core]]). Output (and therefore oracle) is
+        // IDENTICAL to q89 by construction: the bloom has no false
+        // negatives and the exact join kills its false positives, so
+        // any sketch bug that drops a true pair hash-fails this gate.
+        q140Core(s, dir).orderBy(col("train_id"), col("eval_id")),
       Some("""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

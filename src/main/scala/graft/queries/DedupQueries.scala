@@ -83,6 +83,9 @@ object DedupQueries {
               / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
           .filter(col("jaccard_sim") >= 0.05)
           .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+          // live sort: ProfileSort A/B — the resample's second
+          // traversal costs less than a staged round-trip here
+          // (x10 ratio 1.11, 1x 1.06); contrast q65, which stages
           .orderBy(col("doc_id_a"), col("doc_id_b"))
       },
       Some("""
@@ -110,10 +113,12 @@ object DedupQueries {
     QueryDef(
       "q65_minhash_dedup",
       (s, dir) =>
-        Dedup.minhashDupPairs(
+        // stagedSort, not a bare orderBy: the verify join would run
+        // twice under the range sampler (graft.Staging.stagedSort)
+        graft.Staging.stagedSort(Dedup.minhashDupPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 64, bands = 16, threshold = 0.3)
-          .orderBy(col("doc_id_a"), col("doc_id_b")),
+          k = 64, bands = 16, threshold = 0.3), "q65-pairs")(
+          col("doc_id_a"), col("doc_id_b")),
       // ORACLE = the exact-Jaccard truth set (inverted-index brute
       // force, LSH-free). The engine result equals it iff LSH recall
       // is exactly 1 at this threshold — which holds deterministically
@@ -383,6 +388,8 @@ object DedupQueries {
             sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_blocks"),
             round(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).cast("double")
               / count(lit(1)).cast("double"), 4).as("dup_block_frac"))
+          // live sort: doc-scale output; ProfileSort A/B ratios
+          // 1.22 (1x) / 0.99 (x10) — the staged round-trip loses
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -422,10 +429,12 @@ object DedupQueries {
         // exact-substring dedup accounting — see
         // [[graft.ext.Dedup.substringDupSpans]] for the algorithm and
         // the 100 TB shape (digest window + doc-keyed interval sweep,
-        // no pair generation)
-        Dedup.substringDupSpans(Tables.load(s, dir, "documents"),
-            "doc_id", "text", w = 20)
-          .orderBy(col("doc_id"))
+        // no pair generation). Doc-scale output; a live sort would
+        // re-run the sweep for range sampling (Staging.stagedSort).
+        // PlanSpec pins the core via substringDupSpans directly.
+        graft.Staging.stagedSort(
+          Dedup.substringDupSpans(Tables.load(s, dir, "documents"),
+            "doc_id", "text", w = 20), "q125-spans")(col("doc_id"))
       },
       Some("""
         WITH t AS (
@@ -832,6 +841,8 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"))
+        // live sort: bin-scale output over an already-staged s0/s1 —
+        // ProfileSort A/B put staged at 1.06x (1x) / 0.98 (x10), a wash
         .orderBy(col("shard"), col("bin_id"))
     },
     Some("WITH RECURSIVE " + CurationStagesSql + """,
