@@ -209,7 +209,9 @@ object Bench {
         gen.purchases.map(graft.generator.EventGenerator.toJson),
         cpus.toInt).toDF("value")
       best("ingest_parse_write_100k", 2) {
-        val out = java.nio.file.Files.createTempDirectory("bench-silver").toString
+        val outDir = java.nio.file.Files.createTempDirectory("bench-silver")
+        graft.Staging.trackForCleanup(outDir) // reaped at JVM exit
+        val out = outDir.toString
         timed {
           graft.ingest.Silver.writeSilver(
             graft.ingest.Silver.parsePurchases(raw), out)
@@ -408,7 +410,9 @@ object Bench {
     * so the registered queries run unmodified against it.
     */
   def buildScaledCorpus(spark: SparkSession, sfDir: String, copies: Int): String = {
-    val out = java.nio.file.Files.createTempDirectory(s"bench-x$copies").toString
+    val outDir = java.nio.file.Files.createTempDirectory(s"bench-x$copies")
+    graft.Staging.trackForCleanup(outDir) // reaped at JVM exit
+    val out = outDir.toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tagged = (0 until copies).map { k =>
       docs

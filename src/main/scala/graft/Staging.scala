@@ -40,6 +40,13 @@ object Staging {
     }))
   }
 
+  /** Register an externally created temp dir for the JVM-exit sweep —
+    * for staging-adjacent artifacts built outside [[checkpoint]] (the
+    * bench's scaled corpora). Before this, every Bench/profiler run
+    * left its x10/x30 corpus dirs behind for the host's tmp-reaper.
+    */
+  def trackForCleanup(p: java.nio.file.Path): Unit = { tracked.add(p): Unit }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.isDirectory(p)) {

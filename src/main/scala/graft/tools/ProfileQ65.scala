@@ -98,7 +98,9 @@ object ProfileQ65 {
         val sorted = full.orderBy(col("doc_id_a"), col("doc_id_b"))
         println("[q65]   sorted executedPlan head: " +
           sorted.queryExecution.executedPlan.getClass.getSimpleName)
-        val pq = java.nio.file.Files.createTempDirectory("q65-pq").toString
+        val pqDir = java.nio.file.Files.createTempDirectory("q65-pq")
+        graft.Staging.trackForCleanup(pqDir)
+        val pq = pqDir.toString
         val tPq = timed {
           sorted.write.mode("overwrite").parquet(pq)
         }
