@@ -390,12 +390,20 @@ object Bench {
     // file; the per-run file makes every run's evidence permanent and
     // the contract line's run_id names which file is the official
     // run's record
+    // the append-only per-run file FIRST and in its OWN try: it is
+    // the unclobberable record, so it must not share failure fate
+    // with the canonical (overwritable) BENCH_DIAG.json write — a
+    // read-only/disk-full canonical file would otherwise take the
+    // permanent evidence down with it, the exact r6 gap this closes
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
-        diag.getBytes("UTF-8")): Unit
       val dir = java.nio.file.Paths.get("bench_diag")
       java.nio.file.Files.createDirectories(dir): Unit
       java.nio.file.Files.write(dir.resolve(s"run_$runId.json"),
+        diag.getBytes("UTF-8")): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-run diag write failed: ${e.getMessage}") }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DIAG.json"),
         diag.getBytes("UTF-8")): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }

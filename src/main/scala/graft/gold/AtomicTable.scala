@@ -53,7 +53,10 @@ object AtomicTable {
     * query semantics.
     */
   @volatile var phaseSink: Option[(String, Double) => Unit] = None
-  private def phase[T](name: String)(body: => T): T = phaseSink match {
+  /** Package-visible so maintenance drivers (EventQueries.mvMaintain)
+    * report their top-level phases through the same sink without
+    * re-implementing the wrapper. */
+  private[graft] def phase[T](name: String)(body: => T): T = phaseSink match {
     case None => body
     case Some(f) =>
       val t0 = System.nanoTime()
@@ -500,7 +503,39 @@ object AtomicTable {
     * declaration is the caller's contract; a key that silently moved
     * partitions would leave its old row behind, exactly as a wrong
     * partition predicate would in any partition-scoped MERGE.
+    *
+    * The declaration is honored only for source partition values that
+    * are provably FIXED POINTS of partition discovery's
+    * parse-then-print ([[discoveryStable]]): skipping the scan also
+    * skips the `roundTrips` guard below, and a value discovery
+    * reprints differently (`00123` → int `123`) could otherwise leave
+    * a rewritten partition's old dir out of `affected` on the NEXT
+    * merge — a stale duplicate key. Non-stable values silently
+    * downgrade to the scanning path (correct, one extra job), so the
+    * flag is always safe to pass.
     */
+  /** True when partition DISCOVERY provably reprints `v` unchanged —
+    * i.e. `v` is a fixed point of parse-then-print, so manifest dir
+    * strings and discovered values can never diverge for it. Three
+    * provably-stable classes cover real partition values: canonical
+    * integers (no leading zeros/signs to normalize), ISO dates
+    * (DateType reprints the same ISO string), and values whose
+    * characters rule out every non-string inference (the two
+    * exceptions that sneak past the charset test, `NaN`/`Infinity`,
+    * parse as doubles but also reprint identically). Anything else —
+    * leading-zero numerics, floats, decimals, timestamps — answers
+    * false and [[mergePartitioned]] keeps the prior-snapshot scan
+    * with its round-trip guard.
+    */
+  private[graft] def discoveryStable(v: String): Boolean = {
+    val canonicalInt = v.matches("0|-?[1-9][0-9]{0,17}")
+    def isoDate = v.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}") &&
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+    // any char outside numeric/temporal syntax forces StringType
+    def stringOnly = v.nonEmpty && !v.matches("[0-9+\\-.:TeE ]+")
+    canonicalInt || isoDate || stringOnly
+  }
+
   def mergePartitioned(spark: SparkSession, df: DataFrame, root: String,
       key: String, partitionCol: String, statsCol: Option[String] = None,
       partitionLocalKeys: Boolean = false): Int = {
@@ -546,8 +581,15 @@ object AtomicTable {
           // partitions hold matched keys (left join marker), and the
           // full discovered partition-value set for the round-trip
           // guard below — previously two separate jobs per merge.
+          // partitionLocalKeys skips the scan only when every source
+          // partition value provably survives discovery's
+          // parse-then-print — see the scaladoc's stale-duplicate
+          // scenario for why a reprinting value must keep the scan
+          // (and with it the roundTrips guard)
+          val plkSafe = partitionLocalKeys &&
+            sourceParts.forall(discoveryStable)
           val partScan: Option[Array[(String, Boolean)]] =
-            if (partitionLocalKeys || !structuralSafe || priorEntries.isEmpty)
+            if (plkSafe || !structuralSafe || priorEntries.isEmpty)
               None
             else Some(phase("merge.part-scan")(priorEntries.get
               .join(df.select(col(key)).distinct()

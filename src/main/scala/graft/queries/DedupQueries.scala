@@ -429,12 +429,13 @@ object DedupQueries {
         // exact-substring dedup accounting — see
         // [[graft.ext.Dedup.substringDupSpans]] for the algorithm and
         // the 100 TB shape (digest window + doc-keyed interval sweep,
-        // no pair generation). Doc-scale output; a live sort would
-        // re-run the sweep for range sampling (Staging.stagedSort).
-        // PlanSpec pins the core via substringDupSpans directly.
-        graft.Staging.stagedSort(
-          Dedup.substringDupSpans(Tables.load(s, dir, "documents"),
-            "doc_id", "text", w = 20), "q125-spans")(col("doc_id"))
+        // no pair generation). Live sort: ProfileSort A/B a wash at
+        // every scale (1.04 / 1.00 / 1.05), so the doc-scale output
+        // keeps the simpler shape. PlanSpec pins the core via
+        // substringDupSpans directly.
+        Dedup.substringDupSpans(Tables.load(s, dir, "documents"),
+            "doc_id", "text", w = 20)
+          .orderBy(col("doc_id"))
       },
       Some("""
         WITH t AS (

@@ -46,17 +46,15 @@ object EventQueries {
     */
   def mvMaintain(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.gold.AtomicTable
-    // same diag hook as AtomicTable.phaseSink: top-level maintenance
-    // phases for ProfileQ93's cost attribution; None = zero overhead
-    def ph[T](name: String)(body: => T): T = AtomicTable.phaseSink match {
-      case None => body
-      case Some(f) =>
-        val t0 = System.nanoTime()
-        val r = body
-        f(name, (System.nanoTime() - t0) / 1e9)
-        r
-    }
-    val root = java.nio.file.Files.createTempDirectory("q93-mv").toString
+    // top-level maintenance phases for ProfileQ93's cost attribution,
+    // through the shared AtomicTable sink (None = zero overhead)
+    def ph[T](name: String)(body: => T): T = AtomicTable.phase(name)(body)
+    val rootDir = java.nio.file.Files.createTempDirectory("q93-mv")
+    // tracked like every other staged artifact: a bench run calls this
+    // twice and ProfileQ93 `repeat` times, each leaving a full
+    // AtomicTable snapshot history behind without the exit sweep
+    graft.Staging.trackForCleanup(rootDir)
+    val root = rootDir.toString
     val ev = Tables.load(s, dir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
     val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")

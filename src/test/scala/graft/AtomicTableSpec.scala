@@ -151,6 +151,44 @@ class AtomicTableSpec extends SparkSpec {
       ("2024-01-02|y", "c", d2)))
   }
 
+  test("partitionLocalKeys downgrades to the scan for discovery-unstable values") {
+    // discoveryStable classification: the values the fast path may
+    // plan from manifest strings alone
+    import graft.gold.AtomicTable.discoveryStable
+    assert(discoveryStable("0") && discoveryStable("123")
+      && discoveryStable("-45"))
+    assert(discoveryStable("2024-01-20"))
+    assert(discoveryStable("electronics") && discoveryStable("a|b"))
+    // reprinting values must keep the scanning path's roundTrips guard
+    assert(!discoveryStable("00123")) // int reprint "123"
+    assert(!discoveryStable("1.50"))  // double reprint "1.5"
+    assert(!discoveryStable("1e5"))   // double reprint "100000.0"
+    assert(!discoveryStable("+5"))    // int reprint "5"
+    assert(!discoveryStable(""))
+
+    // end-to-end: leading-zero string partitions with pLK declared.
+    // A prior partial rewrite re-types pd=00123 via discovery and
+    // restages it as pd=123; without the downgrade, the next pLK
+    // merge's affected-set ({"00123"}) would miss that dir and the
+    // old key row would survive as a duplicate.
+    val root = tmpDir("atomic-plk-zeros")
+    def rows(t: (String, String, String)*) = t.toSeq.toDF("k", "v", "pd")
+    AtomicTable.appendPartitioned(spark,
+      rows(("00123|x", "a", "00123"), ("00777|x", "b", "00777")), root, "pd")
+    // two pLK merges against the same logical partition; the guard
+    // must route both through the correct path regardless of how an
+    // intermediate rewrite canonicalized the dir value
+    AtomicTable.mergePartitioned(spark, rows(("00123|x", "B", "00123")),
+      root, "k", "pd", partitionLocalKeys = true)
+    AtomicTable.mergePartitioned(spark, rows(("00123|x", "C", "00123")),
+      root, "k", "pd", partitionLocalKeys = true)
+    val got = AtomicTable.read(spark, root)
+      .select(col("k"), col("v")).as[(String, String)].collect().toSeq
+    // exactly one row per key — no stale duplicate from a mispruned dir
+    assert(got.groupBy(_._1).forall(_._2.size == 1), got.toString)
+    assert(got.toSet.contains(("00123|x", "C")), got.toString)
+  }
+
   test("partition-pruned merge: a key MOVING partitions does not duplicate") {
     val root = tmpDir("atomic-move")
     val d1 = java.sql.Date.valueOf("2024-01-01")

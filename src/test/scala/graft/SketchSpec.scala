@@ -199,9 +199,14 @@ class BloomSketchSpec extends SparkSpec {
     val ev = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
     val tr = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
     def stagedDirs(): Set[String] = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      tmp.listFiles((_, n) => n.startsWith("graft-stage-decontam-eval-grams"))
-        .map(_.getName).toSet
+      // resolve the staging root the way Staging.mkStageDir does —
+      // scanning only java.io.tmpdir would make this test vacuously
+      // green (empty === empty) whenever GRAFT_STAGE_DIR is set
+      val root = sys.env.get("GRAFT_STAGE_DIR")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val files = new java.io.File(root)
+        .listFiles((_, n) => n.startsWith("graft-stage-decontam-eval-grams"))
+      Option(files).getOrElse(Array.empty).map(_.getName).toSet
     }
     val before = stagedDirs()
     val n = graft.Staging.scope { stager =>
