@@ -32,24 +32,33 @@ import org.apache.spark.sql.functions._
 object EntityResolution {
 
   /** `array` of every string reachable from `name` by deleting at most
-    * two characters (the string itself, all 1-deletes, all 2-deletes),
-    * de-duplicated. Guards keep `sequence` ascending for short inputs
-    * (Spark's `sequence(0, -1)` would yield a DESCENDING range).
+    * `maxDist` characters (the string itself, all 1-deletes, and — for
+    * maxDist = 2 only — all 2-deletes), de-duplicated. The 2-delete
+    * arm is O(L²) variants per name vs O(L) for 1-deletes, and the
+    * SymSpell bound needs only d-deletes for distance-d recall, so
+    * emitting it under maxDist = 1 would inflate the variant table
+    * ~L/2× and the self-join candidate set quadratically, all to
+    * produce distance-2 pairs the verify filter then discards. Guards
+    * keep `sequence` ascending for short inputs (Spark's
+    * `sequence(0, -1)` would yield a DESCENDING range).
     */
-  private val deleteVariants2Sql: String =
-    """array_distinct(concat(
-      |  array(name),
-      |  if(length(name) >= 1,
-      |     transform(sequence(0, length(name) - 1),
-      |       i -> concat(substr(name, 1, i), substr(name, i + 2))),
-      |     array()),
+  private def deleteVariantsSql(maxDist: Int): String = {
+    val d2Arm = """,
       |  if(length(name) >= 2,
       |     flatten(transform(sequence(0, length(name) - 2),
       |       i -> transform(sequence(i + 1, length(name) - 1),
       |         j -> concat(substr(name, 1, i),
       |                     substr(name, i + 2, j - i - 1),
       |                     substr(name, j + 2))))),
-      |     array())))""".stripMargin
+      |     array())""".stripMargin
+    """array_distinct(concat(
+      |  array(name),
+      |  if(length(name) >= 1,
+      |     transform(sequence(0, length(name) - 1),
+      |       i -> concat(substr(name, 1, i), substr(name, i + 2))),
+      |     array())""".stripMargin +
+      (if (maxDist == 2) d2Arm else "") + "))"
+  }
 
   /** All unordered pairs of DISTINCT values of `nameCol` with
     * Levenshtein distance ≤ `maxDist` (1 or 2). Columns:
@@ -61,7 +70,7 @@ object EntityResolution {
       s"deletion blocking is built for d<=2, got $maxDist")
     val dict = df.select(col(nameCol).as("name")).na.drop().distinct()
     val variants = dict
-      .select(col("name"), explode(expr(deleteVariants2Sql)).as("v"))
+      .select(col("name"), explode(expr(deleteVariantsSql(maxDist))).as("v"))
     val a = variants.select(col("name").as("name_a"), col("v"))
     val b = variants.select(col("name").as("name_b"), col("v"))
     a.join(b, Seq("v"))

@@ -107,6 +107,9 @@ object Multimodal {
     }
     def frames(id: Long, format: String, bytes: Array[Byte],
         everyNth: Int): Iterator[Frame] = {
+      // same guard as JdkCodec.frames: direct callers get the clear
+      // message, not a Range step error / silent empty iterator
+      require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
       val h = h60(bytes, 3)
       val nFrames = 8 + (h % 25).toInt
       (0 until nFrames by everyNth).iterator.map { f =>
@@ -243,10 +246,16 @@ object Multimodal {
 
   /** Video → sampled frames (1:N flatMap, still map-side). */
   def sampleFrames(media: DataFrame, everyNth: Int = 5,
-      codec: MediaCodec = StubCodec): Dataset[Frame] =
+      codec: MediaCodec = StubCodec): Dataset[Frame] = {
+    // driver-side, before any task launches: a bad stride would
+    // otherwise surface per-row inside executors — as an obscure
+    // "step cannot be 0" Range error (stride 0) or, worse, silently
+    // zero frames (negative stride) depending on the codec
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     asMedia(media.filter(col("kind") === "video")).mapPartitions { it =>
       it.flatMap(m => codec.frames(m.media_id, m.format, m.bytes, everyNth))
     }(Encoders.product[Frame])
+  }
 
   /** Synthesize a media table from any (id, text) corpus — UTF-8 bytes
     * as stand-in payloads; kind/format assigned round-robin. Lets the

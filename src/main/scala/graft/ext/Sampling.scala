@@ -43,19 +43,26 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     require(!dim.columns.contains("draw_id"),
       "weightedSample: dim must not already have a draw_id column")
+    // the ladder arithmetic below reads the aggregates with getDouble,
+    // so the weight is cast up front: an integer weight column (counts
+    // are the natural weights) would otherwise sum to LongType and
+    // min to IntegerType and throw ClassCastException at the bounds
+    // read instead of sampling. No-op for double inputs; the cast is
+    // exact for longs up to 2^53.
+    val wc = col(weightCol).cast("double")
     // content-hash tiebreak keeps the cumulative ranges deterministic
     // regardless of partition layout
-    val w = Window.orderBy(col(weightCol),
+    val w = Window.orderBy(wc,
       xxhash64(struct(dim.columns.toIndexedSeq.map(col): _*)))
     // __lo is the PREVIOUS row's __hi (lag), not __hi − weight: the
     // subtraction re-derives the prior cumulative sum in floating
     // point, and the rounding gap/overlap between fl(a+b)−b and a
     // lets a draw match zero or two rows at a range boundary
     val cum = dim
-      .withColumn("__hi", sum(col(weightCol)).over(
+      .withColumn("__hi", sum(wc).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__lo", coalesce(lag(col("__hi"), 1).over(w), lit(0.0)))
-    val bounds = cum.agg(max(col("__hi")), min(col(weightCol))).head()
+    val bounds = cum.agg(max(col("__hi")), min(wc)).head()
     // empty dim / all-NULL weights → a clear error, not a driver NPE;
     // non-positive weights → a clear error, not silently distorted
     // draw probabilities (a negative weight makes the ladder

@@ -61,12 +61,17 @@ object TextAnalysis {
     // the space-delimited lowercase literals miss every capitalized or
     // line-initial stopword ("The cat… And then…" would score
     // stopHits=0 and halve a clean document's quality)
-    // spaces are DOUBLED before probing so consecutive stopwords each
-    // get their own delimiters: non-overlapping replace-count over
-    // " the the the " sees only 2 matches (adjacent matches share a
-    // space); over "  the  the  the  " it sees all 3
+    // whitespace is NORMALIZED to plain spaces first (the tokenizer
+    // splits on \s+, so "chat\net" holds a real "et" token that the
+    // space-delimited probe would otherwise never see — a multi-line
+    // document would undercount every line-adjacent stopword), then
+    // spaces are DOUBLED so consecutive stopwords each get their own
+    // delimiters: non-overlapping replace-count over " the the the "
+    // sees only 2 matches (adjacent matches share a space); over
+    // "  the  the  the  " it sees all 3
     val p = call_function("replace",
-      concat(lit(" "), lower(text), lit(" ")), lit(" "), lit("  "))
+      concat(lit(" "), regexp_replace(lower(text), "\\s", " "), lit(" ")),
+      lit(" "), lit("  "))
     val stopHits = (occurrences(p, " the ") + occurrences(p, " and ")
       + occurrences(p, " a ")).cast("double")
     val stopRatio = stopHits / greatest(nTok, lit(1.0))
@@ -115,7 +120,14 @@ object TextAnalysis {
     val nTok = tokenCount(text)
     val punctRatio = punctCount(text).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
-    when(nTok < minTokens, lit("too_short"))
+    // NULL text is an explicit drop, not a fall-through: every rule
+    // below evaluates to NULL on NULL input, so without this branch a
+    // NULL-text row would reach `otherwise` and be classified "keep" —
+    // and then silently vanish downstream (the chunker emits no rows
+    // for it while group-replacement merges still delete its prior
+    // state; see StreamingCuration's store invariant)
+    when(text.isNull, lit("null_text"))
+      .when(nTok < minTokens, lit("too_short"))
       .when(nTok > maxTokens, lit("too_long"))
       .when(punctRatio > maxPunctRatio, lit("punct_soup"))
       .otherwise(lit("keep"))
@@ -154,10 +166,12 @@ object TextAnalysis {
     * highest stopword hit count in fixed order fr → es → de → en.
     */
   def langId(text: Column): Column = {
-    // doubled spaces: each stopword occurrence owns its delimiters, so
+    // whitespace normalized then spaces doubled: newline/tab-adjacent
+    // stopwords match and each occurrence owns its delimiters, so
     // consecutive repeats all count (see [[qualityScore]])
     val padded = call_function("replace",
-      concat(lit(" "), lower(text), lit(" ")), lit(" "), lit("  "))
+      concat(lit(" "), regexp_replace(lower(text), "\\s", " "), lit(" ")),
+      lit(" "), lit("  "))
     val en = occurrences(padded, " the ") + occurrences(padded, " and ")
     val fr = occurrences(padded, " le ") + occurrences(padded, " la ") +
       occurrences(padded, " et ")

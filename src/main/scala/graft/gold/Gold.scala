@@ -149,6 +149,29 @@ object Gold {
       .schema(org.apache.spark.sql.Encoders.product[graft.model.FactPurchase].schema)
       .parquet(path)
 
+  /** [[readFact]], or None when the path does not exist yet — the
+    * "no target table on the first run" probe shared by the batch
+    * pipeline's fact step and [[graft.streaming.StreamingGold]].
+    * Probes by ATTEMPTING the read, not java.nio Files.exists: the nio
+    * check consults the driver-local filesystem (always false for an
+    * HDFS/S3 path — dedup silently skipped, duplicates appended). The
+    * read is schema-explicit, so a dir with zero committed footers (a
+    * crash during the first batch, or a first run that appended zero
+    * rows leaving only _SUCCESS) reads as an EMPTY target, not None;
+    * ONLY "path missing" means "no table yet" — any other failure
+    * (transient storage fault, permissions, corrupt footer) must
+    * propagate and fail the caller, because running with target=None
+    * silently disables the watermark filter and the anti-join dedup
+    * and appends already-committed keys as permanent duplicates.
+    */
+  def readFactIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(readFact(spark, path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        None
+    }
+
   /** K5 as a transactional MERGE: watermark-filter + in-batch dedup
     * (same semantics as [[incrementalRows]]), then publish via
     * [[AtomicTable.merge]] on `transaction_id` — the `unique_key` the

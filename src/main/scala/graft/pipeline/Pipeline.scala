@@ -215,17 +215,10 @@ object Pipeline {
 
     // promote → fact (incremental, honest dedup; idempotent ⇒ retryable)
     val appended = sparkStep("fact_incremental") {
-      // probe by ATTEMPTING the read, not java.nio Files.exists (the
-      // StreamingGold.startIncrementalFact pattern): nio can't see
-      // object stores, and a dir holding only _SUCCESS (first run
-      // appended zero rows) must mean "no target yet", not a wedge
-      val target =
-        try Some(Gold.readFact(spark, factPath))
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
-            None
-        }
+      // attempt-the-read probe (see readFactIfExists: nio can't see
+      // object stores, and a dir holding only _SUCCESS — first run
+      // appended zero rows — must read as an EMPTY target, not None)
+      val target = Gold.readFactIfExists(spark, factPath)
       val fct = Gold.fctPurchases(silver)
       val toAppend = Gold.incrementalRows(fct, target)
       // count rides the write job via observe() (the ingest-step

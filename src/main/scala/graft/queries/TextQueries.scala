@@ -36,9 +36,9 @@ object TextQueries {
          (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
           / GREATEST(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))
      * (0.5 + 0.5 * LEAST(
-         CAST(CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' the ', ''))) / 5 AS BIGINT)
-            + CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' and ', ''))) / 5 AS BIGINT)
-            + CAST((length(replace(' ' || lower(text) || ' ', ' ', '  ')) - length(replace(replace(' ' || lower(text) || ' ', ' ', '  '), ' a ', ''))) / 3 AS BIGINT)
+         CAST(CAST((length(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  ')) - length(replace(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  '), ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  ')) - length(replace(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  '), ' and ', ''))) / 5 AS BIGINT)
+            + CAST((length(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  ')) - length(replace(replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  '), ' a ', ''))) / 3 AS BIGINT)
            AS DOUBLE)
          / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
          * 10.0, 1.0)))"""
@@ -77,7 +77,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
-          SELECT doc_id, text, replace(' ' || lower(text) || ' ', ' ', '  ') AS p,
+          SELECT doc_id, text, replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  ') AS p,
             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
@@ -111,7 +111,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
-          SELECT doc_id, lang, replace(' ' || lower(text) || ' ', ' ', '  ') AS p, text
+          SELECT doc_id, lang, replace(' ' || regexp_replace(lower(text), '\s', ' ', 'g') || ' ', ' ', '  ') AS p, text
           FROM documents),
         c AS (
           SELECT doc_id, lang,
@@ -220,14 +220,15 @@ object TextQueries {
           .orderBy(col("verdict")),
       Some("""
         WITH f AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
               AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS pr
           FROM documents),
         v AS (
           SELECT doc_id,
-            CASE WHEN n_tok < 20 THEN 'too_short'
+            CASE WHEN text IS NULL THEN 'null_text'
+                 WHEN n_tok < 20 THEN 'too_short'
                  WHEN n_tok > 150 THEN 'too_long'
                  WHEN pr > 0.05 THEN 'punct_soup'
                  ELSE 'keep' END AS verdict

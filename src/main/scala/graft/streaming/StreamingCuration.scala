@@ -39,15 +39,13 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, chunksRoot: String, dropsRoot: String,
       window: Int = 128, stride: Int = 96): Unit = {
     val spark = batch.sparkSession
-    // one row per doc_id first: an at-least-once source can redeliver
-    // a doc WITHIN one batch, and replaceGroups would then commit the
-    // duplicated chunk rows as-is; min(text) makes the winner
-    // deterministic under differing payloads.
+    // one row per doc_id first ([[StreamingDedup.onePerDoc]] — the
+    // shared winner policy; replaceGroups would commit duplicated
+    // chunk rows as-is).
     // persisted: the drop-log merge and the chunk merge are separate
     // actions — without this each re-scans the source and re-runs the
     // quality gate (batch-scale cache, freed before return)
-    val gated = batch.select(col("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+    val gated = StreamingDedup.onePerDoc(batch)
       .select(col("doc_id"), col("text"),
         TextAnalysis.qualityFilter(col("text")).as("gate"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -33,6 +33,20 @@ import graft.gold.AtomicTable
   */
 object StreamingDedup {
 
+  /** Intra-batch survivor policy shared by the streaming document
+    * gates (this one and [[StreamingCuration]]): one row per doc_id,
+    * min(text) winner. An at-least-once source can redeliver a doc
+    * WITHIN one batch, and the downstream keyed merges/group
+    * replacements would commit the duplicate-key rows as-is; min(text)
+    * makes the winner deterministic under differing payloads. Single-
+    * sourced so the two gates' replay-convergence behavior cannot
+    * silently diverge if the policy changes (e.g. to latest-by-
+    * timestamp).
+    */
+  private[streaming] def onePerDoc(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("text"))
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+
   /** Batch twin (directly testable; the streaming query below runs
     * exactly this per micro-batch). Expects (doc_id, text) rows.
     */
@@ -46,14 +60,10 @@ object StreamingDedup {
     // Everything staged is fully consumed by the merges inside the
     // scope, so the staging is reclaimed at batch end.
     graft.Staging.scope { stager =>
-      // one row per doc_id: an at-least-once source can redeliver a
-      // doc WITHIN one batch, and merge() anti-joins the target by key
-      // but inserts all of df — un-deduped, the corpus/index tables
-      // would commit duplicate-key rows. min(text) makes the winner
-      // deterministic under differing payloads. Staged: consumed by
-      // the pair search, both merges, and the replay anti-join.
-      val b = stager(batch.select(col("doc_id"), col("text"))
-        .groupBy(col("doc_id")).agg(min(col("text")).as("text")), "sd-batch")
+      // one row per doc_id ([[onePerDoc]] — the shared winner policy).
+      // Staged: consumed by the pair search, both merges, and the
+      // replay anti-join.
+      val b = stager(onePerDoc(batch), "sd-batch")
       // band index computed ONCE per batch (signatures are the gate's
       // dominant cost): the same staged frame feeds the pair search
       // (via newIndex) and the index-table merge below

@@ -27,25 +27,10 @@ object StreamingGold {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // probe by ATTEMPTING the read, not java.nio Files.exists:
-        // the nio check consults the driver-local filesystem (always
-        // false for an HDFS/S3 factPath — dedup silently skipped,
-        // duplicates appended). The read is schema-explicit
-        // (Gold.readFact), so a dir with zero committed footers (a
-        // crash during the first batch) reads as an empty target and
-        // the replay stays correct; ONLY "path missing" means "no
-        // table yet" — any other failure (transient storage fault,
-        // permissions, corrupt footer) must propagate and fail the
-        // batch, because running with target=None silently disables
-        // the watermark filter and the anti-join dedup and appends
-        // already-committed keys as permanent duplicates.
-        val target =
-          try Some(Gold.readFact(spark, factPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
-              None
-          }
+        // attempt-the-read probe (see readFactIfExists: why nio
+        // exists-checks and swallowing non-PATH_NOT_FOUND failures
+        // would both append permanent duplicates here)
+        val target = Gold.readFactIfExists(spark, factPath)
         Gold.incrementalRows(batch, target)
           .write.mode(SaveMode.Append)
           .partitionBy("purchase_date").parquet(factPath)

@@ -448,4 +448,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(2L))
   }
+
+  test("stopword probes see newline/tab-delimited words (whitespace-normalized frame)") {
+    // the tokenizer splits on \s+, so "chat\net" holds a real "et"
+    // token; the space-delimited probe frame must agree with the
+    // tokenizer on what delimits a word or multi-line documents
+    // undercount every line-adjacent stopword
+    val l = Seq((1L, "le chat\net le chien\nla maison"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0)
+    assert(l === "fr")
+    // same text, space- vs newline/tab-delimited → identical score
+    val df = Seq(
+      (1L, "the cat and the dog ran a race"),
+      (2L, "the cat\nand the dog\tran a race")).toDF("doc_id", "text")
+    val q2 = df.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q2(1L) === q2(2L), q2.toString)
+  }
+
+  test("qualityFilter: NULL text is an explicit drop, not a keep fall-through") {
+    // every rule compares against a NULL token/punct count and
+    // evaluates NULL, so without the dedicated branch a NULL-text row
+    // would land in `otherwise` as "keep" — and then silently vanish
+    // downstream (the chunker emits no rows for it while the
+    // group-replacement merge still deletes its prior state)
+    val df = Seq((1L, Option("the cat and the dog ran a race")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.qualityFilter(col("text")).as("gate"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) === "null_text", got.toString)
+    assert(got(1L) === "keep")
+  }
 }

@@ -54,6 +54,19 @@ class MultimodalSpec extends SparkSpec {
       assert(n === (every1(id) + 4) / 5, s"media $id")
     }
   }
+
+  test("frame sampling: bad stride fails fast on the driver, not per-row in tasks") {
+    // without the guard, everyNth=0 surfaces as an obscure "step
+    // cannot be 0" Range error inside executor tasks (StubCodec), and
+    // a negative stride silently yields zero frames
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, everyNth = 0)
+    }
+    assert(e.getMessage.contains("everyNth"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, everyNth = -1)
+    }: Unit
+  }
 }
 
 class ApproxAggSpec extends SparkSpec {

@@ -18,6 +18,19 @@ class SamplingSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("weightedSample: integer weight columns sample (and match their double twin)") {
+    // counts are the natural weights; sum(int)→Long / min(int)→Int
+    // would throw ClassCastException at the bounds read without the
+    // up-front double cast. Same values as ints and doubles must also
+    // pick the SAME draws (the cast is exact).
+    val ints = Seq(("a", 1), ("b", 3), ("c", 6)).toDF("k", "w")
+    val dbls = Seq(("a", 1.0), ("b", 3.0), ("c", 6.0)).toDF("k", "w")
+    def draws(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "w", 500, seed = 7)
+        .select("draw_id", "k").as[(Long, String)].collect().toSet
+    assert(draws(ints) === draws(dbls))
+  }
+
   test("weightedSample: every draw matches exactly one dim row (contiguous ranges)") {
     // weights chosen so fl(Σw)−w ≠ previous Σw in fp — with __lo
     // derived by subtraction these ranges gap/overlap; lag-built

@@ -42,6 +42,27 @@ class StreamingCurationSpec extends SparkSpec {
       Set((3L, "too_short"), (5L, "punct_soup")))
   }
 
+  test("NULL-text docs land in the drop log — they never silently vanish from both stores") {
+    // without qualityFilter's null_text branch, a NULL-text doc gated
+    // "keep": the chunker emitted no rows for it while both
+    // group-replacement merges still deleted its prior state — the doc
+    // vanished from chunk store AND drop log, breaking the "stores
+    // reflect the latest observation of every touched doc" invariant
+    val (chunks, drops) = (tmpDir("sc-null-chunks"), tmpDir("sc-null-drops"))
+    StreamingCuration.processBatch(
+      Seq((1L, Option(words(10, "a"))), (2L, Option.empty[String]))
+        .toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet === Set((2L, "null_text")))
+    // keep → null flip: chunks shed, drop-log row appears
+    StreamingCuration.processBatch(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text"), chunks, drops)
+    assert(AtomicTable.read(spark, chunks).count() === 0)
+    assert(AtomicTable.read(spark, drops)
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "null_text"), (2L, "null_text")))
+  }
+
   test("re-ingest convergence: shorter docs shed stale chunks, keep/drop flips replace state") {
     val (chunks, drops) = (tmpDir("scr-chunks"), tmpDir("scr-drops"))
     StreamingCuration.processBatch(batch1.toDF("doc_id", "text"), chunks, drops)
