@@ -103,6 +103,56 @@ object Bench {
         c.getTotalCompilationTime else -1L
     }
 
+    /** Summed executor task run time (ms) since the listener attached —
+      * deltas across a run body give the per-run `task_sec` diag row.
+      * The listener bus is async, so reads go through
+      * [[settledTaskMs]], which waits for the counter to stop moving.
+      */
+    val taskMsAcc = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            taskMsAcc.addAndGet(e.taskMetrics.executorRunTime): Unit
+          }
+      })
+    def settledTaskMs(): Long = {
+      var prev = -1L
+      var v = taskMsAcc.get()
+      var waited = 0
+      while (v != prev && waited < 1000) {
+        prev = v; Thread.sleep(50); waited += 50; v = taskMsAcc.get()
+      }
+      v
+    }
+    /** Generated-class compilations since JVM start (Janino cache
+      * misses). A steady per-run delta on a REPEATED identical query
+      * is codegen-cache thrash — see GraftSession's
+      * spark.sql.codegen.cache.maxEntries note.
+      */
+    def janinoCompiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    /** Fixed-work single-thread spin (~40 ms on an unloaded core):
+      * measures the host's DELIVERED cpu speed at this instant. The
+      * r5–r7 stall class stretches wall clocks 3–12× while every
+      * guest-visible pressure counter (steal, PSI, loadavg, cgroup
+      * throttle) reads quiet — this canary is the only in-artifact
+      * witness that the slowdown was beneath the guest. The sink
+      * defeats dead-code elimination; the warmup loop at bench start
+      * takes the canary itself out of JIT-warmup territory.
+      */
+    @volatile var canarySink = 0L
+    def canaryMsNow(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      canarySink = x
+      (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 5).foreach(_ => canaryMsNow())
+
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
     val entryEnv =
@@ -148,7 +198,8 @@ object Bench {
         loadavg1 = prev.loadavg1 :+ loadavg1(),
         psiCpu = prev.psiCpu :+ psi("cpu"),
         psiIo = prev.psiIo :+ psi("io"),
-        tOffsetSec = prev.tOffsetSec :+ (System.nanoTime() - t0Nanos) / 1e9)
+        tOffsetSec = prev.tOffsetSec :+ (System.nanoTime() - t0Nanos) / 1e9,
+        canaryMs = prev.canaryMs :+ math.rint(canaryMsNow() * 10) / 10)
     }
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -175,10 +226,16 @@ object Bench {
         // gc/jit sampled AFTER prepare: prepare's own System.gc() is
         // deliberate hygiene, not part of the run being attributed
         val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
+        val task0 = settledTaskMs(); val jan0 = janinoCompiles()
         val t = body
         val e = entryEnv(entry)
         entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
-          jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0))
+          jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0),
+          taskSec = e.taskSec :+
+            math.rint((settledTaskMs() - task0) / 100.0) / 10,
+          janino = e.janino :+ (janinoCompiles() - jan0),
+          canaryAfterMs = e.canaryAfterMs :+
+            math.rint(canaryMsNow() * 10) / 10)
         graft.ext.Dedup.lastMinhashDiag.foreach { d =>
           candSecs(entry) =
             candSecs.getOrElse(entry, Seq.empty) :+

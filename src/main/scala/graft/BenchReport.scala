@@ -84,7 +84,11 @@ object BenchReport {
     */
   final case class EntryEnv(loadavg1: Seq[Double], psiCpu: Seq[Double],
                             psiIo: Seq[Double], tOffsetSec: Seq[Double],
-                            gcMs: Seq[Long] = Nil, jitMs: Seq[Long] = Nil)
+                            gcMs: Seq[Long] = Nil, jitMs: Seq[Long] = Nil,
+                            taskSec: Seq[Double] = Nil,
+                            janino: Seq[Long] = Nil,
+                            canaryMs: Seq[Double] = Nil,
+                            canaryAfterMs: Seq[Double] = Nil)
 
   private def lArr(ts: Seq[Long]): String =
     ts.mkString("[", ",", "]")
@@ -132,7 +136,24 @@ object BenchReport {
         // first-run-only jit_ms spike is warmup; both small means the
         // stall was elsewhere).
         ",\"gc_ms\":" + lArr(e.gcMs) +
-        ",\"jit_ms\":" + lArr(e.jitMs) + "}"
+        ",\"jit_ms\":" + lArr(e.jitMs) +
+        // the r7 host-stretch adjudicators, one value per run:
+        // task_sec = summed executor task run time (same tasks + same
+        // stages + stretched task_sec ⇒ the cores ran slow, not the
+        // plan grew); janino_compiles = generated-class cache misses
+        // (a steady nonzero count is codegen-cache thrash — the
+        // pre-r7 q86 signature, 41/run at the default 100-entry
+        // cache); canary_ms = wall time of a fixed single-thread spin
+        // measured just before the run (a stretched canary is
+        // DELIVERED-CPU-SPEED evidence no guest-visible counter —
+        // steal, PSI, loadavg — captured during the r5–r7 stalls)
+        ",\"task_sec\":" + dArr(e.taskSec) +
+        ",\"janino_compiles\":" + lArr(e.janino) +
+        // sampled before/after each run: a stretch episode short
+        // enough to start and end INSIDE the run still shows in
+        // task_sec; one still in progress shows in canary_after
+        ",\"canary_ms\":" + dArr(e.canaryMs) +
+        ",\"canary_after_ms\":" + dArr(e.canaryAfterMs) + "}"
     }.mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,6 +30,18 @@ object GraftSession {
       // can otherwise run dozens of entries before the default 30min
       // periodic GC lets any of it go (the r3 bench-wobble post-mortem)
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Janino codegen cache (static conf — build-time only). The
+      // default 100 entries is smaller than one composite pipeline's
+      // fragment working set (q86 compiles 92), so repeated executions
+      // self-evict and re-compile ~41 fragments EVERY run — measured
+      // as 8–50 s of HotSpot JIT per q86 execution and the dominant
+      // term of the r7 x10 bench wobble (tools/ProfileEntry's
+      // janino_compiles row: 41/run at 100 entries, 0/run once the
+      // cache fits). On a cluster the same churn repeats per executor
+      // per job. 10× the default costs at most a few hundred MB of
+      // generated classes on a 16 GiB JVM and makes steady state
+      // actually steady.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

@@ -1,0 +1,80 @@
+package graft.tools
+
+/** Dev utility: time ONE registered query over an optionally scaled
+  * corpus in a fresh JVM — the minimal reproducer for adjudicating a
+  * bench-entry number outside the full ~40-entry sequence (run order,
+  * accumulated JIT state, and page-cache history all drop out).
+  *
+  * Usage: runMain graft.tools.ProfileEntry <query> [sfDir] [copies] [repeat]
+  */
+object ProfileEntry {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q86_curation_pipeline")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 2) args(2).toInt else 1
+    val repeat = if (args.length > 3) args(3).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.create(s"local[$cpus]", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val corpus =
+      if (copies <= 1) dir else graft.Bench.buildScaledCorpus(spark, dir, copies)
+    def jitMs(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // wall-vs-work split: if summed executor task time is flat across
+    // runs while wall wobbles, the wobble lives in scheduling/driver
+    // gaps; if task time itself wobbles, the cores ran slower (steal
+    // bursts, frequency, JIT deopt storms)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val taskN = new java.util.concurrent.atomic.AtomicLong()
+    val stageN = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null) {
+            taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+            taskN.incrementAndGet(): Unit
+          }
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageN.incrementAndGet(): Unit
+        }
+      })
+    // Janino compile counter: run 2+ of an identical query should show
+    // ~zero new compilations (the codegen cache is keyed on source
+    // text); a steady per-run count means something in the plan emits
+    // fresh source every execution and every run pays C2 warmup
+    def janinoCompiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def janinoMs(): Double =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1e6
+    (1 to repeat).foreach { i =>
+      spark.catalog.clearCache(); System.gc()
+      taskMs.set(0); taskN.set(0); stageN.set(0)
+      val c0 = janinoCompiles()
+      val j0 = jitMs(); val g0 = gcMs()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, corpus)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      // listener bus is async — settle before reading the counters
+      Thread.sleep(300)
+      println(f"[$name] run $i: $t%.2f s  task_time=${taskMs.get / 1000.0}%.1f s" +
+        f" over ${taskN.get} tasks / ${stageN.get} stages" +
+        f"  jit=${jitMs() - j0} ms  gc=${gcMs() - g0} ms" +
+        f"  janino_compiles=${janinoCompiles() - c0}")
+    }
+    spark.stop()
+  }
+}

@@ -96,7 +96,9 @@ class BenchReportSpec extends AnyFunSuite {
       env = scala.collection.mutable.LinkedHashMap(
         "q01" -> BenchReport.EntryEnv(
           Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
-          gcMs = Seq(12L, 4804L), jitMs = Seq(931L, -1L))))
+          gcMs = Seq(12L, 4804L), jitMs = Seq(931L, -1L),
+          taskSec = Seq(3.1, 18.4), janino = Seq(92L, 0L),
+          canaryMs = Seq(41.2, 388.0), canaryAfterMs = Seq(40.9, 42.0))))
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
@@ -112,6 +114,12 @@ class BenchReportSpec extends AnyFunSuite {
     assert(e.get("gc_ms").get(1).asLong() === 4804L)
     assert(e.get("jit_ms").get(0).asLong() === 931L)
     assert(e.get("jit_ms").get(1).asLong() === -1L)
+    // r7 host-stretch adjudicators: work done, cache misses, and
+    // delivered-cpu-speed canary, one value per run
+    assert(e.get("task_sec").get(1).asDouble() === 18.4)
+    assert(e.get("janino_compiles").get(0).asLong() === 92L)
+    assert(e.get("canary_ms").get(1).asDouble() === 388.0)
+    assert(e.get("canary_after_ms").get(1).asDouble() === 42.0)
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)

@@ -22,6 +22,10 @@ object TestSpark {
       // static conf, must be set at build: ThriftServerSpec registers
       // temp views and reads them over JDBC through the shared session
       .config("spark.sql.hive.thriftserver.single.session", "true")
+      // mirrors GraftSession: composite pipelines compile ~92 codegen
+      // fragments — the default 100-entry cache self-evicts across a
+      // suite run and every suite re-pays Janino + JIT warmup
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
