@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // squeezed old-gen shows up as multi-x wall-clock wobble (BENCH_r03
   // x10_q65) long before an OOM. The sandbox has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 512m code cache (default 240m): headroom for multi-query sessions
+  // that pin ~1000 generated classes' JIT'd code via the codegen cache
+  // (GraftSession). Measured footprint over the full 44-entry bench is
+  // 131 MB (diag code_cache_mb) — this is insurance for sessions
+  // several times longer, not a fix for an observed flush regime.
+  "-XX:ReservedCodeCacheSize=512m",
 )

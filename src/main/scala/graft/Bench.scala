@@ -144,14 +144,60 @@ object Bench {
       * takes the canary itself out of JIT-warmup territory.
       */
     @volatile var canarySink = 0L
-    def canaryMsNow(): Double = {
-      val t0 = System.nanoTime()
+    def spin(): Long = {
       var x = 0x9E3779B97F4A7C15L; var i = 0
       while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      canarySink = x
+      x
+    }
+    def canaryMsNow(): Double = {
+      val t0 = System.nanoTime()
+      canarySink = spin()
       (System.nanoTime() - t0) / 1e6
     }
+    /** The same fixed spin on every core at once (wall of the slowest
+      * of `cpus` threads). The r7 stall signature is a FAST
+      * single-thread canary beside 10–50× inflated summed task time on
+      * unchanged task counts: the hypervisor briefly delivers only a
+      * few cores' worth of cycles to the 32-vCPU guest, which a lone
+      * spinning thread never notices. Single ~43 ms + parallel ≫
+      * single ⇒ the entry ran during such an episode.
+      */
+    def canaryParMsNow(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { _ =>
+        val th = new Thread(() => { canarySink = spin() })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    /** JIT'd-code footprint (MB used across the CodeHeap pools). Near
+      * ReservedCodeCacheSize the sweeper flushes warm methods and
+      * compiled code silently degrades to interpreted — high task cpu
+      * with LOW jit_ms and no console banner. Sampled after each run.
+      */
+    def codeCacheMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName == "Code Cache")
+        .map(_.getUsage.getUsed).sum / (1L << 20)
+    }
+    /** Steal fraction (%) of all cpu ticks between two samples — the
+      * only guest-visible counter that records hypervisor descheduling
+      * itself. Sampled across each run body.
+      */
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next().split("\\s+")
+        val vals = f.drop(1).map(_.toLong)
+        (if (vals.length > 7) vals(7) else 0L, vals.sum)
+      } catch { case _: Throwable => (0L, 0L) }
     (1 to 5).foreach(_ => canaryMsNow())
+    canaryParMsNow(): Unit
 
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -227,7 +273,9 @@ object Bench {
         // deliberate hygiene, not part of the run being attributed
         val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
         val task0 = settledTaskMs(); val jan0 = janinoCompiles()
+        val (steal0, tick0) = cpuTicks()
         val t = body
+        val (steal1, tick1) = cpuTicks()
         val e = entryEnv(entry)
         entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
           jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0),
@@ -235,7 +283,13 @@ object Bench {
             math.rint((settledTaskMs() - task0) / 100.0) / 10,
           janino = e.janino :+ (janinoCompiles() - jan0),
           canaryAfterMs = e.canaryAfterMs :+
-            math.rint(canaryMsNow() * 10) / 10)
+            math.rint(canaryMsNow() * 10) / 10,
+          canaryParMs = e.canaryParMs :+
+            math.rint(canaryParMsNow() * 10) / 10,
+          stealPct = e.stealPct :+ (if (tick1 > tick0)
+            math.rint(10000.0 * (steal1 - steal0) / (tick1 - tick0)) / 100
+          else -1.0),
+          codeCacheMb = e.codeCacheMb :+ codeCacheMb())
         graft.ext.Dedup.lastMinhashDiag.foreach { d =>
           candSecs(entry) =
             candSecs.getOrElse(entry, Seq.empty) :+

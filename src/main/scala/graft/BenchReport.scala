@@ -88,7 +88,10 @@ object BenchReport {
                             taskSec: Seq[Double] = Nil,
                             janino: Seq[Long] = Nil,
                             canaryMs: Seq[Double] = Nil,
-                            canaryAfterMs: Seq[Double] = Nil)
+                            canaryAfterMs: Seq[Double] = Nil,
+                            canaryParMs: Seq[Double] = Nil,
+                            stealPct: Seq[Double] = Nil,
+                            codeCacheMb: Seq[Long] = Nil)
 
   private def lArr(ts: Seq[Long]): String =
     ts.mkString("[", ",", "]")
@@ -153,7 +156,19 @@ object BenchReport {
         // enough to start and end INSIDE the run still shows in
         // task_sec; one still in progress shows in canary_after
         ",\"canary_ms\":" + dArr(e.canaryMs) +
-        ",\"canary_after_ms\":" + dArr(e.canaryAfterMs) + "}"
+        ",\"canary_after_ms\":" + dArr(e.canaryAfterMs) +
+        // canary_par_ms: the same spin on all cores at once, after the
+        // run (wall of the slowest thread). The observed stall
+        // signature is single-thread canary at nominal beside 10–50×
+        // summed task time on unchanged task counts — an episode where
+        // the hypervisor delivers only a few cores' worth of cycles,
+        // which only a PARALLEL probe (or steal_pct, the direct
+        // descheduling counter, sampled across the run body) can see.
+        ",\"canary_par_ms\":" + dArr(e.canaryParMs) +
+        ",\"steal_pct\":" + dArr(e.stealPct) +
+        // JIT'd-code footprint after each run (sweeper-flush regime
+        // witness — see build.sbt's ReservedCodeCacheSize note)
+        ",\"code_cache_mb\":" + lArr(e.codeCacheMb) + "}"
     }.mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

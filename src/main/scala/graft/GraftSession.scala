@@ -38,10 +38,16 @@ object GraftSession {
       // term of the r7 x10 bench wobble (tools/ProfileEntry's
       // janino_compiles row: 41/run at 100 entries, 0/run once the
       // cache fits). On a cluster the same churn repeats per executor
-      // per job. 10× the default costs at most a few hundred MB of
-      // generated classes on a 16 GiB JVM and makes steady state
-      // actually steady.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // per job. 1000 was A/B'd against 256 over the full 44-entry
+      // bench: at 256 the x10 probe phase evicts the x30 entries'
+      // fragments and the bench tail recompiles (x30_q65 run-1
+      // janino_compiles=60, entry 17.4s); at 1000 the whole sequence's
+      // roster stays cached (janino_compiles 0 everywhere after first
+      // touch, x30_q65 6.1s — the best sf0.1 measurement on record)
+      // and the pinned-code footprint peaks at 131 MB of code cache
+      // (diag code_cache_mb), far from any flushing regime.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "1000"))
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

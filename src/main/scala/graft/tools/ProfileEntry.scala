@@ -59,10 +59,34 @@ object ProfileEntry {
     def janinoMs(): Double =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1e6
+    // steal% across the run body: the direct hypervisor-descheduling
+    // counter — the r7 stall class shows a fast single-thread canary
+    // beside 10-50x inflated task time, which only steal (or a
+    // parallel canary) witnesses
+    // JIT'd-code footprint: used bytes across the CodeHeap pools. Near
+    // ReservedCodeCacheSize the sweeper starts flushing warm methods
+    // and compiled code silently degrades to interpreted
+    def codeCacheMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName == "Code Cache")
+        .map(_.getUsage.getUsed).sum / (1L << 20)
+    }
+    // (steal, idle+iowait, total) ticks across all cpus
+    def cpuTicks(): (Long, Long, Long) =
+      try {
+        val f = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next().split("\\s+")
+        val vals = f.drop(1).map(_.toLong)
+        (if (vals.length > 7) vals(7) else 0L, vals(3) + vals(4), vals.sum)
+      } catch { case _: Throwable => (0L, 0L, 0L) }
     (1 to repeat).foreach { i =>
       spark.catalog.clearCache(); System.gc()
       taskMs.set(0); taskN.set(0); stageN.set(0)
       val c0 = janinoCompiles()
+      val (s0, i0, k0) = cpuTicks()
       val j0 = jitMs(); val g0 = gcMs()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, corpus)
@@ -70,10 +94,18 @@ object ProfileEntry {
       val t = (System.nanoTime() - t0) / 1e9
       // listener bus is async — settle before reading the counters
       Thread.sleep(300)
+      val (s1, i1, k1) = cpuTicks()
+      val stealPct = if (k1 > k0) 100.0 * (s1 - s0) / (k1 - k0) else -1.0
+      // busy% of all guest cpus across the run: slow wall + IDLE cpus
+      // = tasks BLOCKED (locks, fs waits), not computing slowly
+      val busyPct =
+        if (k1 > k0) 100.0 * ((k1 - k0) - (i1 - i0)) / (k1 - k0) else -1.0
       println(f"[$name] run $i: $t%.2f s  task_time=${taskMs.get / 1000.0}%.1f s" +
         f" over ${taskN.get} tasks / ${stageN.get} stages" +
         f"  jit=${jitMs() - j0} ms  gc=${gcMs() - g0} ms" +
-        f"  janino_compiles=${janinoCompiles() - c0}")
+        f"  janino_compiles=${janinoCompiles() - c0}" +
+        f"  steal=$stealPct%.1f%%  busy=$busyPct%.1f%%" +
+        f"  code_cache=${codeCacheMb()}mb")
     }
     spark.stop()
   }

@@ -98,7 +98,9 @@ class BenchReportSpec extends AnyFunSuite {
           Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
           gcMs = Seq(12L, 4804L), jitMs = Seq(931L, -1L),
           taskSec = Seq(3.1, 18.4), janino = Seq(92L, 0L),
-          canaryMs = Seq(41.2, 388.0), canaryAfterMs = Seq(40.9, 42.0))))
+          canaryMs = Seq(41.2, 388.0), canaryAfterMs = Seq(40.9, 42.0),
+          canaryParMs = Seq(55.0, 2140.5), stealPct = Seq(0.3, 71.25),
+          codeCacheMb = Seq(88L, 237L))))
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
@@ -120,6 +122,9 @@ class BenchReportSpec extends AnyFunSuite {
     assert(e.get("janino_compiles").get(0).asLong() === 92L)
     assert(e.get("canary_ms").get(1).asDouble() === 388.0)
     assert(e.get("canary_after_ms").get(1).asDouble() === 42.0)
+    assert(e.get("canary_par_ms").get(1).asDouble() === 2140.5)
+    assert(e.get("steal_pct").get(1).asDouble() === 71.25)
+    assert(e.get("code_cache_mb").get(1).asLong() === 237L)
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)

@@ -24,7 +24,8 @@ object TestSpark {
       .config("spark.sql.hive.thriftserver.single.session", "true")
       // mirrors GraftSession: composite pipelines compile ~92 codegen
       // fragments — the default 100-entry cache self-evicts across a
-      // suite run and every suite re-pays Janino + JIT warmup
+      // suite run and every suite re-pays Janino + JIT warmup (sizing
+      // rationale and the 256-vs-1000 A/B: see GraftSession)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
