@@ -197,7 +197,16 @@ object Bench {
         (if (vals.length > 7) vals(7) else 0L, vals.sum)
       } catch { case _: Throwable => (0L, 0L) }
     (1 to 5).foreach(_ => canaryMsNow())
-    canaryParMsNow(): Unit
+    /** Healthy-delivery reference for the all-core canary: the MINIMUM
+      * reading observed anywhere this bench run (seeded with three
+      * startup samples after JIT warmup). Self-calibrating — if the
+      * whole run is degraded the nominal floats high and the validity
+      * retries in best() simply never fire, same as the pre-r7 bench.
+      */
+    var nominalParMs: Double = {
+      canaryParMsNow(): Unit // JIT-warm the parallel path itself
+      (1 to 3).map(_ => canaryParMsNow()).min
+    }
 
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -267,7 +276,7 @@ object Bench {
       * visible).
       */
     def best(entry: String, n: Int)(body: => Double): Double = {
-      val ts = (1 to n).map { _ =>
+      def oneRun(): Double = {
         prepare(entry)
         // gc/jit sampled AFTER prepare: prepare's own System.gc() is
         // deliberate hygiene, not part of the run being attributed
@@ -284,8 +293,11 @@ object Bench {
           janino = e.janino :+ (janinoCompiles() - jan0),
           canaryAfterMs = e.canaryAfterMs :+
             math.rint(canaryMsNow() * 10) / 10,
-          canaryParMs = e.canaryParMs :+
-            math.rint(canaryParMsNow() * 10) / 10,
+          canaryParMs = e.canaryParMs :+ {
+            val p = math.rint(canaryParMsNow() * 10) / 10
+            if (p < nominalParMs) nominalParMs = p // best delivery seen
+            p
+          },
           stealPct = e.stealPct :+ (if (tick1 > tick0)
             math.rint(10000.0 * (steal1 - steal0) / (tick1 - tick0)) / 100
           else -1.0),
@@ -296,6 +308,29 @@ object Bench {
               math.rint(d.candidateSec * 100) / 100
         }
         t
+      }
+      var ts = (1 to n).map(_ => oneRun())
+      // measurement-validity retries: when EVERY standard run of the
+      // entry was measured while the post-run all-core canary read
+      // ≥2× its bench-start nominal (the host delivering a fraction
+      // of the guest's cores — the r5/r6/r7 one-entry-stall class,
+      // where min-of-n fails because every sample is contaminated),
+      // take up to 2 extra runs, stopping at the first one measured
+      // under healthy delivery. Keyed on the INDEPENDENT host-health
+      // probe, never on the measured time, so it cannot select for
+      // lucky timings — and every extra run's full witness row lands
+      // in the diag like any other. (2×, not 3×: a live all-runs-
+      // contaminated x10_q86 [37.9/62.0/18.7s vs ~6s clean] read par
+      // 206/98/110 against nominal 49 — 2× catches it, 3× missed.)
+      var extra = 0
+      def lastPars = entryEnv(entry).canaryParMs.takeRight(ts.size)
+      while (extra < 2 && ts.forall(_ >= 0) &&
+          lastPars.size == ts.size && lastPars.forall(_ >= 2 * nominalParMs)) {
+        System.err.println(s"[bench] $entry: all ${ts.size} runs under " +
+          s"degraded delivery (par canary ${lastPars.mkString("/")}ms vs " +
+          s"nominal ${nominalParMs}ms) — extra run ${extra + 1}")
+        ts = ts :+ oneRun()
+        extra += 1
       }
       rawRuns(entry) = ts
       if (ts.exists(_ < 0)) ts.max else ts.min
@@ -495,7 +530,8 @@ object Bench {
     // on stderr AND as a side file; the compact driver contract line
     // is the LAST thing on stdout
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
-      corpusBuild10, corpusBuild30, runId, startedAt, entryEnv)
+      corpusBuild10, corpusBuild30, runId, startedAt, entryEnv,
+      nominalParMs)
     // canonical latest-run file PLUS an accumulating per-run-id copy:
     // r6's official diag was lost when a rerun overwrote the canonical
     // file; the per-run file makes every run's evidence permanent and

@@ -115,7 +115,8 @@ object BenchReport {
                corpusBuild10: Double, corpusBuild30: Double,
                runId: Long = 0L, startedAt: String = "",
                env: collection.Map[String, EntryEnv] =
-                 collection.Map.empty[String, EntryEnv]): String = {
+                 collection.Map.empty[String, EntryEnv],
+               nominalParMs: Double = -1.0): String = {
     // Locale.ROOT (in dArr): the default-locale f"" interpolator
     // renders 0.9 as "0,900" under comma-decimal locales — still
     // JSON, but four ints where two doubles belong, silently
@@ -174,7 +175,10 @@ object BenchReport {
       .mkString("{", ",", "}")
     val lshJson = lshDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // nominal_par_ms: the healthy-delivery reference every
+    // canary_par_ms row reads against (min observed this run)
     s"""{"run_id":$runId,"started_at":${jstr(startedAt)},""" +
+      s""""nominal_par_ms":${num(nominalParMs)},""" +
       s""""runs":$runsJson,"heap_mb_before":$heapJson,"host_env":$envJson,""" +
       s""""minhash":$mhJson,"lsh":$lshJson,"corpus_build_sec":""" +
       s"""{"x10":${num(corpusBuild10)},"x30":${num(corpusBuild30)}}}"""

@@ -93,6 +93,7 @@ class BenchReportSpec extends AnyFunSuite {
         "q72" -> """{"n_candidates":9354,"n_buckets":252,"max_bucket":23}"""),
       corpusBuild10 = 2.15, corpusBuild30 = Double.NaN,
       runId = 1755192000123L, startedAt = "2026-08-14T17:20:00.123Z",
+      nominalParMs = 54.2,
       env = scala.collection.mutable.LinkedHashMap(
         "q01" -> BenchReport.EntryEnv(
           Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
@@ -104,6 +105,7 @@ class BenchReportSpec extends AnyFunSuite {
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
+    assert(j.get("nominal_par_ms").asDouble() === 54.2)
     assert(j.get("runs").get("x10_q65").get(2).asDouble() === -1.0)
     assert(j.get("heap_mb_before").get("q01").asLong() === 127L)
     // host-load rows align index-for-index with the entry's runs array
