@@ -21,9 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // registered queries persist() intermediates for intra-query
-      // reuse; once the result is on disk they are dead weight, and
-      // 73 queries' worth would crowd the storage pool
+      // registered queries stage intermediates to temp parquet (not
+      // persist()) since round 4, so this is belt-and-braces against
+      // any stray cache entry rather than a storage-pool requirement
       finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
