@@ -46,22 +46,25 @@ def classify(entry, runs, env, nominal_par):
     # a sink writing to a fresh temp dir each run — not thrash)
     if any(j > 5 for j in jan[1:]):
         notes.append(f"cache-thrash({jan})")
-    # per-run health: a run is degraded when its post-run parallel
-    # canary reads >=2x nominal, or its task_sec is >=2x the entry's
-    # best task_sec (same tasks, inflated work = slow cores). The task
-    # ratio only speaks when the best run did >=1s of task work —
-    # below that the 0.1s-rounded diag values alias to ratios
+    # per-run health. task_sec spans the run body (same tasks +
+    # inflated task_sec = slow cores), so where it is usable — the best
+    # run did >=1s of task work, below which the 0.1s-rounded rows
+    # alias to ratios — it is the authoritative signal: degraded means
+    # task_sec >=2x the entry's best. The post-run parallel canary is
+    # a point sample (an episode can start after the body finishes and
+    # still stamp a high reading on a clean run), so it only decides
+    # when no usable task row exists.
     best_task = min((t for t in task if t > 0), default=None)
     if best_task is not None and best_task < 1.0:
         best_task = None
     degraded = []
     for i in range(n):
-        bad = False
-        if nominal_par and i < len(pars) and pars[i] >= 2 * nominal_par:
-            bad = True
-        if best_task and i < len(task) and task[i] >= 2 * best_task:
-            bad = True
-        degraded.append(bad)
+        if best_task and i < len(task):
+            degraded.append(task[i] >= 2 * best_task)
+        elif nominal_par and i < len(pars):
+            degraded.append(pars[i] >= 2 * nominal_par)
+        else:
+            degraded.append(False)
     min_i = min(range(n), key=lambda i: runs[i] if runs[i] >= 0 else 1e18)
     if all(degraded) and n > 0:
         return "degraded", notes
