@@ -10,20 +10,56 @@ classifies every entry:
   warmup-absorbed    non-min runs carried JIT/Janino warmup or a
                      degraded-delivery episode; the min run is clean —
                      the recorded number stands
+  min-run-degraded   the run that produced the recorded min shows the
+                     stall signature while at least one other run is
+                     clean — the recorded number likely stands but
+                     deserves a second look (counted in the
+                     "needs environment discount" total)
   degraded           EVERY run shows the stall signature (task_sec
-                     inflated vs the entry's best, or parallel canary
-                     >= 2x nominal) — the recorded number is an
-                     environment artifact, not a plan property
-  cache-thrash       repeat runs kept recompiling generated classes
-                     (janino_compiles > 0 past run 1) — codegen cache
+                     inflated vs the entry's best run, vs the entry's
+                     HISTORICAL floor across bench_diag/, or vs its
+                     sibling scale probe; or parallel canary >= 2x
+                     nominal) — the recorded number is an environment
+                     artifact, not a plan property
+  suspect-uniform    per-run ratios all read ~1x, but every post-run
+                     parallel canary sat >= 2x the run-wide nominal —
+                     a uniformly stretched entry that per-entry ratios
+                     cannot see; treat the number as unconfirmed
+
+Annotations (appended beside a verdict, never a verdict themselves):
+  cache-thrash(...)  repeat runs kept recompiling generated classes
+                     (janino_compiles > 5 past run 1) — codegen cache
                      too small for the working set
+  history-floor(...) / cross-scale(...)  which external reference
+                     condemned a degraded entry
+
+External references (the round-8 additions — the r7 artifact shipped
+x10_q122 at 50 s / 1298 task-sec as "clean" because every intra-entry
+ratio was ~1x; both of these catch it):
+
+  * history floor: per entry, the MEDIAN across all OTHER
+    bench_diag/run_*.json files of that file's best usable (>= 1 s)
+    task_sec row. Median, not min — the history holds stall-inflated
+    runs and mid-round experiment builds of since-reverted variants.
+    An entry whose best task_sec >= 3x its floor is degraded.
+  * cross-scale: the x10_/x30_ probes run the SAME query over corpora
+    where x30 is ~3x the x10 data, so x10's best task_sec exceeding
+    x30's is physically impossible for a healthy run (flags the x10
+    entry); x30 exceeding 6x the x10 best flags the x30 entry.
 
 Usage: python3 scripts/adjudicate_bench.py <BENCH_rN.json> [diag.json]
-If the diag path is omitted, bench_diag/run_<run_id>.json is used.
+If the diag path is omitted, bench_diag/run_<run_id>.json is used; the
+history scan always covers bench_diag/ minus the run under
+adjudication.
 """
+import glob
 import json
 import os
 import sys
+
+USABLE_TASK_SEC = 1.0   # below this the 0.1s-rounded rows alias
+HISTORY_RATIO = 3.0     # best task_sec >= 3x historical floor => degraded
+MIN_HISTORY_FILES = 3   # fewer files than this -> no floor for the entry
 
 
 def load_contract(path):
@@ -35,53 +71,131 @@ def load_contract(path):
     return doc
 
 
-def classify(entry, runs, env, nominal_par):
+def best_usable_task(env):
+    tasks = [t for t in (env.get("task_sec") or []) if t >= USABLE_TASK_SEC]
+    return min(tasks) if tasks else None
+
+
+def history_floors(diag_dir, exclude_run_id, sf=None):
+    """Per-entry median of per-file best usable task_sec across every
+    diag file except the run under adjudication. Mirrors
+    Bench.taskFloors (same statistic, same thresholds) so the harness
+    retries on exactly what this script would flag. Files stamped with
+    a different sf are excluded (a local sf0.01 run must not poison
+    the sf0.1 floors); pre-round-8 files carry no stamp and are
+    admitted — the official history is sf0.1 and the median tolerates
+    a stray."""
+    per_entry = {}
+    for p in sorted(glob.glob(os.path.join(diag_dir, "run_*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if d.get("run_id") == exclude_run_id:
+            continue
+        if sf and d.get("sf") and d.get("sf") != sf:
+            continue
+        for entry, env in (d.get("host_env") or {}).items():
+            t = best_usable_task(env)
+            if t is not None:
+                per_entry.setdefault(entry, []).append(t)
+    floors = {}
+    for entry, ts in per_entry.items():
+        if len(ts) >= MIN_HISTORY_FILES:
+            s = sorted(ts)
+            floors[entry] = s[len(s) // 2]
+    return floors
+
+
+def classify(entry, runs, env, nominal_par, floor):
     task = env.get("task_sec") or []
     pars = env.get("canary_par_ms") or []
     jan = env.get("janino_compiles") or []
     n = len(runs)
     notes = []
-    # cache-thrash: SUBSTANTIAL recompilation persisting past the first
-    # run (a couple of fragments past run 1 is path-literal churn, e.g.
-    # a sink writing to a fresh temp dir each run — not thrash)
+    # cache-thrash annotation: SUBSTANTIAL recompilation persisting past
+    # the first run (a couple of fragments past run 1 is path-literal
+    # churn, e.g. a sink writing to a fresh temp dir each run)
     if any(j > 5 for j in jan[1:]):
         notes.append(f"cache-thrash({jan})")
     # per-run health. task_sec spans the run body (same tasks +
     # inflated task_sec = slow cores), so where it is usable — the best
     # run did >=1s of task work, below which the 0.1s-rounded rows
     # alias to ratios — it is the authoritative signal: degraded means
-    # task_sec >=2x the entry's best. The post-run parallel canary is
-    # a point sample (an episode can start after the body finishes and
-    # still stamp a high reading on a clean run), so it only decides
-    # when no usable task row exists.
-    best_task = min((t for t in task if t > 0), default=None)
-    if best_task is not None and best_task < 1.0:
-        best_task = None
+    # task_sec >=2x the entry's best, OR >= HISTORY_RATIO x the
+    # entry's historical floor (the cross-run reference that catches an
+    # entry whose EVERY run this time was uniformly stretched — intra-
+    # entry ratios then all read ~1x, the r7 x10_q122 blind spot). The
+    # post-run parallel canary is a point sample (an episode can start
+    # after the body finishes and still stamp a high reading on a clean
+    # run), so it only decides when no usable task row exists.
+    best_task = best_usable_task(env)
     degraded = []
     for i in range(n):
         if best_task and i < len(task):
-            degraded.append(task[i] >= 2 * best_task)
+            d = task[i] >= 2 * best_task
+            if floor and task[i] >= HISTORY_RATIO * floor \
+                    and task[i] >= USABLE_TASK_SEC:
+                d = True
         elif nominal_par and i < len(pars):
-            degraded.append(pars[i] >= 2 * nominal_par)
+            d = pars[i] >= 2 * nominal_par
         else:
-            degraded.append(False)
+            d = False
+        degraded.append(d)
+    if floor and best_task and best_task >= HISTORY_RATIO * floor:
+        notes.append(f"history-floor(best task {best_task}s >= "
+                     f"{HISTORY_RATIO:g}x median {floor}s)")
     min_i = min(range(n), key=lambda i: runs[i] if runs[i] >= 0 else 1e18)
     if all(degraded) and n > 0:
         return "degraded", notes
     if degraded[min_i]:
         return "min-run-degraded", notes
-    if any(degraded) or (jan and jan[0] > 0):
-        return "warmup-absorbed", notes
-    return "clean", notes
+    verdict = ("warmup-absorbed" if any(degraded) or (jan and jan[0] > 0)
+               else "clean")
+    # suspect-uniform: per-run ratios all ~1x, but every post-run
+    # parallel canary sat >= 2x the run-wide nominal (a GLOBAL
+    # reference) — a uniformly stretched entry the per-entry ratios
+    # cannot see
+    if verdict == "clean" and nominal_par and pars and len(pars) >= n \
+            and all(p >= 2 * nominal_par for p in pars[:n]):
+        return "suspect-uniform", notes
+    return verdict, notes
+
+
+def cross_scale_flags(diag):
+    """x10 vs x30 task_sec sanity for the shared probe queries: x30 runs
+    ~3x the x10 data, so x10's best task exceeding x30's is impossible
+    for a healthy x10 run; x30 exceeding 6x the x10 best (3x data with
+    2x slack) is an inflated x30. Returns {entry: note}."""
+    env = diag.get("host_env", {})
+    flags = {}
+    for name in env:
+        if not name.startswith("x10_"):
+            continue
+        sib = "x30_" + name[len("x10_"):]
+        if sib not in env:
+            continue
+        t10 = best_usable_task(env[name])
+        t30 = best_usable_task(env[sib])
+        if t10 is None or t30 is None:
+            continue
+        if t10 > t30:
+            flags[name] = (f"cross-scale(best task {t10}s > sibling x30's "
+                           f"{t30}s on 3x the data)")
+        elif t30 > 6 * t10:
+            flags[sib] = (f"cross-scale(best task {t30}s > 6x sibling "
+                          f"x10's {t10}s on 3x the data)")
+    return flags
 
 
 def main(bench_path, diag_path=None):
     contract = load_contract(bench_path)
     run_id = contract.get("run_id")
+    diag_dir = os.path.join(os.path.dirname(os.path.abspath(bench_path)),
+                            "bench_diag")
     if diag_path is None:
-        diag_path = os.path.join(
-            os.path.dirname(os.path.abspath(bench_path)),
-            "bench_diag", f"run_{run_id}.json")
+        diag_path = os.path.join(diag_dir, f"run_{run_id}.json")
     try:
         with open(diag_path) as f:
             diag = json.load(f)
@@ -93,6 +207,9 @@ def main(bench_path, diag_path=None):
         print(f"WARNING: contract run_id {run_id} != diag run_id "
               f"{diag.get('run_id')} — evidence may describe another run")
     nominal = diag.get("nominal_par_ms") or 0
+    floors = history_floors(diag_dir, diag.get("run_id"),
+                            contract.get("sf"))
+    xscale = cross_scale_flags(diag)
     counts = {}
     for name, sec in contract.get("queries", {}).items():
         runs = diag.get("runs", {}).get(name)
@@ -104,7 +221,14 @@ def main(bench_path, diag_path=None):
         elif not runs or not env:
             verdict, notes = "no-evidence", []
         else:
-            verdict, notes = classify(name, runs, env, nominal)
+            verdict, notes = classify(name, runs, env, nominal,
+                                      floors.get(name))
+            if name in xscale:
+                # a physically impossible work ratio vs the sibling
+                # scale condemns the whole entry no matter what the
+                # intra-entry ratios said
+                verdict = "degraded"
+                notes.append(xscale[name])
         counts[verdict] = counts.get(verdict, 0) + 1
         flag = ("" if verdict in ("clean", "warmup-absorbed",
                                   "component-of-q93") else "  <<<")
@@ -112,7 +236,8 @@ def main(bench_path, diag_path=None):
         print(f"{name:35s} {sec:8.3f}s  {verdict}{extra}{flag}")
     print()
     print("summary:", ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
-    bad = counts.get("degraded", 0) + counts.get("min-run-degraded", 0)
+    bad = (counts.get("degraded", 0) + counts.get("min-run-degraded", 0)
+           + counts.get("suspect-uniform", 0))
     print(f"entries whose recorded number needs environment discount: {bad}")
 
 

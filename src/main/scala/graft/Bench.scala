@@ -39,6 +39,68 @@ object Bench {
   val x30Queries: Seq[String] = Seq("q65_minhash_dedup",
     "q122_repeated_ngrams", "q125_substring_spans")
 
+  /** Per-entry historical task_sec floor from the accumulated
+    * `bench_diag/run_*.json` evidence files: for each file, the
+    * entry's best USABLE task row (≥ 1 s — below that the 0.1 s
+    * rounding aliases); across files, the MEDIAN of those bests.
+    *
+    * Median, not min: the diag history holds both stall-contaminated
+    * runs (task_sec inflated 10–50×, the r5–r7 class) and mid-round
+    * experiment runs of since-reverted query variants (r7 has two
+    * full-roster runs where q122's 1× task cost is 10× below every
+    * committed build's) — a min would import the experiment, a mean
+    * the stalls. ≥ 3 files required so one odd run can't define an
+    * entry's floor. Same statistic as scripts/adjudicate_bench.py's
+    * history check, so the harness retries on exactly what the
+    * adjudicator would flag.
+    */
+  def taskFloors(dir: java.nio.file.Path,
+                 sfDir: Option[String] = None): Map[String, Double] = {
+    import org.json4s._
+    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
+    val perFile: List[Map[String, Double]] = files.flatMap { p =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        // scale guard: a local sf0.01 iteration run writes diag files
+        // too, and its ~10x-lower task costs would poison the sf0.1
+        // floors (and vice versa). Files from before the sf stamp
+        // (round <8) are admitted — the official history is sf0.1 and
+        // the median tolerates a stray — but stamped files must match.
+        val fileSf = j \ "sf" match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        if (fileSf.isDefined && sfDir.isDefined && fileSf != sfDir)
+          None
+        else j \ "host_env" match {
+          case JObject(fields) => Some(fields.flatMap { case (entry, v) =>
+            val tasks = v \ "task_sec" match {
+              case JArray(xs) => xs.collect {
+                case JDouble(d) => d
+                case JInt(i) => i.toDouble
+                case JDecimal(d) => d.toDouble
+              }
+              case _ => Nil
+            }
+            val usable = tasks.filter(_ >= 1.0)
+            if (usable.nonEmpty) Some(entry -> usable.min) else None
+          }.toMap)
+          case _ => None
+        }
+      } catch { case _: Throwable => None } // a malformed diag file
+      // (partial write, hand edit) must not take the bench down
+    }
+    perFile.flatten.groupBy(_._1).collect {
+      case (entry, kvs) if kvs.size >= 3 =>
+        val s = kvs.map(_._2).sorted
+        entry -> s(s.size / 2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -109,12 +171,25 @@ object Bench {
       * [[settledTaskMs]], which waits for the counter to stop moving.
       */
     val taskMsAcc = new java.util.concurrent.atomic.AtomicLong()
+    // spill (cumulative; per-run delta) and peak per-task execution
+    // memory (max over the run; reset before each) — the r7 verdict's
+    // ask #3 witness pair for x10_q122: its slow runs carried 4.7–11.6 s
+    // GC where x30 (3× the data) carried 0.1–1 s, and these rows say
+    // whether that GC was memory pressure (spill>0 / peak near the
+    // per-task share) or collateral of a host-delivery stall (both ~0)
+    val spillBytesAcc = new java.util.concurrent.atomic.AtomicLong()
+    val peakExecAcc = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (e.taskMetrics != null) {
-            taskMsAcc.addAndGet(e.taskMetrics.executorRunTime): Unit
+            val m = e.taskMetrics
+            taskMsAcc.addAndGet(m.executorRunTime): Unit
+            spillBytesAcc.addAndGet(
+              m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+            peakExecAcc.getAndAccumulate(m.peakExecutionMemory,
+              (a: Long, b: Long) => math.max(a, b)): Unit
           }
       })
     def settledTaskMs(): Long = {
@@ -194,7 +269,11 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
           .linesIterator.next().split("\\s+")
         val vals = f.drop(1).map(_.toLong)
-        (if (vals.length > 7) vals(7) else 0L, vals.sum)
+        // denominator = user..steal (first 8 fields) only: guest and
+        // guest_nice are already folded into user/nice by the kernel,
+        // so summing them double-counts guest time and underestimates
+        // steal_pct on VM hosts
+        (if (vals.length > 7) vals(7) else 0L, vals.take(8).sum)
       } catch { case _: Throwable => (0L, 0L) }
     (1 to 5).foreach(_ => canaryMsNow())
     /** Healthy-delivery reference for the all-core canary: the MINIMUM
@@ -207,6 +286,18 @@ object Bench {
       canaryParMsNow(): Unit // JIT-warm the parallel path itself
       (1 to 3).map(_ => canaryParMsNow()).min
     }
+    // per-entry historical task_sec floors (median of per-file bests
+    // across bench_diag/ — see taskFloors scaladoc): the cross-history
+    // reference the r7 post-mortem asked for. The point-sampled canary
+    // missed the r7 x10_q122 stall (best-run canary 92 ms vs nominal
+    // 48.8 = 1.9×, under the 2× gate) while the run carried 1298
+    // task-sec against a ~36 task-sec historical median — task_sec
+    // spans the whole run body, so the floor catches episodes the
+    // post-run point sample slips past.
+    val floors = taskFloors(java.nio.file.Paths.get("bench_diag"),
+      Some(sfDir))
+    System.err.println(s"[bench] task_sec floors loaded for " +
+      s"${floors.size} entries from bench_diag/ history")
 
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -222,10 +313,12 @@ object Bench {
     val candSecs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
     def prepare(entry: String): Unit = {
-      // every entry starts from an empty cache. Registered queries no
-      // longer persist() (round-4 hygiene: intra-query reuse stages to
-      // temp parquet), so this is belt-and-braces for any stray state
-      // rather than a correctness requirement as in r2/r3.
+      // every entry starts from an empty cache. Registered queries
+      // stage intra-query reuse to temp parquet since round 4 (the one
+      // exception, q93's mvMaintain, uses a scoped persist/unpersist
+      // pair that cleans up in finally), so this is belt-and-braces
+      // for any stray state rather than a correctness requirement as
+      // in r2/r3.
       spark.catalog.clearCache()
       // broadcast/shuffle blocks from prior entries are reclaimed by
       // ContextCleaner only when their refs are GC'd; without a forced
@@ -245,7 +338,8 @@ object Bench {
       // host-load evidence, one row per RUN (prepare runs before each),
       // aligned with the entry's raw_runs array — see EntryEnv scaladoc
       val prev = entryEnv.getOrElse(entry,
-        BenchReport.EntryEnv(Nil, Nil, Nil, Nil))
+        BenchReport.EntryEnv(Nil, Nil, Nil, Nil,
+          taskFloor = floors.getOrElse(entry, -1.0)))
       // copy, not positional construction: the gc_ms/jit_ms rows are
       // appended after each RUN (in best()), so rebuilding here would
       // silently drop the earlier runs' deltas
@@ -282,6 +376,9 @@ object Bench {
         // deliberate hygiene, not part of the run being attributed
         val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
         val task0 = settledTaskMs(); val jan0 = janinoCompiles()
+        // settledTaskMs above already waited for the listener bus to
+        // drain, so the spill counter is settled too; peak resets here
+        val spill0 = spillBytesAcc.get(); peakExecAcc.set(0)
         val (steal0, tick0) = cpuTicks()
         val t = body
         val (steal1, tick1) = cpuTicks()
@@ -301,7 +398,10 @@ object Bench {
           stealPct = e.stealPct :+ (if (tick1 > tick0)
             math.rint(10000.0 * (steal1 - steal0) / (tick1 - tick0)) / 100
           else -1.0),
-          codeCacheMb = e.codeCacheMb :+ codeCacheMb())
+          codeCacheMb = e.codeCacheMb :+ codeCacheMb(),
+          spillMb = e.spillMb :+
+            (spillBytesAcc.get() - spill0) / (1L << 20),
+          peakExecMb = e.peakExecMb :+ peakExecAcc.get() / (1L << 20))
         graft.ext.Dedup.lastMinhashDiag.foreach { d =>
           candSecs(entry) =
             candSecs.getOrElse(entry, Seq.empty) :+
@@ -311,24 +411,49 @@ object Bench {
       }
       var ts = (1 to n).map(_ => oneRun())
       // measurement-validity retries: when EVERY standard run of the
-      // entry was measured while the post-run all-core canary read
-      // ≥2× its bench-start nominal (the host delivering a fraction
-      // of the guest's cores — the r5/r6/r7 one-entry-stall class,
-      // where min-of-n fails because every sample is contaminated),
-      // take up to 2 extra runs, stopping at the first one measured
-      // under healthy delivery. Keyed on the INDEPENDENT host-health
-      // probe, never on the measured time, so it cannot select for
-      // lucky timings — and every extra run's full witness row lands
-      // in the diag like any other. (2×, not 3×: a live all-runs-
-      // contaminated x10_q86 [37.9/62.0/18.7s vs ~6s clean] read par
-      // 206/98/110 against nominal 49 — 2× catches it, 3× missed.)
+      // entry was contaminated, take up to 3 extra runs, stopping at
+      // the first clean one. A run is contaminated when any of three
+      // INDEPENDENT witnesses fired — never the measured wall time
+      // itself, so the retry cannot select for lucky timings (every
+      // extra run's full witness row lands in the diag like any other):
+      //  (a) post-run all-core canary ≥ 2× the bench-start nominal —
+      //      the host delivered a fraction of the guest's cores (the
+      //      r5/r6 stall class; 2×, not 3×: a live all-runs-
+      //      contaminated x10_q86 [37.9/62.0/18.7s vs ~6s clean] read
+      //      par 206/98/110 against nominal 49 — 2× catches it);
+      //  (b) janino_compiles > 5 — the run paid generated-class
+      //      compilation + C2 warmup a steady-state deployment never
+      //      repays (the r7 q93 artifact: run 1 carried 54 compiles,
+      //      run 2 a degraded window, so the committed 6.6 s was 2×
+      //      the ~3 s the code actually costs);
+      //  (c) task_sec ≥ 3× the entry's historical floor (median of
+      //      per-file bests across bench_diag/) — summed task time
+      //      spans the whole run body, catching stretch episodes the
+      //      point-sampled canary misses (the r7 x10_q122 artifact:
+      //      1298 task-sec on a ~36 task-sec entry with every canary
+      //      under the 2× gate).
       var extra = 0
-      def lastPars = entryEnv(entry).canaryParMs.takeRight(ts.size)
-      while (extra < 2 && ts.forall(_ >= 0) &&
-          lastPars.size == ts.size && lastPars.forall(_ >= 2 * nominalParMs)) {
-        System.err.println(s"[bench] $entry: all ${ts.size} runs under " +
-          s"degraded delivery (par canary ${lastPars.mkString("/")}ms vs " +
-          s"nominal ${nominalParMs}ms) — extra run ${extra + 1}")
+      def contaminated: Seq[Boolean] = {
+        val e = entryEnv(entry)
+        val pars = e.canaryParMs.takeRight(ts.size)
+        val jans = e.janino.takeRight(ts.size)
+        val tasks = e.taskSec.takeRight(ts.size)
+        val floor = floors.get(entry)
+        ts.indices.map { i =>
+          pars.lift(i).exists(_ >= 2 * nominalParMs) ||
+            jans.lift(i).exists(_ > 5) ||
+            floor.exists(f => tasks.lift(i).exists(t =>
+              t >= 1.0 && t >= 3 * f))
+        }
+      }
+      while (extra < 3 && ts.forall(_ >= 0) && contaminated.forall(identity)) {
+        val e = entryEnv(entry)
+        System.err.println(s"[bench] $entry: all ${ts.size} runs " +
+          s"contaminated (par ${e.canaryParMs.takeRight(ts.size).mkString("/")}ms" +
+          s" vs nominal ${nominalParMs}ms, janino " +
+          s"${e.janino.takeRight(ts.size).mkString("/")}, task " +
+          s"${e.taskSec.takeRight(ts.size).mkString("/")}s vs floor " +
+          s"${floors.getOrElse(entry, -1.0)}) — extra run ${extra + 1}")
         ts = ts :+ oneRun()
         extra += 1
       }
@@ -413,7 +538,12 @@ object Bench {
       }
 
     val headlineResults = SparkEntry.headlines.map { n =>
-      val t = best(n, 2) {
+      // q93 gets the x10 treatment (n=3, was 2): the r7 committed
+      // artifact needed BOTH runs bad to record 6.6 s on a ~3.5 s
+      // entry (run 1: janino=54 warmup; run 2: degraded window) — a
+      // third sample plus the janino/task-floor retry above makes one
+      // contaminated pair unable to own the recorded number
+      val t = best(n, if (n == "q93_incremental_mv") 3 else 2) {
         if (n == "q93_incremental_mv") runQ93Split() else runIn(n, sfDir)
       }
       captureMinhash(n); captureLsh(n)
@@ -531,7 +661,7 @@ object Bench {
     // is the LAST thing on stdout
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
       corpusBuild10, corpusBuild30, runId, startedAt, entryEnv,
-      nominalParMs)
+      nominalParMs, sfDir)
     // canonical latest-run file PLUS an accumulating per-run-id copy:
     // r6's official diag was lost when a rerun overwrote the canonical
     // file; the per-run file makes every run's evidence permanent and

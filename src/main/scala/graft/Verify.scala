@@ -21,9 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // registered queries stage intermediates to temp parquet (not
-      // persist()) since round 4, so this is belt-and-braces against
-      // any stray cache entry rather than a storage-pool requirement
+      // registered queries stage intermediates to temp parquet since
+      // round 4 — except q93's mvMaintain, whose scoped persist() is
+      // unpersisted in its own finally — so this is belt-and-braces
+      // against any stray cache entry rather than a storage-pool
+      // requirement
       finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

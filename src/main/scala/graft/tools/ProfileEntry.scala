@@ -35,6 +35,12 @@ object ProfileEntry {
     val taskMs = new java.util.concurrent.atomic.AtomicLong()
     val taskN = new java.util.concurrent.atomic.AtomicLong()
     val stageN = new java.util.concurrent.atomic.AtomicLong()
+    // memory-pressure split (mirrors Bench's r8 witness rows): spill
+    // across the run's tasks + the max per-task peak execution memory.
+    // A slow run with heavy GC but ~0 spill and a modest peak was not
+    // memory-squeezed — the excess was host delivery
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val peakExec = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -42,6 +48,10 @@ object ProfileEntry {
           if (e.taskMetrics != null) {
             taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
             taskN.incrementAndGet(): Unit
+            spillBytes.addAndGet(e.taskMetrics.memoryBytesSpilled +
+              e.taskMetrics.diskBytesSpilled): Unit
+            peakExec.getAndAccumulate(e.taskMetrics.peakExecutionMemory,
+              (a: Long, b: Long) => math.max(a, b)): Unit
           }
         }
         override def onStageCompleted(
@@ -56,9 +66,13 @@ object ProfileEntry {
     def janinoCompiles(): Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
+    // sum of the histogram's reservoir — Spark updates it with per-
+    // compile durations already in MILLISECONDS (CodeGenerator's
+    // doCompile), and below ~1028 total compiles the reservoir holds
+    // every sample, so a delta of sums is the compile-time delta
     def janinoMs(): Double =
       org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1e6
+        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum.toDouble
     // steal% across the run body: the direct hypervisor-descheduling
     // counter — the r7 stall class shows a fast single-thread canary
     // beside 10-50x inflated task time, which only steal (or a
@@ -80,12 +94,16 @@ object ProfileEntry {
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
           .linesIterator.next().split("\\s+")
         val vals = f.drop(1).map(_.toLong)
-        (if (vals.length > 7) vals(7) else 0L, vals(3) + vals(4), vals.sum)
+        // denominator = user..steal only: guest/guest_nice are already
+        // inside user/nice, so including them undercounts steal%
+        (if (vals.length > 7) vals(7) else 0L, vals(3) + vals(4),
+          vals.take(8).sum)
       } catch { case _: Throwable => (0L, 0L, 0L) }
     (1 to repeat).foreach { i =>
       spark.catalog.clearCache(); System.gc()
       taskMs.set(0); taskN.set(0); stageN.set(0)
-      val c0 = janinoCompiles()
+      spillBytes.set(0); peakExec.set(0)
+      val c0 = janinoCompiles(); val cm0 = janinoMs()
       val (s0, i0, k0) = cpuTicks()
       val j0 = jitMs(); val g0 = gcMs()
       val t0 = System.nanoTime()
@@ -104,8 +122,11 @@ object ProfileEntry {
         f" over ${taskN.get} tasks / ${stageN.get} stages" +
         f"  jit=${jitMs() - j0} ms  gc=${gcMs() - g0} ms" +
         f"  janino_compiles=${janinoCompiles() - c0}" +
+        f" (${janinoMs() - cm0}%.0f ms)" +
         f"  steal=$stealPct%.1f%%  busy=$busyPct%.1f%%" +
-        f"  code_cache=${codeCacheMb()}mb")
+        f"  code_cache=${codeCacheMb()}mb" +
+        f"  spill=${spillBytes.get / (1L << 20)}mb" +
+        f"  peak_exec=${peakExec.get / (1L << 20)}mb")
     }
     spark.stop()
   }
