@@ -55,7 +55,15 @@ adjudication.
 import glob
 import json
 import os
+import signal
 import sys
+
+# default SIGPIPE so `... | head` truncates quietly instead of
+# stack-tracing (not available on Windows; harmless to skip)
+try:
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (AttributeError, ValueError):
+    pass
 
 USABLE_TASK_SEC = 1.0   # below this the 0.1s-rounded rows alias
 HISTORY_RATIO = 3.0     # best task_sec >= 3x historical floor => degraded
@@ -165,9 +173,13 @@ def classify(entry, runs, env, nominal_par, floor):
 
 def cross_scale_flags(diag):
     """x10 vs x30 task_sec sanity for the shared probe queries: x30 runs
-    ~3x the x10 data, so x10's best task exceeding x30's is impossible
-    for a healthy x10 run; x30 exceeding 6x the x10 best (3x data with
-    2x slack) is an inflated x30. Returns {entry: note}."""
+    ~3x the x10 data, so x10's best task clearly exceeding x30's is
+    impossible for a healthy x10 run; x30 exceeding 6x the x10 best
+    (3x data with 2x slack) is an inflated x30. The 1.25x band on the
+    small side keeps noise-level near-equality out (the lsh_auto probe
+    is dominated by near-n-independent bucket-join overhead, so its
+    honest x10/x30 bests sit within a few percent of each other —
+    observed 8.3 vs 8.1 on a clean run). Returns {entry: note}."""
     env = diag.get("host_env", {})
     flags = {}
     for name in env:
@@ -180,7 +192,7 @@ def cross_scale_flags(diag):
         t30 = best_usable_task(env[sib])
         if t10 is None or t30 is None:
             continue
-        if t10 > t30:
+        if t10 > 1.25 * t30:
             flags[name] = (f"cross-scale(best task {t10}s > sibling x30's "
                            f"{t30}s on 3x the data)")
         elif t30 > 6 * t10:

@@ -54,6 +54,29 @@ object Bench {
     * history check, so the harness retries on exactly what the
     * adjudicator would flag.
     */
+  /** Whether one bench run was measured under contamination — the
+    * predicate the validity retry keys on. Three INDEPENDENT
+    * witnesses, never the measured wall time itself (so the retry
+    * cannot select for lucky timings):
+    *   (a) post-run all-core canary ≥ 2× the bench-start nominal
+    *       (host delivered a fraction of the guest's cores);
+    *   (b) janino compiles > 5 (the run paid generated-class
+    *       compilation + C2 warmup that a steady-state deployment
+    *       never repays);
+    *   (c) summed task-seconds ≥ 3× the entry's historical floor
+    *       (task time spans the whole run body, catching stretch
+    *       episodes the point-sampled canary misses — the r7
+    *       x10_q122 class). Sub-1 s task rows alias under the 0.1 s
+    *       rounding and never condemn a run.
+    * Absent witnesses (no row yet, no floor) read as clean.
+    */
+  def contaminatedRun(parMs: Option[Double], nominalParMs: Double,
+                      janino: Option[Long], taskSec: Option[Double],
+                      floor: Option[Double]): Boolean =
+    parMs.exists(_ >= 2 * nominalParMs) ||
+      janino.exists(_ > 5) ||
+      floor.exists(f => taskSec.exists(t => t >= 1.0 && t >= 3 * f))
+
   def taskFloors(dir: java.nio.file.Path,
                  sfDir: Option[String] = None): Map[String, Double] = {
     import org.json4s._
@@ -411,39 +434,27 @@ object Bench {
       }
       var ts = (1 to n).map(_ => oneRun())
       // measurement-validity retries: when EVERY standard run of the
-      // entry was contaminated, take up to 3 extra runs, stopping at
-      // the first clean one. A run is contaminated when any of three
-      // INDEPENDENT witnesses fired — never the measured wall time
-      // itself, so the retry cannot select for lucky timings (every
-      // extra run's full witness row lands in the diag like any other):
-      //  (a) post-run all-core canary ≥ 2× the bench-start nominal —
-      //      the host delivered a fraction of the guest's cores (the
-      //      r5/r6 stall class; 2×, not 3×: a live all-runs-
-      //      contaminated x10_q86 [37.9/62.0/18.7s vs ~6s clean] read
-      //      par 206/98/110 against nominal 49 — 2× catches it);
-      //  (b) janino_compiles > 5 — the run paid generated-class
-      //      compilation + C2 warmup a steady-state deployment never
-      //      repays (the r7 q93 artifact: run 1 carried 54 compiles,
-      //      run 2 a degraded window, so the committed 6.6 s was 2×
-      //      the ~3 s the code actually costs);
-      //  (c) task_sec ≥ 3× the entry's historical floor (median of
-      //      per-file bests across bench_diag/) — summed task time
-      //      spans the whole run body, catching stretch episodes the
-      //      point-sampled canary misses (the r7 x10_q122 artifact:
-      //      1298 task-sec on a ~36 task-sec entry with every canary
-      //      under the 2× gate).
+      // entry was contaminated (see contaminatedRun's scaladoc for the
+      // three witnesses and why they are independent of the measured
+      // time), take up to 3 extra runs, stopping at the first clean
+      // one. Every extra run's full witness row lands in the diag like
+      // any other. Calibration notes: canary gate is 2×, not 3× — a
+      // live all-runs-contaminated x10_q86 [37.9/62.0/18.7s vs ~6s
+      // clean] read par 206/98/110 against nominal 49, so 2× catches
+      // it and 3× missed; the janino gate is the r7 q93 artifact (run
+      // 1 carried 54 compiles, run 2 a degraded window, committing
+      // 6.6 s on a ~3 s entry); the task-floor gate is the r7
+      // x10_q122 artifact (1298 task-sec on a ~36 task-sec entry with
+      // every post-run canary under the 2× gate).
       var extra = 0
       def contaminated: Seq[Boolean] = {
         val e = entryEnv(entry)
         val pars = e.canaryParMs.takeRight(ts.size)
         val jans = e.janino.takeRight(ts.size)
         val tasks = e.taskSec.takeRight(ts.size)
-        val floor = floors.get(entry)
         ts.indices.map { i =>
-          pars.lift(i).exists(_ >= 2 * nominalParMs) ||
-            jans.lift(i).exists(_ > 5) ||
-            floor.exists(f => tasks.lift(i).exists(t =>
-              t >= 1.0 && t >= 3 * f))
+          contaminatedRun(pars.lift(i), nominalParMs, jans.lift(i),
+            tasks.lift(i), floors.get(entry))
         }
       }
       while (extra < 3 && ts.forall(_ >= 0) && contaminated.forall(identity)) {

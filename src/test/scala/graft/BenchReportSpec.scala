@@ -85,6 +85,26 @@ class BenchReportSpec extends AnyFunSuite {
     parse(line): Unit
   }
 
+  test("contaminatedRun: three independent witnesses, absent reads clean") {
+    def run(par: Double = 50.0, jan: Long = 0L, task: Double = 10.0,
+            floor: Option[Double] = Some(10.0)) =
+      Bench.contaminatedRun(Some(par), nominalParMs = 50.0, Some(jan),
+        Some(task), floor)
+    assert(!run()) // healthy: par at nominal, no compiles, task at floor
+    assert(run(par = 100.0))      // all-core canary at 2x nominal
+    assert(!run(par = 99.9))      // just under the gate
+    assert(run(jan = 6L))         // paid codegen+C2 warmup
+    assert(!run(jan = 5L))        // a few fragments is path-literal churn
+    assert(run(task = 30.0))      // 3x the historical floor
+    assert(!run(task = 29.9))
+    // sub-1s task rows alias under the 0.1s rounding — never condemn
+    assert(!Bench.contaminatedRun(Some(50.0), 50.0, Some(0L), Some(0.9),
+      Some(0.2)))
+    // absent witnesses read clean: no floor, no rows
+    assert(!run(task = 1e9, floor = None))
+    assert(!Bench.contaminatedRun(None, 50.0, None, None, Some(10.0)))
+  }
+
   test("taskFloors: median of per-file bests, usable threshold, ≥3 files") {
     val dir = java.nio.file.Files.createTempDirectory("floors")
     def write(id: Long, taskByEntry: Map[String, Seq[Double]],
