@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Self-test for scripts/adjudicate_bench.py over synthetic fixtures.
+
+Covers every verdict path the classifier can emit plus the round-8
+external references (history floors with sf filtering, cross-scale
+with its tolerance band). Run directly:
+
+    python3 scripts/test_adjudicate.py
+
+Exits non-zero on the first failed expectation. No third-party deps —
+this is a plain-assert harness, mirroring how the adjudicator itself
+is dependency-free.
+"""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import adjudicate_bench as ab  # noqa: E402
+
+
+def env(task=None, pars=None, jan=None):
+    e = {}
+    if task is not None:
+        e["task_sec"] = task
+    if pars is not None:
+        e["canary_par_ms"] = pars
+    if jan is not None:
+        e["janino_compiles"] = jan
+    return e
+
+
+def check(name, got, want):
+    assert got == want, f"{name}: got {got!r}, want {want!r}"
+    print(f"ok  {name:55s} {want}")
+
+
+def main():
+    nominal = 50.0
+
+    # clean: healthy canaries, no compiles, flat task ratios
+    v, _ = ab.classify("q", [1.0, 0.9],
+                       env([5.0, 5.1], [52.0, 55.0], [0, 0]), nominal, None)
+    check("clean", v, "clean")
+
+    # warmup-absorbed: run-1 janino, min run clean
+    v, _ = ab.classify("q", [2.0, 0.9],
+                       env([10.0, 5.0], [52.0, 55.0], [30, 0]), nominal, None)
+    check("warmup-absorbed (janino run 1)", v, "warmup-absorbed")
+
+    # min-run-degraded: the min run is the task-inflated one
+    v, _ = ab.classify("q", [2.0, 1.5],
+                       env([5.0, 12.0], [52.0, 55.0], [0, 0]), nominal, None)
+    check("min-run-degraded", v, "min-run-degraded")
+
+    # degraded (intra-entry): every run >=2x the entry's best... needs
+    # a best to compare against, so one good task row and all runs
+    # still >=2x it is impossible intra-entry — the all-degraded path
+    # needs the canary fallback (no usable task rows)
+    v, _ = ab.classify("q", [1.0, 1.1],
+                       env([0.2, 0.2], [150.0, 140.0], [0, 0]), nominal, None)
+    check("degraded (canary fallback, no usable task)", v, "degraded")
+
+    # degraded via HISTORY floor: intra-entry ratios all ~1x (the r7
+    # x10_q122 blind spot) but every run >=3x the historical median
+    v, notes = ab.classify("q", [89.0, 67.0, 50.0],
+                           env([1057.0, 1844.0, 1298.0],
+                               [92.0, 64.0, 92.0], [0, 0, 0]),
+                           nominal, 36.7)
+    check("degraded (history floor, uniform stretch)", v, "degraded")
+    assert any("history-floor" in n for n in notes), notes
+
+    # NOT degraded when best run sits under 3x the floor
+    v, _ = ab.classify("q", [2.9, 9.8, 3.0],
+                       env([40.1, 220.9, 44.7], [65.0, 68.0, 58.0],
+                           [0, 0, 0]), nominal, 37.8)
+    check("clean-ish best under 3x floor", v, "warmup-absorbed")
+
+    # suspect-uniform: flat 1x ratios, every post-run canary >=2x the
+    # GLOBAL nominal, nothing else wrong
+    v, _ = ab.classify("q", [1.0, 1.0],
+                       env([5.0, 5.1], [120.0, 130.0], [0, 0]), nominal, None)
+    check("suspect-uniform", v, "suspect-uniform")
+
+    # cache-thrash is an ANNOTATION beside the verdict, never a verdict
+    v, notes = ab.classify("q", [1.0, 1.0],
+                           env([5.0, 5.0], [52.0, 52.0], [40, 41]),
+                           nominal, None)
+    assert any(n.startswith("cache-thrash") for n in notes), notes
+    check("cache-thrash annotated, verdict separate", v, "warmup-absorbed")
+
+    # cross-scale: x10 best > 1.25x x30 best flags the x10 entry;
+    # near-equality inside the band does not (8.3 vs 8.1 observed
+    # honest); x30 > 6x x10 flags the x30 entry
+    diag = {"host_env": {
+        "x10_qA": env([40.0]), "x30_qA": env([10.0]),     # 4x  -> flag x10
+        "x10_qB": env([8.3]), "x30_qB": env([8.1]),       # band -> no flag
+        "x10_qC": env([10.0]), "x30_qC": env([75.0]),     # 7.5x -> flag x30
+    }}
+    flags = ab.cross_scale_flags(diag)
+    check("cross-scale flags", sorted(flags), ["x10_qA", "x30_qC"])
+
+    # history_floors: median of per-file bests, sf filter, exclusion of
+    # the run under adjudication, malformed file tolerated
+    with tempfile.TemporaryDirectory() as d:
+        def write(rid, best, sf=None):
+            doc = {"run_id": rid,
+                   "host_env": {"qA": {"task_sec": [best, best * 3]}}}
+            if sf:
+                doc["sf"] = sf
+            with open(os.path.join(d, f"run_{rid}.json"), "w") as f:
+                json.dump(doc, f)
+        for rid, best in [(1, 3.7), (2, 28.6), (3, 35.6), (4, 94.0),
+                          (5, 1057.1)]:
+            write(rid, best)
+        write(6, 1.1, sf="/sf0.01")         # other scale — filtered out
+        write(9, 1.2, sf="/sf0.01")         # second stray of that scale
+        write(7, 2.0)                        # the run under adjudication
+        with open(os.path.join(d, "run_8.json"), "w") as f:
+            f.write("{not json")
+        floors = ab.history_floors(d, exclude_run_id=7, sf="/sf0.1")
+        check("history floor median", floors["qA"], 35.6)
+        # without the sf filter the stray files join and shift the
+        # median down a slot
+        floors2 = ab.history_floors(d, exclude_run_id=7)
+        check("unfiltered median shifts", floors2["qA"], 28.6)
+
+    print("\nall adjudicator self-tests passed")
+
+
+if __name__ == "__main__":
+    main()
