@@ -21,10 +21,12 @@ classifies every entry:
                      sibling scale probe; or parallel canary >= 2x
                      nominal) — the recorded number is an environment
                      artifact, not a plan property
-  suspect-uniform    per-run ratios all read ~1x, but every post-run
-                     parallel canary sat >= 2x the run-wide nominal —
-                     a uniformly stretched entry that per-entry ratios
-                     cannot see; treat the number as unconfirmed
+  suspect-uniform    the recorded min run is not condemned by any
+                     per-run ratio, but EVERY post-run parallel canary
+                     sat >= 2x the run-wide nominal — a uniformly
+                     stretched entry that per-entry ratios cannot see
+                     (run-1 janino warmup does not suppress this);
+                     treat the number as unconfirmed
 
 Annotations (appended beside a verdict, never a verdict themselves):
   cache-thrash(...)  repeat runs kept recompiling generated classes
@@ -68,6 +70,7 @@ except (AttributeError, ValueError):
 USABLE_TASK_SEC = 1.0   # below this the 0.1s-rounded rows alias
 HISTORY_RATIO = 3.0     # best task_sec >= 3x historical floor => degraded
 MIN_HISTORY_FILES = 3   # fewer files than this -> no floor for the entry
+LEGACY_DIAG_SF = "/root/testdata/sf0.1"  # scale of pre-r8 unstamped files
 
 
 def load_contract(path):
@@ -90,9 +93,9 @@ def history_floors(diag_dir, exclude_run_id, sf=None):
     Bench.taskFloors (same statistic, same thresholds) so the harness
     retries on exactly what this script would flag. Files stamped with
     a different sf are excluded (a local sf0.01 run must not poison
-    the sf0.1 floors); pre-round-8 files carry no stamp and are
-    admitted — the official history is sf0.1 and the median tolerates
-    a stray."""
+    the sf0.1 floors); pre-round-8 files carry no stamp and default to
+    the driver's official scale — floors from another scale are
+    systematically wrong, not a stray the median can absorb."""
     per_entry = {}
     for p in sorted(glob.glob(os.path.join(diag_dir, "run_*.json"))):
         try:
@@ -102,7 +105,7 @@ def history_floors(diag_dir, exclude_run_id, sf=None):
             continue
         if d.get("run_id") == exclude_run_id:
             continue
-        if sf and d.get("sf") and d.get("sf") != sf:
+        if sf and (d.get("sf") or LEGACY_DIAG_SF) != sf:
             continue
         for entry, env in (d.get("host_env") or {}).items():
             t = best_usable_task(env)
@@ -141,12 +144,14 @@ def classify(entry, runs, env, nominal_par, floor):
     best_task = best_usable_task(env)
     degraded = []
     for i in range(n):
-        if best_task and i < len(task):
+        if best_task and i < len(task) and task[i] >= USABLE_TASK_SEC:
             d = task[i] >= 2 * best_task
-            if floor and task[i] >= HISTORY_RATIO * floor \
-                    and task[i] >= USABLE_TASK_SEC:
+            if floor and task[i] >= HISTORY_RATIO * floor:
                 d = True
         elif nominal_par and i < len(pars):
+            # no usable task row FOR THIS RUN (sub-1s rows alias under
+            # the 0.1s rounding, even when a sibling run has a usable
+            # row) — the point-sampled canary decides
             d = pars[i] >= 2 * nominal_par
         else:
             d = False
@@ -164,8 +169,11 @@ def classify(entry, runs, env, nominal_par, floor):
     # suspect-uniform: per-run ratios all ~1x, but every post-run
     # parallel canary sat >= 2x the run-wide nominal (a GLOBAL
     # reference) — a uniformly stretched entry the per-entry ratios
-    # cannot see
-    if verdict == "clean" and nominal_par and pars and len(pars) >= n \
+    # cannot see. Checked for warmup-absorbed too: run-1 janino warmup
+    # is present on most entries and is independent of the canary
+    # witness, so it must not suppress the uniform-stretch check.
+    if verdict in ("clean", "warmup-absorbed") \
+            and nominal_par and pars and len(pars) >= n \
             and all(p >= 2 * nominal_par for p in pars[:n]):
         return "suspect-uniform", notes
     return verdict, notes

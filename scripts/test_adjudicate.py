@@ -83,6 +83,21 @@ def main():
                        env([5.0, 5.1], [120.0, 130.0], [0, 0]), nominal, None)
     check("suspect-uniform", v, "suspect-uniform")
 
+    # ... and run-1 janino warmup (present on most entries) must NOT
+    # suppress it — the canary witness is independent of compilation
+    v, _ = ab.classify("q", [2.0, 1.0],
+                       env([5.0, 5.1], [120.0, 130.0], [92, 0]), nominal,
+                       None)
+    check("suspect-uniform despite run-1 janino", v, "suspect-uniform")
+
+    # a run whose OWN task row is sub-1s (aliased) falls back to its
+    # canary even when a sibling run has a usable row — a screaming
+    # canary on the recorded min must not be masked by the usable
+    # sibling's task branch
+    v, _ = ab.classify("q", [1.2, 5.0],
+                       env([0.8, 2.5], [400.0, 52.0], [0, 0]), nominal, None)
+    check("sub-1s min run judged by its canary", v, "min-run-degraded")
+
     # cache-thrash is an ANNOTATION beside the verdict, never a verdict
     v, notes = ab.classify("q", [1.0, 1.0],
                            env([5.0, 5.0], [52.0, 52.0], [40, 41]),
@@ -119,8 +134,13 @@ def main():
         write(7, 2.0)                        # the run under adjudication
         with open(os.path.join(d, "run_8.json"), "w") as f:
             f.write("{not json")
-        floors = ab.history_floors(d, exclude_run_id=7, sf="/sf0.1")
+        # unstamped files default to the driver's official scale, so
+        # they are admitted at that sf and excluded at any other
+        floors = ab.history_floors(d, exclude_run_id=7,
+                                   sf=ab.LEGACY_DIAG_SF)
         check("history floor median", floors["qA"], 35.6)
+        check("unstamped excluded at a new scale",
+              ab.history_floors(d, exclude_run_id=7, sf="/sf1.0"), {})
         # without the sf filter the stray files join and shift the
         # median down a slot
         floors2 = ab.history_floors(d, exclude_run_id=7)

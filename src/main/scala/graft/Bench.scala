@@ -39,21 +39,6 @@ object Bench {
   val x30Queries: Seq[String] = Seq("q65_minhash_dedup",
     "q122_repeated_ngrams", "q125_substring_spans")
 
-  /** Per-entry historical task_sec floor from the accumulated
-    * `bench_diag/run_*.json` evidence files: for each file, the
-    * entry's best USABLE task row (≥ 1 s — below that the 0.1 s
-    * rounding aliases); across files, the MEDIAN of those bests.
-    *
-    * Median, not min: the diag history holds both stall-contaminated
-    * runs (task_sec inflated 10–50×, the r5–r7 class) and mid-round
-    * experiment runs of since-reverted query variants (r7 has two
-    * full-roster runs where q122's 1× task cost is 10× below every
-    * committed build's) — a min would import the experiment, a mean
-    * the stalls. ≥ 3 files required so one odd run can't define an
-    * entry's floor. Same statistic as scripts/adjudicate_bench.py's
-    * history check, so the harness retries on exactly what the
-    * adjudicator would flag.
-    */
   /** Whether one bench run was measured under contamination — the
     * predicate the validity retry keys on. Three INDEPENDENT
     * witnesses, never the measured wall time itself (so the retry
@@ -77,27 +62,53 @@ object Bench {
       janino.exists(_ > 5) ||
       floor.exists(f => taskSec.exists(t => t >= 1.0 && t >= 3 * f))
 
+  /** The scale every pre-round-8 diag file (no `sf` stamp) was
+    * measured at: the driver's official corpus. Unstamped files are
+    * ASSUMED to be this scale — so at any other sfDir they are
+    * excluded rather than imported as systematically-wrong floors.
+    */
+  val legacyDiagSf = "/root/testdata/sf0.1"
+
+  /** Per-entry historical task_sec floor from the accumulated
+    * `bench_diag/run_*.json` evidence files: for each file, the
+    * entry's best USABLE task row (≥ 1 s — below that the 0.1 s
+    * rounding aliases); across files, the MEDIAN of those bests.
+    *
+    * Median, not min: the diag history holds both stall-contaminated
+    * runs (task_sec inflated 10–50×, the r5–r7 class) and mid-round
+    * experiment runs of since-reverted query variants (r7 has two
+    * full-roster runs where q122's 1× task cost is 10× below every
+    * committed build's) — a min would import the experiment, a mean
+    * the stalls. ≥ 3 files required so one odd run can't define an
+    * entry's floor. Same statistic as scripts/adjudicate_bench.py's
+    * history check, so the harness retries on exactly what the
+    * adjudicator would flag.
+    */
   def taskFloors(dir: java.nio.file.Path,
                  sfDir: Option[String] = None): Map[String, Double] = {
     import org.json4s._
     if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
+    val stream = java.nio.file.Files.list(dir)
+    val files =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
+      finally stream.close() // Files.list holds the directory fd open
     val perFile: List[Map[String, Double]] = files.flatMap { p =>
       try {
         val j = org.json4s.jackson.JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         // scale guard: a local sf0.01 iteration run writes diag files
         // too, and its ~10x-lower task costs would poison the sf0.1
-        // floors (and vice versa). Files from before the sf stamp
-        // (round <8) are admitted — the official history is sf0.1 and
-        // the median tolerates a stray — but stamped files must match.
+        // floors (and vice versa). Unstamped files (round <8) default
+        // to the driver's official scale rather than matching
+        // anything — floors from another scale are systematically
+        // wrong, not a stray the median can absorb.
         val fileSf = j \ "sf" match {
-          case JString(s) => Some(s)
-          case _ => None
+          case JString(s) => s
+          case _ => legacyDiagSf
         }
-        if (fileSf.isDefined && sfDir.isDefined && fileSf != sfDir)
+        if (sfDir.exists(_ != fileSf))
           None
         else j \ "host_env" match {
           case JObject(fields) => Some(fields.flatMap { case (entry, v) =>

@@ -141,6 +141,12 @@ class BenchReportSpec extends AnyFunSuite {
     assert(!floors.contains("qB") && !floors.contains("qC"))
     // with no sf filter the stray files shift the median down a slot
     assert(Bench.taskFloors(dir)("qA") === 28.6)
+    // at a NEW scale, unstamped (pre-r8) files are excluded — they
+    // default to the official legacy scale, and floors from another
+    // scale would be systematically wrong, not a median-absorbable
+    // stray (a 3x cost mismatch would otherwise fire the retry's
+    // task-floor witness on every run of every entry)
+    assert(Bench.taskFloors(dir, Some("/root/testdata/sf1.0")).isEmpty)
     // absent dir → empty map (fresh repo: retries simply never fire)
     assert(Bench.taskFloors(dir.resolve("nope")).isEmpty)
   }
