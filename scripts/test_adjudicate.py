@@ -107,11 +107,13 @@ def main():
 
     # cross-scale: x10 best > 1.25x x30 best flags the x10 entry;
     # near-equality inside the band does not (8.3 vs 8.1 observed
-    # honest); x30 > 6x x10 flags the x30 entry
+    # honest); x30 > 8x x10 flags the x30 entry (honest q65 ratios
+    # reach 6.2x, stalls start at 10x — the gate sits between)
     diag = {"host_env": {
         "x10_qA": env([40.0]), "x30_qA": env([10.0]),     # 4x  -> flag x10
         "x10_qB": env([8.3]), "x30_qB": env([8.1]),       # band -> no flag
-        "x10_qC": env([10.0]), "x30_qC": env([75.0]),     # 7.5x -> flag x30
+        "x10_qC": env([10.0]), "x30_qC": env([90.0]),     # 9x  -> flag x30
+        "x10_qD": env([10.0]), "x30_qD": env([62.0]),     # 6.2x honest tail
     }}
     flags = ab.cross_scale_flags(diag)
     check("cross-scale flags", sorted(flags), ["x10_qA", "x30_qC"])
