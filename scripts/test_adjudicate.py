@@ -98,6 +98,16 @@ def main():
                        env([0.8, 2.5], [400.0, 52.0], [0, 0]), nominal, None)
     check("sub-1s min run judged by its canary", v, "min-run-degraded")
 
+    # floor breach forces the verdict into the discount total even when
+    # the min-time run carries only a sub-1s aliased task row judged by
+    # a clean canary — a history-floor note must never sit beside a
+    # non-discounted verdict (round-8 ADVICE item)
+    v, notes = ab.classify("q", [1.2, 5.0],
+                           env([0.9, 120.0], [52.0, 55.0], [0, 0]),
+                           nominal, 36.7)
+    check("floor breach forces min-run-degraded", v, "min-run-degraded")
+    assert any("history-floor" in n for n in notes), notes
+
     # cache-thrash is an ANNOTATION beside the verdict, never a verdict
     v, notes = ab.classify("q", [1.0, 1.0],
                            env([5.0, 5.0], [52.0, 52.0], [40, 41]),
@@ -147,6 +157,39 @@ def main():
         # median down a slot
         floors2 = ab.history_floors(d, exclude_run_id=7)
         check("unfiltered median shifts", floors2["qA"], 28.6)
+
+        # a non-numeric-suffixed file (hand-copied run_old.json) must be
+        # ignored — Bench.taskFloors admits only run_<digits>.json, and
+        # the adjudicator's floor must be the SAME statistic
+        with open(os.path.join(d, "run_old.json"), "w") as f:
+            json.dump({"run_id": 99,
+                       "host_env": {"qA": {"task_sec": [9999.0]}}}, f)
+        floors3 = ab.history_floors(d, exclude_run_id=7,
+                                    sf=ab.LEGACY_DIAG_SF)
+        check("non-numeric diag file ignored", floors3["qA"], 35.6)
+
+    # --md emission: a BENCH_r{N}.json input derives ADJUDICATION_r{N}.md
+    # next to it, self-contained (provenance header + the report body)
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "bench_diag"))
+        with open(os.path.join(d, "bench_diag", "run_5.json"), "w") as f:
+            json.dump({"run_id": 5, "nominal_par_ms": 50.0,
+                       "runs": {"q": [1.0, 0.9]},
+                       "host_env": {"q": env([5.0, 5.1], [52.0, 55.0],
+                                             [0, 0])}}, f)
+        bench = os.path.join(d, "BENCH_r42.json")
+        with open(bench, "w") as f:
+            json.dump({"queries": {"q": 0.9}, "run_id": 5, "value": 0.9,
+                       "sf": "/sf"}, f)
+        ab.main([bench, "--md"])
+        out = os.path.join(d, "ADJUDICATION_r42.md")
+        assert os.path.exists(out), "ADJUDICATION_r42.md not written"
+        with open(out) as f:
+            body = f.read()
+        assert "summary: clean=1" in body, body
+        assert "Run id: 5" in body, body
+        check("--md writes the round-named report",
+              "needs environment discount: 0" in body, True)
 
     print("\nall adjudicator self-tests passed")
 

@@ -91,7 +91,14 @@ object Anomaly {
     *
     * Scale shape: the input is ONE ROW PER CALENDAR DAY (bounded by
     * time, not data volume — a century is 36.5k rows), so fitting on
-    * the driver is bounded by domain, not corpus size; trees are tiny
+    * the driver is bounded by domain, not corpus size. That cardinality
+    * assumption is the trainer's one load-bearing bound: if the key
+    * ever stops being a calendar day (e.g. repurposed per-entity) and
+    * distinct keys approach ~10⁶, guard the collect with a seeded
+    * `.orderBy(rand(seed)).limit(nTrees * subsample)` — the fit never
+    * reads more rows than that anyway, so the cap changes nothing at
+    * day scale while keeping the driver safe at any scale. Trees are
+    * tiny
     * (ψ ≤ 256 ⇒ depth ≤ 8) and ship to executors inside the scoring
     * closure, which evaluates map-side. With a fixed seed the fit and
     * every score are bit-reproducible run to run.
