@@ -397,53 +397,107 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
+    /** One fully-witnessed run of `body` under `entry`: prepare (cache
+      * clear + GC + pre-run host rows), time the body, append the
+      * post-run witness rows (gc/jit/task/janino/canaries/steal/
+      * code-cache/spill/peak). Every run of every entry — standard,
+      * validity retry, or end-of-roster revisit — goes through here,
+      * so the diag arrays stay aligned index-for-index with however
+      * many runs the entry ended up taking.
+      */
+    def instrumentedRun(entry: String, body: => Double): Double = {
+      prepare(entry)
+      // gc/jit sampled AFTER prepare: prepare's own System.gc() is
+      // deliberate hygiene, not part of the run being attributed
+      val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
+      val task0 = settledTaskMs(); val jan0 = janinoCompiles()
+      // settledTaskMs above already waited for the listener bus to
+      // drain, so the spill counter is settled too; peak resets here
+      val spill0 = spillBytesAcc.get(); peakExecAcc.set(0)
+      val (steal0, tick0) = cpuTicks()
+      val t = body
+      val (steal1, tick1) = cpuTicks()
+      val e = entryEnv(entry)
+      entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
+        jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0),
+        taskSec = e.taskSec :+
+          math.rint((settledTaskMs() - task0) / 100.0) / 10,
+        janino = e.janino :+ (janinoCompiles() - jan0),
+        canaryAfterMs = e.canaryAfterMs :+
+          math.rint(canaryMsNow() * 10) / 10,
+        canaryParMs = e.canaryParMs :+ {
+          val p = math.rint(canaryParMsNow() * 10) / 10
+          if (p < nominalParMs) nominalParMs = p // best delivery seen
+          p
+        },
+        stealPct = e.stealPct :+ (if (tick1 > tick0)
+          math.rint(10000.0 * (steal1 - steal0) / (tick1 - tick0)) / 100
+        else -1.0),
+        codeCacheMb = e.codeCacheMb :+ codeCacheMb(),
+        spillMb = e.spillMb :+
+          (spillBytesAcc.get() - spill0) / (1L << 20),
+        peakExecMb = e.peakExecMb :+ peakExecAcc.get() / (1L << 20))
+      graft.ext.Dedup.lastMinhashDiag.foreach { d =>
+        candSecs(entry) =
+          candSecs.getOrElse(entry, Seq.empty) :+
+            math.rint(d.candidateSec * 100) / 100
+      }
+      t
+    }
+
+    /** Per-run contamination flags over EVERY recorded run of the
+      * entry (witness arrays are appended once per run, so their
+      * length is the run count). Used by the retry loop, the
+      * clean-preferred min selection, and the revisit pass — one
+      * predicate, three consumers.
+      */
+    def contamFlags(entry: String): Seq[Boolean] = {
+      val e = entryEnv(entry)
+      e.taskSec.indices.map { i =>
+        contaminatedRun(e.canaryParMs.lift(i), nominalParMs,
+          e.janino.lift(i), e.taskSec.lift(i), floors.get(entry))
+      }
+    }
+
+    /** The recorded number for an entry: the min over runs whose
+      * witness row is CLEAN, falling back to the min over all runs
+      * when none are (round-8 ADVICE: min-over-more-samples was a
+      * mild downward bias for witness-tripping entries, and a
+      * contaminated run could own the recorded number — selecting
+      * among clean runs removes both; a run-1 janino-warmup flag
+      * excludes the very run min-of-n existed to absorb, so nothing
+      * steady-state is lost). A failed run still poisons the entry to
+      * its max so failures stay visible.
+      */
+    def minSelect(entry: String, ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) ts.max
+      else {
+        val clean = ts.zip(contamFlags(entry))
+          .collect { case (t, false) => t }
+        if (clean.nonEmpty) clean.min else ts.min
+      }
+
+    // the body of every entry, re-runnable after the roster completes:
+    // the end-of-roster revisit pass (r8 verdict ask #2) re-executes a
+    // flagged entry exactly as best() ran it (the scaled-corpus temp
+    // dirs live until JVM exit, so x10/x30 bodies stay valid)
+    val revisitBodies =
+      scala.collection.mutable.LinkedHashMap[String, () => Double]()
+
     /** n timed runs of `body` (fresh cache + GC before each); records
-      * the raw times under `entry` and returns the min (first run pays
-      * one-time plan codegen/JIT a steady-state workload never sees; a
-      * failed run poisons the entry to its max so failures stay
-      * visible).
+      * the raw times under `entry` and returns the clean-preferred min
+      * (first run pays one-time plan codegen/JIT a steady-state
+      * workload never sees; a failed run poisons the entry to its max
+      * so failures stay visible).
       */
     def best(entry: String, n: Int)(body: => Double): Double = {
-      def oneRun(): Double = {
-        prepare(entry)
-        // gc/jit sampled AFTER prepare: prepare's own System.gc() is
-        // deliberate hygiene, not part of the run being attributed
-        val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
-        val task0 = settledTaskMs(); val jan0 = janinoCompiles()
-        // settledTaskMs above already waited for the listener bus to
-        // drain, so the spill counter is settled too; peak resets here
-        val spill0 = spillBytesAcc.get(); peakExecAcc.set(0)
-        val (steal0, tick0) = cpuTicks()
-        val t = body
-        val (steal1, tick1) = cpuTicks()
-        val e = entryEnv(entry)
-        entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
-          jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0),
-          taskSec = e.taskSec :+
-            math.rint((settledTaskMs() - task0) / 100.0) / 10,
-          janino = e.janino :+ (janinoCompiles() - jan0),
-          canaryAfterMs = e.canaryAfterMs :+
-            math.rint(canaryMsNow() * 10) / 10,
-          canaryParMs = e.canaryParMs :+ {
-            val p = math.rint(canaryParMsNow() * 10) / 10
-            if (p < nominalParMs) nominalParMs = p // best delivery seen
-            p
-          },
-          stealPct = e.stealPct :+ (if (tick1 > tick0)
-            math.rint(10000.0 * (steal1 - steal0) / (tick1 - tick0)) / 100
-          else -1.0),
-          codeCacheMb = e.codeCacheMb :+ codeCacheMb(),
-          spillMb = e.spillMb :+
-            (spillBytesAcc.get() - spill0) / (1L << 20),
-          peakExecMb = e.peakExecMb :+ peakExecAcc.get() / (1L << 20))
-        graft.ext.Dedup.lastMinhashDiag.foreach { d =>
-          candSecs(entry) =
-            candSecs.getOrElse(entry, Seq.empty) :+
-              math.rint(d.candidateSec * 100) / 100
-        }
+      revisitBodies(entry) = () => {
+        val t = instrumentedRun(entry, body)
+        rawRuns(entry) = rawRuns.getOrElse(entry, Seq.empty) :+ t
         t
       }
-      var ts = (1 to n).map(_ => oneRun())
+      var ts = (1 to n).map(_ => instrumentedRun(entry, body))
+      rawRuns(entry) = ts
       // measurement-validity retries: when EVERY standard run of the
       // entry was contaminated (see contaminatedRun's scaladoc for the
       // three witnesses and why they are independent of the measured
@@ -458,17 +512,8 @@ object Bench {
       // x10_q122 artifact (1298 task-sec on a ~36 task-sec entry with
       // every post-run canary under the 2× gate).
       var extra = 0
-      def contaminated: Seq[Boolean] = {
-        val e = entryEnv(entry)
-        val pars = e.canaryParMs.takeRight(ts.size)
-        val jans = e.janino.takeRight(ts.size)
-        val tasks = e.taskSec.takeRight(ts.size)
-        ts.indices.map { i =>
-          contaminatedRun(pars.lift(i), nominalParMs, jans.lift(i),
-            tasks.lift(i), floors.get(entry))
-        }
-      }
-      while (extra < 3 && ts.forall(_ >= 0) && contaminated.forall(identity)) {
+      while (extra < 3 && ts.forall(_ >= 0) &&
+          contamFlags(entry).forall(identity)) {
         val e = entryEnv(entry)
         System.err.println(s"[bench] $entry: all ${ts.size} runs " +
           s"contaminated (par ${e.canaryParMs.takeRight(ts.size).mkString("/")}ms" +
@@ -476,11 +521,11 @@ object Bench {
           s"${e.janino.takeRight(ts.size).mkString("/")}, task " +
           s"${e.taskSec.takeRight(ts.size).mkString("/")}s vs floor " +
           s"${floors.getOrElse(entry, -1.0)}) — extra run ${extra + 1}")
-        ts = ts :+ oneRun()
+        ts = ts :+ instrumentedRun(entry, body)
+        rawRuns(entry) = ts
         extra += 1
       }
-      rawRuns(entry) = ts
-      if (ts.exists(_ < 0)) ts.max else ts.min
+      minSelect(entry, ts)
     }
 
     // JVM/codegen/reader warmup outside the timed loop
@@ -669,12 +714,59 @@ object Bench {
       fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 3)
     }
 
+    // ── end-of-roster revisit pass (r8 verdict ask #2) ─────────────
+    // The x10/x30 entries run consecutively, so one multi-minute host
+    // episode (the r8 diag's 92 s / 139 s raw runs) can hit the whole
+    // scale group and exhaust every per-entry retry inside the same
+    // storm. After the roster completes — minutes later by
+    // construction — any entry whose every run was condemned by the
+    // witnesses, or whose best usable task_sec still sits > 1.5× its
+    // history floor, gets ONE more fully-witnessed run (after a
+    // bounded wait for the all-core canary to read healthy again, so
+    // the revisit isn't burned inside the same episode). The entry's
+    // recorded number is then re-selected over ALL its runs by the
+    // same clean-preferred rule as everyone else.
+    val revisitUpdates: Map[String, Double] = {
+      val flagged = rawRuns.keys.toList.filter { entry =>
+        rawRuns(entry).forall(_ >= 0) && {
+          val flags = contamFlags(entry)
+          val allBad = flags.nonEmpty && flags.forall(identity)
+          val floorBreach = floors.get(entry).exists(f =>
+            BenchReport.bestUsableTask(entryEnv(entry)).exists(_ > 1.5 * f))
+          allBad || floorBreach
+        }
+      }
+      if (flagged.isEmpty) {
+        System.err.println("[bench] revisit pass: no entries flagged — no-op")
+        Map.empty
+      } else {
+        System.err.println(s"[bench] revisit pass: ${flagged.size} " +
+          s"flagged (${flagged.mkString(", ")})")
+        var waitedSec = 0
+        while (waitedSec < 120 && canaryParMsNow() >= 2 * nominalParMs) {
+          System.err.println("[bench] revisit: all-core canary still " +
+            "≥2× nominal — waiting 15s for a healthy window")
+          Thread.sleep(15000); waitedSec += 15
+        }
+        flagged.flatMap { entry =>
+          revisitBodies.get(entry).map { run =>
+            val t = run()
+            val sel = minSelect(entry, rawRuns(entry))
+            System.err.println(s"[bench] revisit $entry: extra run " +
+              s"${math.rint(t * 1000) / 1000}s -> recorded $sel")
+            entry -> sel
+          }
+        }.toMap
+      }
+    }
+
     val results =
-      (headlineResults :+ ("ingest_parse_write_100k" -> ingestSec)) ++
+      ((headlineResults :+ ("ingest_parse_write_100k" -> ingestSec)) ++
         (if (q93Maintain >= 0)
           Seq("q93a_mv_maintain" -> q93Maintain, "q93b_mv_read" -> q93Read)
         else Seq.empty) ++
-        x10Probe ++ x30Probe
+        x10Probe ++ x30Probe)
+        .map { case (k, v) => k -> revisitUpdates.getOrElse(k, v) }
     // assembly lives in BenchReport (spec-pinned: parseable JSON,
     // single small contract line, non-finite timings sanitized). The
     // diag outgrew the driver's stdout tail capture in r4 (the
@@ -707,10 +799,62 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }
     System.err.println(s"[bench] diag: $diag")
-    println(BenchReport.contractLine(results, sfDir, runId,
-      loadStart, loadavg1()))
+    // the adjudicator's discount count, computed in-process (r8 verdict
+    // ask #5): the JSON a judge reads is self-describing — a clean run
+    // ships "discounted":[] without anyone running the script
+    val discounted = BenchReport.discountedEntries(results, rawRuns,
+      entryEnv, nominalParMs)
+    if (discounted.nonEmpty)
+      System.err.println(s"[bench] entries needing environment " +
+        s"discount: ${discounted.mkString(", ")}")
+    val line = BenchReport.contractLine(results, sfDir, runId,
+      loadStart, loadavg1(), discounted)
+    // self-adjudication (r8 verdict ask #4): every official-scale run
+    // writes ADJUDICATION_r{N}.md itself, so each round ships its own
+    // classification without being asked. Runs BEFORE the contract
+    // println (the contract line must stay the LAST stdout line) with
+    // the subprocess's output routed to stderr; only at the official
+    // corpus — a local sf0.01 iteration run must not overwrite the
+    // round's adjudication with off-scale numbers.
+    if (sfDir == legacyDiagSf) emitSelfAdjudication(line, runId)
+    println(line)
     spark.stop()
   }
+
+  /** Shell out to the repo's own adjudicator over this run's contract
+    * line + diag evidence and write `ADJUDICATION_r{N}.md`, N inferred
+    * as one past the newest committed BENCH_r{N}.json (the driver
+    * writes that file from this run's stdout at round close, so the
+    * adjudication is named for the round it will land in). Best-effort:
+    * a missing python3 or script must never take the bench down.
+    */
+  def emitSelfAdjudication(contractLine: String, runId: Long): Unit =
+    try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val maxRound =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.getFileName.toString)
+            .collect { case re(n) => n.toInt }.foldLeft(0)(math.max)
+        } finally stream.close()
+      val out = f"ADJUDICATION_r${maxRound + 1}%02d.md"
+      val tmp = java.nio.file.Files.createTempFile("bench-contract", ".json")
+      java.nio.file.Files.write(tmp, contractLine.getBytes("UTF-8")): Unit
+      val pb = new ProcessBuilder("python3", "scripts/adjudicate_bench.py",
+        tmp.toString, s"bench_diag/run_$runId.json", "--out", out)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      // drain before waitFor: the ~50-line report fits a pipe buffer,
+      // but draining first can never deadlock regardless
+      val report = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+      System.err.println(s"[bench] self-adjudication (rc=$rc) -> $out\n" +
+        report)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-adjudication failed: ${e.getMessage}")
+    }
 
   /** N-copy corpus for the scale probes (see call sites for the
     * invariance argument). Written once to a temp dir in the SF layout

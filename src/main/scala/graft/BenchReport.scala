@@ -56,24 +56,131 @@ object BenchReport {
     * official run's raw-run record was lost) and `load1` (host 1-min
     * loadavg at bench start/end: an entry stalled by machine
     * contention — the r5 x30_q65 / r6 x30_q122 class — shows a loaded
-    * host right in the committed BENCH_r{N}.json). Keys are code
-    * literals (no user text), so the only escape surface is `sfDir`,
-    * which is JSON-string-escaped. Budget: the line must stay under
-    * ~1900 chars (2000-char driver tail minus sbt's trailing
-    * `[success]` line) — pinned by BenchReportSpec over the real
-    * entry roster.
+    * host right in the committed BENCH_r{N}.json) — and the round-9
+    * `discounted` list: the entries whose recorded number the repo's
+    * own adjudicator would count as needing environment discount
+    * (verdicts degraded / min-run-degraded / suspect-uniform), so the
+    * JSON a judge reads is self-describing without running the script
+    * (r8 verdict ask #5). Keys are code literals (no user text), so
+    * the escape surfaces are `sfDir` and the discounted names, which
+    * are JSON-string-escaped. Budget: the line must stay under ~1900
+    * chars (2000-char driver tail minus sbt's trailing `[success]`
+    * line) — pinned by BenchReportSpec over the real entry roster; the
+    * discounted list is capped at 8 names (a clean run ships `[]`, a
+    * roster-wide storm must not blow the tail capture — the overflow
+    * count is still exact in `discounted_n`).
     */
   def contractLine(results: Seq[(String, Double)], sfDir: String,
                    runId: Long = 0L,
-                   loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
+                   loadStart: Double = -1.0, loadEnd: Double = -1.0,
+                   discounted: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
+    val disc = discounted.take(8).map(jstr).mkString("[", ",", "]")
     // "diag": the repo-relative path of this run's evidence file,
     // spelled out so a judge reading BENCH_r{N}.json alone knows which
     // one file holds the raw runs / host_env / task_floor rows and how
     // to adjudicate it (r7's rerun evidence lived in an unreferenced
     // side file; this closes that gap going forward)
-    s"""{"metric":"total","value":${num3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"run_id":$runId,"diag":${jstr(s"bench_diag/run_$runId.json")},"load1":[${num3(loadStart)},${num3(loadEnd)}]}"""
+    s"""{"metric":"total","value":${num3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"run_id":$runId,"diag":${jstr(s"bench_diag/run_$runId.json")},"load1":[${num3(loadStart)},${num3(loadEnd)}],"discounted":$disc,"discounted_n":${discounted.size}}"""
+  }
+
+  /** Best usable summed-task-time row of one entry (≥ 1 s — below
+    * that the diag's 0.1 s rounding aliases ratios), the statistic
+    * every adjudication reference reads. None when no run did a
+    * second of task work.
+    */
+  def bestUsableTask(e: EntryEnv): Option[Double] = {
+    val usable = e.taskSec.filter(_ >= 1.0)
+    if (usable.nonEmpty) Some(usable.min) else None
+  }
+
+  /** Scala mirror of `scripts/adjudicate_bench.py`'s per-entry
+    * discount decision (true ⇔ the script's verdict would be
+    * degraded, min-run-degraded, or suspect-uniform), so the contract
+    * line can carry the adjudicator's count without shelling out:
+    *   - per-run health: a usable task row ≥ 2× the entry's best
+    *     usable row, or ≥ 3× the historical floor, is degraded; a run
+    *     with only a sub-1 s aliased row is judged by its post-run
+    *     all-core canary (≥ 2× nominal);
+    *   - all runs degraded ⇒ degraded; the min-time run degraded ⇒
+    *     min-run-degraded; best usable row ≥ 3× floor ⇒ at least
+    *     min-run-degraded (the floor-force rule — an external
+    *     reference condemning the entry's BEST run condemns the
+    *     entry no matter which run owned the min);
+    *   - otherwise, every post-run canary ≥ 2× nominal ⇒
+    *     suspect-uniform (a uniformly stretched entry the per-run
+    *     ratios cannot see).
+    * Cross-scale flags are layered on in [[discountedEntries]] — they
+    * need the sibling probe's rows, not this entry's.
+    */
+  def needsDiscount(runs: Seq[Double], e: EntryEnv,
+                    nominalParMs: Double): Boolean = {
+    val n = runs.size
+    if (n == 0) return false
+    val bestTask = bestUsableTask(e)
+    val floor = Option(e.taskFloor).filter(_ > 0)
+    def degraded(i: Int): Boolean = {
+      val t = e.taskSec.lift(i)
+      if (bestTask.isDefined && t.exists(_ >= 1.0))
+        t.exists(x => x >= 2 * bestTask.get ||
+          floor.exists(f => x >= 3 * f))
+      else if (nominalParMs > 0 && e.canaryParMs.isDefinedAt(i))
+        e.canaryParMs(i) >= 2 * nominalParMs
+      else false
+    }
+    val flags = (0 until n).map(degraded)
+    val minI = runs.indices.minBy(i =>
+      if (runs(i) >= 0) runs(i) else Double.MaxValue)
+    val floorBreach =
+      floor.exists(f => bestTask.exists(_ >= 3 * f))
+    val suspectUniform = nominalParMs > 0 && e.canaryParMs.size >= n &&
+      (0 until n).forall(i => e.canaryParMs(i) >= 2 * nominalParMs)
+    flags.forall(identity) || flags(minI) || floorBreach || suspectUniform
+  }
+
+  /** Cross-scale impossible-work flags, mirroring the script's
+    * `cross_scale_flags`: the x10/x30 probes run the same query over
+    * ~3× the data, so an x10 best task exceeding 1.25× its x30
+    * sibling's flags the x10 entry; an x30 best exceeding 8× the x10
+    * flags the x30 (honest q65 ratios span 2.0–6.2×, stalls read
+    * ≥10× — the gate sits between; the 1.25× small-side band keeps
+    * the lsh_auto probe's near-equal honest bests out).
+    */
+  def crossScaleDiscounts(
+      env: collection.Map[String, EntryEnv]): Set[String] =
+    env.keysIterator.filter(_.startsWith("x10_")).flatMap { x10 =>
+      val sib = "x30_" + x10.stripPrefix("x10_")
+      for {
+        e30 <- env.get(sib)
+        t10 <- bestUsableTask(env(x10))
+        t30 <- bestUsableTask(e30)
+        flagged <- if (t10 > 1.25 * t30) Some(x10)
+                   else if (t30 > 8 * t10) Some(sib)
+                   else None
+      } yield flagged
+    }.toSet
+
+  /** The contract line's `discounted` list: every reported entry the
+    * adjudicator would count toward "needs environment discount",
+    * in roster order. The q93 split components are evidence-less
+    * derivations of the q93 entry (the script says component-of-q93)
+    * and entries with no evidence rows are unadjudicable — both are
+    * skipped, exactly as the script skips them.
+    */
+  def discountedEntries(results: Seq[(String, Double)],
+                        rawRuns: collection.Map[String, Seq[Double]],
+                        env: collection.Map[String, EntryEnv],
+                        nominalParMs: Double): Seq[String] = {
+    val xscale = crossScaleDiscounts(env)
+    results.collect {
+      case (name, _) if !name.startsWith("q93a") &&
+        !name.startsWith("q93b") &&
+        (xscale(name) ||
+          (rawRuns.contains(name) && env.contains(name) &&
+            needsDiscount(rawRuns(name), env(name), nominalParMs))) =>
+        name
+    }
   }
 
   /** Per-run host-environment snapshot for one entry, arrays aligned

@@ -40,6 +40,25 @@ class BenchReportSpec extends AnyFunSuite {
     // round-8: the evidence file named right in the contract, so a
     // judge holding only BENCH_r{N}.json knows where the diag lives
     assert(j.get("diag").asText() === "bench_diag/run_1755192000123.json")
+    // round-9: the adjudicator's discount verdict is self-described —
+    // a clean run ships an empty list
+    assert(j.get("discounted").isArray && j.get("discounted").size() === 0)
+    assert(j.get("discounted_n").asInt() === 0)
+  }
+
+  test("contract line: discounted entries listed, capped at 8, exact count") {
+    val line = BenchReport.contractLine(results, "/sf",
+      discounted = Seq("x30_q125_substring_spans", "x10_q86_curation_pipeline"))
+    val j = parse(line)
+    assert(j.get("discounted").get(0).asText() === "x30_q125_substring_spans")
+    assert(j.get("discounted").get(1).asText() === "x10_q86_curation_pipeline")
+    assert(j.get("discounted_n").asInt() === 2)
+    // a roster-wide storm must not blow the driver's tail capture: the
+    // list caps at 8 names while the count stays exact
+    val many = (1 to 20).map(i => s"q${i}_entry")
+    val jm = parse(BenchReport.contractLine(results, "/sf", discounted = many))
+    assert(jm.get("discounted").size() === 8)
+    assert(jm.get("discounted_n").asInt() === 20)
   }
 
   test("total excludes probe entries and q93 components, skips failures") {
@@ -79,8 +98,12 @@ class BenchReportSpec extends AnyFunSuite {
         (Bench.x10Queries.map("x10_" + _) ++ Seq("x10_q72_lsh_auto")) ++
         (Bench.x30Queries.map("x30_" + _) ++ Seq("x30_q72_lsh_auto"))
     val real = roster.map(_ -> 9999.999)
+    // worst-case discounted list: the 8-name cap filled with the
+    // longest entry names on the roster, plus an overflow count
+    val worstDiscount = roster.sortBy(-_.length).take(8) ++ roster
     val line = BenchReport.contractLine(real, "/root/testdata/sf0.1",
-      runId = Long.MaxValue, loadStart = 99.999, loadEnd = 99.999)
+      runId = Long.MaxValue, loadStart = 99.999, loadEnd = 99.999,
+      discounted = worstDiscount)
     assert(line.length < 1900, s"contract line ${line.length}B risks tail-capture truncation")
     parse(line): Unit
   }
@@ -206,5 +229,70 @@ class BenchReportSpec extends AnyFunSuite {
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)
+  }
+
+  // ── the in-process mirror of scripts/adjudicate_bench.py's discount
+  // decision (round-9): same fixtures as scripts/test_adjudicate.py so
+  // the two implementations are pinned to the same behavior ──────────
+  private def envOf(task: Seq[Double], pars: Seq[Double],
+                    floor: Double = -1.0) =
+    BenchReport.EntryEnv(Nil, Nil, Nil, Nil, taskSec = task,
+      canaryParMs = pars, taskFloor = floor)
+
+  test("needsDiscount mirrors the adjudicator's verdict classes") {
+    val nominal = 50.0
+    // clean: healthy canaries, flat task ratios
+    assert(!BenchReport.needsDiscount(Seq(1.0, 0.9),
+      envOf(Seq(5.0, 5.1), Seq(52.0, 55.0)), nominal))
+    // min-run-degraded: the min-time run is the task-inflated one
+    assert(BenchReport.needsDiscount(Seq(2.0, 1.5),
+      envOf(Seq(5.0, 12.0), Seq(52.0, 55.0)), nominal))
+    // warmup-absorbed shape (non-min run degraded): NOT discounted
+    assert(!BenchReport.needsDiscount(Seq(2.0, 0.9),
+      envOf(Seq(10.0, 5.0), Seq(52.0, 55.0)), nominal))
+    // degraded via canary fallback: no usable task rows, both canaries hot
+    assert(BenchReport.needsDiscount(Seq(1.0, 1.1),
+      envOf(Seq(0.2, 0.2), Seq(150.0, 140.0)), nominal))
+    // degraded via history floor: ratios ~1x but every run >=3x the
+    // floor (the r7 x10_q122 blind spot)
+    assert(BenchReport.needsDiscount(Seq(89.0, 67.0, 50.0),
+      envOf(Seq(1057.0, 1844.0, 1298.0), Seq(92.0, 64.0, 92.0),
+        floor = 36.7), nominal))
+    // best under 3x floor: stands
+    assert(!BenchReport.needsDiscount(Seq(2.9, 9.8, 3.0),
+      envOf(Seq(40.1, 220.9, 44.7), Seq(65.0, 68.0, 58.0),
+        floor = 37.8), nominal))
+    // suspect-uniform: flat ratios, every post-run canary >=2x nominal
+    assert(BenchReport.needsDiscount(Seq(1.0, 1.0),
+      envOf(Seq(5.0, 5.1), Seq(120.0, 130.0)), nominal))
+    // floor-force: min-time run has only a sub-1s aliased row judged
+    // by a clean canary, but the best usable run did 3x its floor
+    assert(BenchReport.needsDiscount(Seq(1.2, 5.0),
+      envOf(Seq(0.9, 120.0), Seq(52.0, 55.0), floor = 36.7), nominal))
+    // empty evidence: nothing to condemn
+    assert(!BenchReport.needsDiscount(Nil, envOf(Nil, Nil), nominal))
+  }
+
+  test("crossScaleDiscounts: impossible work ratios vs the sibling probe") {
+    val env = scala.collection.mutable.LinkedHashMap(
+      "x10_qA" -> envOf(Seq(40.0), Nil), "x30_qA" -> envOf(Seq(10.0), Nil),
+      "x10_qB" -> envOf(Seq(8.3), Nil), "x30_qB" -> envOf(Seq(8.1), Nil),
+      "x10_qC" -> envOf(Seq(10.0), Nil), "x30_qC" -> envOf(Seq(90.0), Nil),
+      "x10_qD" -> envOf(Seq(10.0), Nil), "x30_qD" -> envOf(Seq(62.0), Nil))
+    assert(BenchReport.crossScaleDiscounts(env) === Set("x10_qA", "x30_qC"))
+  }
+
+  test("discountedEntries: roster order, q93 components and no-evidence skipped") {
+    val nominal = 50.0
+    val res = Seq("q1" -> 1.0, "q93a_mv_maintain" -> 2.0,
+      "x10_qA" -> 3.0, "x30_qA" -> 9.0, "q_noev" -> 1.0)
+    val runs = scala.collection.mutable.LinkedHashMap(
+      "q1" -> Seq(1.0, 1.0), "x10_qA" -> Seq(3.0), "x30_qA" -> Seq(9.0))
+    val env = scala.collection.mutable.LinkedHashMap(
+      "q1" -> envOf(Seq(5.0, 5.1), Seq(120.0, 130.0)), // suspect-uniform
+      "x10_qA" -> envOf(Seq(40.0), Seq(52.0)),          // cross-scale hit
+      "x30_qA" -> envOf(Seq(10.0), Seq(52.0)))
+    assert(BenchReport.discountedEntries(res, runs, env, nominal) ===
+      Seq("q1", "x10_qA"))
   }
 }
