@@ -47,9 +47,11 @@ ratio was ~1x; both of these catch it):
   * cross-scale: the x10_/x30_ probes run the SAME query over corpora
     where x30 is ~3x the x10 data, so x10's best task_sec exceeding
     x30's is physically impossible for a healthy run (flags the x10
-    entry); x30 exceeding 8x the x10 best flags the x30 entry (honest
-    q65 ratios span 2.0-6.2x, stalls read >=10x — the gate sits
-    between; see cross_scale_flags for the calibration history).
+    entry); x30 exceeding 8x the x10 best flags the x30 entry when the
+    x30 also breaches its own history floor — or unconditionally when
+    no floor exists (see cross_scale_flags for the calibration
+    history, including the honest 9.2x lsh_auto ratio that makes the
+    floor corroboration necessary).
 
 Usage: python3 scripts/adjudicate_bench.py <BENCH_rN.json> [diag.json]
                                            [--md | --out FILE.md]
@@ -203,7 +205,7 @@ def classify(entry, runs, env, nominal_par, floor):
     return verdict, notes
 
 
-def cross_scale_flags(diag):
+def cross_scale_flags(diag, floors=None):
     """x10 vs x30 task_sec sanity for the shared probe queries: x30 runs
     ~3x the x10 data, so x10's best task clearly exceeding x30's is
     impossible for a healthy x10 run; x30 exceeding 8x the x10 best is
@@ -212,11 +214,22 @@ def cross_scale_flags(diag):
     (super-linear banding constants on 3x data) while its stall-window
     ratios read 10x/14x/73x, so the large-side gate sits at 8x —
     between the honest tail and the stall floor; the 1.25x band on the
-    small side keeps noise-level near-equality out (the lsh_auto probe
-    is dominated by near-n-independent bucket-join overhead, so its
-    honest x10/x30 bests sit within a few percent of each other —
-    observed 8.3 vs 8.1 on a clean run). Returns {entry: note}."""
+    small side keeps noise-level near-equality out.
+
+    The large-side flag additionally requires the x30 entry to breach
+    its OWN history floor (HISTORY_RATIO x) when a floor exists: the
+    r9 run_1786805199594 evidence shows the lsh_auto probe's honest-
+    honest ratio reaching 9.2x (x10 best 1.3s in an exceptionally
+    clean revisit window vs x30's 12.0s — both better than their
+    committed r8 values) while a stalled-x30-beside-stalled-x10 window
+    reads 10.8x, so the ratio ALONE cannot separate the two; the floor
+    can (honest x30 reads 8-22s against a 14.5s floor, stalled reads
+    60-140s >= 3x it). With no floor (fresh repo, <3 history files)
+    the raw 8x gate stands. The small-side flag needs no floor — an
+    x10 outworking its 3x-data sibling is impossible regardless of
+    history. Returns {entry: note}."""
     env = diag.get("host_env", {})
+    floors = floors or {}
     flags = {}
     for name in env:
         if not name.startswith("x10_"):
@@ -228,10 +241,12 @@ def cross_scale_flags(diag):
         t30 = best_usable_task(env[sib])
         if t10 is None or t30 is None:
             continue
+        sib_floor = floors.get(sib)
         if t10 > 1.25 * t30:
             flags[name] = (f"cross-scale(best task {t10}s > sibling x30's "
                            f"{t30}s on 3x the data)")
-        elif t30 > 8 * t10:
+        elif t30 > 8 * t10 and (not sib_floor
+                                or t30 >= HISTORY_RATIO * sib_floor):
             flags[sib] = (f"cross-scale(best task {t30}s > 8x sibling "
                           f"x10's {t10}s on 3x the data)")
     return flags
@@ -262,7 +277,7 @@ def adjudicate(bench_path, diag_path=None):
     nominal = diag.get("nominal_par_ms") or 0
     floors = history_floors(diag_dir, diag.get("run_id"),
                             contract.get("sf"))
-    xscale = cross_scale_flags(diag)
+    xscale = cross_scale_flags(diag, floors)
     counts = {}
     for name, sec in contract.get("queries", {}).items():
         runs = diag.get("runs", {}).get(name)

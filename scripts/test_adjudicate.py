@@ -127,6 +127,19 @@ def main():
     }}
     flags = ab.cross_scale_flags(diag)
     check("cross-scale flags", sorted(flags), ["x10_qA", "x30_qC"])
+    # large-side flag defers to the x30's own history floor when one
+    # exists: an honest-honest 9x ratio (x10 in an exceptionally clean
+    # window) must not condemn an x30 sitting inside its honest range
+    # (the r9 lsh_auto false positive: 12.0 vs 1.3 = 9.2x with x30's
+    # floor at 14.5); a stalled x30 breaches its floor and stays flagged
+    check("large-side gate floor-corroborated",
+          sorted(ab.cross_scale_flags(diag, {"x30_qC": 40.0})), ["x10_qA"])
+    check("large-side gate stands when floor breached",
+          sorted(ab.cross_scale_flags(diag, {"x30_qC": 20.0})),
+          ["x10_qA", "x30_qC"])
+    # ...and the small-side (physically impossible) flag never needs one
+    check("small-side gate ignores floors",
+          "x10_qA" in ab.cross_scale_flags(diag, {"x30_qA": 100.0}), True)
 
     # history_floors: median of per-file bests, sf filter, exclusion of
     # the run under adjudication, malformed file tolerated

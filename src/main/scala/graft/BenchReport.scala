@@ -142,10 +142,16 @@ object BenchReport {
   /** Cross-scale impossible-work flags, mirroring the script's
     * `cross_scale_flags`: the x10/x30 probes run the same query over
     * ~3× the data, so an x10 best task exceeding 1.25× its x30
-    * sibling's flags the x10 entry; an x30 best exceeding 8× the x10
-    * flags the x30 (honest q65 ratios span 2.0–6.2×, stalls read
-    * ≥10× — the gate sits between; the 1.25× small-side band keeps
-    * the lsh_auto probe's near-equal honest bests out).
+    * sibling's flags the x10 entry (physically impossible, no history
+    * needed); an x30 best exceeding 8× the x10 flags the x30 — but
+    * only when the x30 also breaches its own history floor (3×
+    * taskFloor), or when no floor exists. Calibration: honest q65
+    * ratios span 2.0–6.2× and the lsh_auto probe's honest-honest
+    * ratio reaches 9.2× (r9 run_1786805199594: x10 best 1.3 s in an
+    * exceptionally clean revisit window vs x30's 12.0 s, both better
+    * than their committed r8 values) while stalled-beside-stalled
+    * reads 10.8× — ratio alone cannot separate them, the floor can
+    * (honest x30 8–22 s vs its 14.5 s floor; stalls 60–140 s ≥ 3×).
     */
   def crossScaleDiscounts(
       env: collection.Map[String, EntryEnv]): Set[String] =
@@ -156,7 +162,9 @@ object BenchReport {
         t10 <- bestUsableTask(env(x10))
         t30 <- bestUsableTask(e30)
         flagged <- if (t10 > 1.25 * t30) Some(x10)
-                   else if (t30 > 8 * t10) Some(sib)
+                   else if (t30 > 8 * t10 &&
+                       (e30.taskFloor <= 0 || t30 >= 3 * e30.taskFloor))
+                     Some(sib)
                    else None
       } yield flagged
     }.toSet

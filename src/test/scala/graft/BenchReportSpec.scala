@@ -280,6 +280,18 @@ class BenchReportSpec extends AnyFunSuite {
       "x10_qC" -> envOf(Seq(10.0), Nil), "x30_qC" -> envOf(Seq(90.0), Nil),
       "x10_qD" -> envOf(Seq(10.0), Nil), "x30_qD" -> envOf(Seq(62.0), Nil))
     assert(BenchReport.crossScaleDiscounts(env) === Set("x10_qA", "x30_qC"))
+    // the large-side flag defers to the x30's own history floor: an
+    // honest-honest 9x ratio must not condemn an x30 inside its honest
+    // range (the r9 lsh_auto false positive), while a stalled x30
+    // breaches its floor and stays flagged; the small-side physically-
+    // impossible flag never needs a floor
+    val withFloors = env.clone()
+    withFloors("x30_qC") = envOf(Seq(90.0), Nil, floor = 40.0) // 90 < 3x40
+    withFloors("x30_qA") = envOf(Seq(10.0), Nil, floor = 100.0)
+    assert(BenchReport.crossScaleDiscounts(withFloors) === Set("x10_qA"))
+    withFloors("x30_qC") = envOf(Seq(90.0), Nil, floor = 20.0) // 90 >= 3x20
+    assert(BenchReport.crossScaleDiscounts(withFloors) ===
+      Set("x10_qA", "x30_qC"))
   }
 
   test("discountedEntries: roster order, q93 components and no-evidence skipped") {
