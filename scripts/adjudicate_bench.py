@@ -310,23 +310,36 @@ def adjudicate(bench_path, diag_path=None):
     lines.append("entries whose recorded number needs environment "
                  f"discount: {bad}")
     return lines, {"run_id": run_id, "diag_path": diag_path, "bad": bad,
-                   "sf": contract.get("sf"), "value": contract.get("value")}
+                   "sf": contract.get("sf"), "value": contract.get("value"),
+                   "contract": json.dumps(contract, separators=(",", ":"))}
 
 
 def md_report(bench_path, lines, meta):
     """The report framed as a self-contained markdown document — same
     body a terminal run prints, plus the provenance a judge needs to
-    re-run it (which record, which diag file, how)."""
+    re-run it: which run, which diag file, and the full contract line
+    (so the document can be re-adjudicated even before the driver
+    writes the round's BENCH_r{N}.json). A graft.Bench self-emission
+    passes the contract via a temp file, so the title keys on the
+    run id, not the throwaway file name."""
     name = os.path.basename(bench_path)
+    title = (f"bench run {meta['run_id']} (self-emitted at run end)"
+             if name.startswith("bench-contract") else name)
     return "\n".join([
-        f"# ADJUDICATION of {name}",
+        f"# ADJUDICATION of {title}",
         "",
-        f"Generated by: python3 scripts/adjudicate_bench.py {name}",
+        "Generated by: python3 scripts/adjudicate_bench.py",
         f"Run id: {meta['run_id']}  (evidence: {meta['diag_path']}; "
         f"sf: {meta['sf']}; headline total: {meta['value']}s)",
         "History basis: bench_diag/run_<digits>.json minus the run under",
         "adjudication, sf-filtered (unstamped pre-r8 files default to the",
         "official sf0.1).",
+        "",
+        "Contract line under adjudication:",
+        "",
+        "```json",
+        meta["contract"],
+        "```",
         "",
         "```",
         *lines,
