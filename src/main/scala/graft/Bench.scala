@@ -62,6 +62,21 @@ object Bench {
       janino.exists(_ > 5) ||
       floor.exists(f => taskSec.exists(t => t >= 1.0 && t >= 3 * f))
 
+  /** Whether an entry qualifies for the end-of-roster revisit run
+    * (r8 verdict ask #2): every run was condemned by the witnesses
+    * (retries exhausted inside the same host episode), or the best
+    * usable task row still sits > 1.5× the entry's history floor (a
+    * uniformly stretched entry whose per-run ratios all read ~1×).
+    * Failed entries (run < 0) never revisit — a deterministic failure
+    * must stay visible as a failure, not get extra chances.
+    */
+  def needsRevisit(runs: Seq[Double], contamFlags: Seq[Boolean],
+                   bestUsableTask: Option[Double],
+                   floor: Option[Double]): Boolean =
+    runs.nonEmpty && runs.forall(_ >= 0) && (
+      (contamFlags.nonEmpty && contamFlags.forall(identity)) ||
+        floor.exists(f => bestUsableTask.exists(_ > 1.5 * f)))
+
   /** The scale every pre-round-8 diag file (no `sf` stamp) was
     * measured at: the driver's official corpus. Unstamped files are
     * ASSUMED to be this scale — so at any other sfDir they are
@@ -728,13 +743,8 @@ object Bench {
     // same clean-preferred rule as everyone else.
     val revisitUpdates: Map[String, Double] = {
       val flagged = rawRuns.keys.toList.filter { entry =>
-        rawRuns(entry).forall(_ >= 0) && {
-          val flags = contamFlags(entry)
-          val allBad = flags.nonEmpty && flags.forall(identity)
-          val floorBreach = floors.get(entry).exists(f =>
-            BenchReport.bestUsableTask(entryEnv(entry)).exists(_ > 1.5 * f))
-          allBad || floorBreach
-        }
+        needsRevisit(rawRuns(entry), contamFlags(entry),
+          BenchReport.bestUsableTask(entryEnv(entry)), floors.get(entry))
       }
       if (flagged.isEmpty) {
         System.err.println("[bench] revisit pass: no entries flagged — no-op")

@@ -273,6 +273,27 @@ class BenchReportSpec extends AnyFunSuite {
     assert(!BenchReport.needsDiscount(Nil, envOf(Nil, Nil), nominal))
   }
 
+  test("needsRevisit: all-contaminated or floor-breached entries, never failures") {
+    // every run condemned by the witnesses -> revisit
+    assert(Bench.needsRevisit(Seq(1.0, 1.1, 1.2), Seq(true, true, true),
+      Some(2.0), Some(2.0)))
+    // one clean run -> the roster result stands
+    assert(!Bench.needsRevisit(Seq(1.0, 1.1, 1.2), Seq(true, false, true),
+      Some(2.0), Some(2.0)))
+    // clean flags but best usable task still >1.5x the history floor
+    // (uniformly stretched entry, per-run ratios all ~1x) -> revisit
+    assert(Bench.needsRevisit(Seq(1.0, 1.1), Seq(false, false),
+      Some(31.0), Some(20.0)))
+    assert(!Bench.needsRevisit(Seq(1.0, 1.1), Seq(false, false),
+      Some(30.0), Some(20.0))) // exactly 1.5x: not a breach
+    // no floor (fresh repo) and clean flags -> nothing to check against
+    assert(!Bench.needsRevisit(Seq(1.0), Seq(false), Some(31.0), None))
+    // a failed run must stay visible as a failure, not get extra chances
+    assert(!Bench.needsRevisit(Seq(1.0, -1.0), Seq(true, true),
+      Some(99.0), Some(1.0)))
+    assert(!Bench.needsRevisit(Nil, Nil, None, Some(1.0)))
+  }
+
   test("crossScaleDiscounts: impossible work ratios vs the sibling probe") {
     val env = scala.collection.mutable.LinkedHashMap(
       "x10_qA" -> envOf(Seq(40.0), Nil), "x30_qA" -> envOf(Seq(10.0), Nil),
