@@ -474,21 +474,36 @@ object Bench {
       }
     }
 
-    /** The recorded number for an entry: the min over runs whose
-      * witness row is CLEAN, falling back to the min over all runs
-      * when none are (round-8 ADVICE: min-over-more-samples was a
-      * mild downward bias for witness-tripping entries, and a
-      * contaminated run could own the recorded number — selecting
-      * among clean runs removes both; a run-1 janino-warmup flag
-      * excludes the very run min-of-n existed to absorb, so nothing
-      * steady-state is lost). A failed run still poisons the entry to
-      * its max so failures stay visible.
+    /** The recorded number for an entry: the min over runs not
+      * condemned, falling back to the min over all runs when every
+      * run is (round-8 ADVICE: min-over-more-samples was a mild
+      * downward bias for witness-tripping entries, and a contaminated
+      * run could own the recorded number — selecting among clean runs
+      * removes both). Condemnation here mirrors the ADJUDICATOR's
+      * per-run rule ([[BenchReport.degradedRuns]]: task-row-first,
+      * post-run canary only where the run's own task row aliases)
+      * plus the janino warmup witness — NOT the retry loop's
+      * OR-of-all-witnesses [[contaminatedRun]]: the point-sampled
+      * canary can stamp a borderline reading on a run that did honest
+      * task work (live case: x30_q122 in run_1786814537694 — its best
+      * run, 4.637 s wall / 126.6 task-sec vs a 343 s floor gate, read
+      * par 97.0 against a 97.0 gate and an OR-rule selection recorded
+      * 6.856 s instead), and excluding such a run from selection
+      * while the adjudicator would judge it clean would ship a number
+      * the repo's own classifier calls needlessly pessimistic. The
+      * retry loop keeps the conservative OR — more witnesses, more
+      * samples — only the selection uses the adjudicator's rule. A
+      * failed run still poisons the entry to its max so failures stay
+      * visible.
       */
     def minSelect(entry: String, ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) ts.max
       else {
-        val clean = ts.zip(contamFlags(entry))
-          .collect { case (t, false) => t }
+        val e = entryEnv(entry)
+        val deg = BenchReport.degradedRuns(ts, e, nominalParMs)
+        val excl = ts.indices.map(i =>
+          deg(i) || e.janino.lift(i).exists(_ > 5))
+        val clean = ts.zip(excl).collect { case (t, false) => t }
         if (clean.nonEmpty) clean.min else ts.min
       }
 

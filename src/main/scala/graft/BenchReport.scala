@@ -114,13 +114,20 @@ object BenchReport {
     * Cross-scale flags are layered on in [[discountedEntries]] — they
     * need the sibling probe's rows, not this entry's.
     */
-  def needsDiscount(runs: Seq[Double], e: EntryEnv,
-                    nominalParMs: Double): Boolean = {
-    val n = runs.size
-    if (n == 0) return false
+  /** Per-run degraded flags, the adjudicator's rule exactly: where a
+    * run's OWN task row is usable (≥ 1 s) it is the authoritative
+    * signal — degraded means ≥ 2× the entry's best usable row or ≥ 3×
+    * the historical floor; a run whose task row aliases under the
+    * 0.1 s rounding falls back to its post-run all-core canary (≥ 2×
+    * nominal). The canary is a point sample — an episode can start
+    * after the body finishes and stamp a high reading on a run that
+    * did honest work — so it never overrides a usable task row.
+    */
+  def degradedRuns(runs: Seq[Double], e: EntryEnv,
+                   nominalParMs: Double): Seq[Boolean] = {
     val bestTask = bestUsableTask(e)
     val floor = Option(e.taskFloor).filter(_ > 0)
-    def degraded(i: Int): Boolean = {
+    runs.indices.map { i =>
       val t = e.taskSec.lift(i)
       if (bestTask.isDefined && t.exists(_ >= 1.0))
         t.exists(x => x >= 2 * bestTask.get ||
@@ -129,7 +136,15 @@ object BenchReport {
         e.canaryParMs(i) >= 2 * nominalParMs
       else false
     }
-    val flags = (0 until n).map(degraded)
+  }
+
+  def needsDiscount(runs: Seq[Double], e: EntryEnv,
+                    nominalParMs: Double): Boolean = {
+    val n = runs.size
+    if (n == 0) return false
+    val bestTask = bestUsableTask(e)
+    val floor = Option(e.taskFloor).filter(_ > 0)
+    val flags = degradedRuns(runs, e, nominalParMs)
     val minI = runs.indices.minBy(i =>
       if (runs(i) >= 0) runs(i) else Double.MaxValue)
     val floorBreach =

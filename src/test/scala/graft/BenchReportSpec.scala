@@ -239,6 +239,27 @@ class BenchReportSpec extends AnyFunSuite {
     BenchReport.EntryEnv(Nil, Nil, Nil, Nil, taskSec = task,
       canaryParMs = pars, taskFloor = floor)
 
+  test("degradedRuns: task row decides where usable, canary only where aliased") {
+    val nominal = 48.5
+    // the live x30_q122 case from run_1786814537694: run 3 did honest
+    // task work (126.6s, the entry's best, far under the 343s floor
+    // gate) but its post-run point-sampled canary read exactly the 2x
+    // gate — the usable task row must win, so run 3 is NOT degraded
+    // and min-selection may record its 4.637s
+    assert(BenchReport.degradedRuns(Seq(6.856, 7.831, 4.637),
+      envOf(Seq(193.6, 219.8, 126.6), Seq(53.1, 64.1, 97.0),
+        floor = 114.3), nominal) === Seq(false, false, false))
+    // a run whose own task row aliases IS judged by its canary, even
+    // beside siblings with usable rows
+    assert(BenchReport.degradedRuns(Seq(1.2, 5.0),
+      envOf(Seq(0.8, 2.5), Seq(400.0, 52.0)), 50.0) ===
+      Seq(true, false))
+    // task-ratio and floor gates on usable rows
+    assert(BenchReport.degradedRuns(Seq(2.0, 1.0),
+      envOf(Seq(10.0, 5.0), Seq(52.0, 55.0)), 50.0) ===
+      Seq(true, false))
+  }
+
   test("needsDiscount mirrors the adjudicator's verdict classes") {
     val nominal = 50.0
     // clean: healthy canaries, flat task ratios
