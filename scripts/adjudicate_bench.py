@@ -5,22 +5,26 @@ Reads a BENCH_r{N}.json (or any bench contract line / JSON file with
 "queries" and "run_id") plus the matching bench_diag/run_<id>.json and
 classifies every entry:
 
-  clean              min run measured under healthy delivery, no
-                     recompilation churn
-  warmup-absorbed    non-min runs carried JIT/Janino warmup or a
-                     degraded-delivery episode; the min run is clean —
-                     the recorded number stands
-  min-run-degraded   the run that produced the recorded min shows the
-                     stall signature while at least one other run is
-                     clean — the recorded number likely stands but
-                     deserves a second look (counted in the
+  clean              the recorded run measured under healthy delivery,
+                     no recompilation churn
+  warmup-absorbed    other runs carried JIT/Janino warmup or a
+                     degraded-delivery episode; the run that owns the
+                     recorded number is clean — the number stands
+  min-run-degraded   the run that OWNS the recorded number (located by
+                     value match against the contract, falling back to
+                     the selection rule) shows the stall signature, or
+                     an external reference — the entry's history task
+                     floor or history WALL floor — condemns the entry
+                     no matter which run owned the min (counted in the
                      "needs environment discount" total)
   degraded           EVERY run shows the stall signature (task_sec
                      inflated vs the entry's best run, vs the entry's
                      HISTORICAL floor across bench_diag/, or vs its
-                     sibling scale probe; or parallel canary >= 2x
-                     nominal) — the recorded number is an environment
-                     artifact, not a plan property
+                     sibling scale probe; parallel canary >= 2x
+                     nominal; or wall >= 1.5x the entry's history wall
+                     floor — the round-10 delivery-collapse witness) —
+                     the recorded number is an environment artifact,
+                     not a plan property
   suspect-uniform    the recorded min run is not condemned by any
                      per-run ratio, but EVERY post-run parallel canary
                      sat >= 2x the run-wide nominal — a uniformly
@@ -44,6 +48,12 @@ ratio was ~1x; both of these catch it):
     task_sec row. Median, not min — the history holds stall-inflated
     runs and mid-round experiment builds of since-reverted variants.
     An entry whose best task_sec >= 3x its floor is degraded.
+  * history WALL floor (round 10): per entry, the median across all
+    OTHER diag files of that file's best non-negative wall in `runs`.
+    A recorded wall >= 1.5x it is a delivery-collapse stall — honest
+    work delivered over a fraction of the cores, which every work
+    witness (task_sec, canary, janino) exonerates (the r9 x30_q65
+    blind spot: 12.48s wall, healthy 10.6 task-sec, 6.06s honest).
   * cross-scale: the x10_/x30_ probes run the SAME query over corpora
     where x30 is ~3x the x10 data, so x10's best task_sec exceeding
     x30's is physically impossible for a healthy run (flags the x10
@@ -54,10 +64,12 @@ ratio was ~1x; both of these catch it):
     floor corroboration necessary).
 
 Usage: python3 scripts/adjudicate_bench.py <BENCH_rN.json> [diag.json]
-                                           [--md | --out FILE.md]
-If the diag path is omitted, bench_diag/run_<run_id>.json is used; the
-history scan always covers bench_diag/ minus the run under
-adjudication. --md additionally writes the report as
+                                           [--md | --out FILE.md] [--json]
+If the diag path is omitted, bench_diag/run_<run_id>.json next to the
+bench file is used; the history scan always covers the DIAG file's own
+directory minus the run under adjudication (so a temp-file contract —
+graft.Bench's self-adjudication — still gets the full floor history).
+--json prints one machine-readable verdict line instead of the report. --md additionally writes the report as
 ADJUDICATION_r{N}.md next to a BENCH_r{N}.json input (round number
 taken from the file name); --out names the markdown path explicitly
 (what graft.Bench uses to self-adjudicate at run end, when no BENCH
@@ -81,6 +93,17 @@ USABLE_TASK_SEC = 1.0   # below this the 0.1s-rounded rows alias
 HISTORY_RATIO = 3.0     # best task_sec >= 3x historical floor => degraded
 MIN_HISTORY_FILES = 3   # fewer files than this -> no floor for the entry
 LEGACY_DIAG_SF = "/root/testdata/sf0.1"  # scale of pre-r8 unstamped files
+# the round-10 delivery-collapse (wall) witness, shared constants with
+# BenchReport.{WallRatio,MinWallFloor}: a recorded wall >= 1.5x the
+# entry's history wall floor is a stall the work witnesses cannot see
+# (the r9 x30_q65 blind spot: 12.48s wall / healthy task_sec beside a
+# 6.06s honest wall). 1.5x calibrated over the 45-file sf0.1 history:
+# it condemns exactly the storm run run_1786821204845's stalled entries
+# (x30_q65 1.84x, x10_q86 1.57x - so the gate must sit <= 1.57) and
+# flags nothing in the clean rehearsal run_1786816951295. Floors under
+# 0.2s are scheduler-jitter noise and read as absent.
+WALL_RATIO = 1.5
+MIN_WALL_FLOOR = 0.2
 
 
 def load_contract(path):
@@ -98,17 +121,21 @@ def best_usable_task(env):
 
 
 def history_floors(diag_dir, exclude_run_id, sf=None):
-    """Per-entry median of per-file best usable task_sec across every
-    diag file except the run under adjudication. Mirrors
-    Bench.taskFloors (same statistic, same thresholds) so the harness
-    retries on exactly what this script would flag. Files stamped with
-    a different sf are excluded (a local sf0.01 run must not poison
-    the sf0.1 floors); pre-round-8 files carry no stamp and default to
-    the driver's official scale — floors from another scale are
-    systematically wrong, not a stray the median can absorb."""
-    per_entry = {}
+    """Per-entry (task_floors, wall_floors) across every diag file
+    except the run under adjudication — each the median of per-file
+    bests. Mirrors Bench.diagFloors (same statistic, same thresholds)
+    so the harness retries on exactly what this script would flag:
+    task floors from each file's best usable (>= 1s) task_sec row;
+    wall floors (round 10) from each file's best non-negative wall in
+    the `runs` arrays (walls are ms-precise, so no usable cutoff — the
+    quality gate MIN_WALL_FLOOR applies at the consumer). Files
+    stamped with a different sf are excluded (a local sf0.01 run must
+    not poison the sf0.1 floors); pre-round-8 files carry no stamp and
+    default to the driver's official scale — floors from another scale
+    are systematically wrong, not a stray the median can absorb."""
+    per_task, per_wall = {}, {}
     for p in sorted(glob.glob(os.path.join(diag_dir, "run_*.json"))):
-        # admit exactly what Bench.taskFloors admits (run_<digits>.json):
+        # admit exactly what Bench.diagFloors admits (run_<digits>.json):
         # the glob alone would also pick up a hand-copied run_old.json,
         # breaking the documented "same statistic" mirror between the
         # harness's retry floor and this adjudication floor
@@ -126,40 +153,44 @@ def history_floors(diag_dir, exclude_run_id, sf=None):
         for entry, env in (d.get("host_env") or {}).items():
             t = best_usable_task(env)
             if t is not None:
-                per_entry.setdefault(entry, []).append(t)
-    floors = {}
-    for entry, ts in per_entry.items():
-        if len(ts) >= MIN_HISTORY_FILES:
-            s = sorted(ts)
-            floors[entry] = s[len(s) // 2]
-    return floors
+                per_task.setdefault(entry, []).append(t)
+        for entry, runs in (d.get("runs") or {}).items():
+            ok = [r for r in runs if isinstance(r, (int, float)) and r >= 0]
+            if ok:
+                per_wall.setdefault(entry, []).append(min(ok))
+
+    def medians(per_entry):
+        floors = {}
+        for entry, ts in per_entry.items():
+            if len(ts) >= MIN_HISTORY_FILES:
+                s = sorted(ts)
+                floors[entry] = s[len(s) // 2]
+        return floors
+    return medians(per_task), medians(per_wall)
 
 
-def classify(entry, runs, env, nominal_par, floor):
+def degraded_flags(runs, env, nominal_par, floor, wall_floor=None):
+    """Per-run degraded flags — the mirror of
+    BenchReport.degradedRuns. task_sec spans the run body (same tasks +
+    inflated task_sec = slow cores), so where it is usable — the best
+    run did >=1s of task work, below which the 0.1s-rounded rows
+    alias to ratios — it is the authoritative WORK signal: degraded
+    means task_sec >=2x the entry's best, OR >= HISTORY_RATIO x the
+    entry's historical floor (the cross-run reference that catches an
+    entry whose EVERY run this time was uniformly stretched — intra-
+    entry ratios then all read ~1x, the r7 x10_q122 blind spot). The
+    post-run parallel canary is a point sample (an episode can start
+    after the body finishes and still stamp a high reading on a clean
+    run), so it only decides when no usable task row exists.
+    Independently (round 10), a run whose WALL sits >= WALL_RATIO x
+    the entry's history wall floor is degraded — the delivery-collapse
+    witness that sees precisely the stalls the task row exonerates."""
     task = env.get("task_sec") or []
     pars = env.get("canary_par_ms") or []
-    jan = env.get("janino_compiles") or []
-    n = len(runs)
-    notes = []
-    # cache-thrash annotation: SUBSTANTIAL recompilation persisting past
-    # the first run (a couple of fragments past run 1 is path-literal
-    # churn, e.g. a sink writing to a fresh temp dir each run)
-    if any(j > 5 for j in jan[1:]):
-        notes.append(f"cache-thrash({jan})")
-    # per-run health. task_sec spans the run body (same tasks +
-    # inflated task_sec = slow cores), so where it is usable — the best
-    # run did >=1s of task work, below which the 0.1s-rounded rows
-    # alias to ratios — it is the authoritative signal: degraded means
-    # task_sec >=2x the entry's best, OR >= HISTORY_RATIO x the
-    # entry's historical floor (the cross-run reference that catches an
-    # entry whose EVERY run this time was uniformly stretched — intra-
-    # entry ratios then all read ~1x, the r7 x10_q122 blind spot). The
-    # post-run parallel canary is a point sample (an episode can start
-    # after the body finishes and still stamp a high reading on a clean
-    # run), so it only decides when no usable task row exists.
     best_task = best_usable_task(env)
-    degraded = []
-    for i in range(n):
+    wf = wall_floor if wall_floor and wall_floor >= MIN_WALL_FLOOR else None
+    flags = []
+    for i in range(len(runs)):
         if best_task and i < len(task) and task[i] >= USABLE_TASK_SEC:
             d = task[i] >= 2 * best_task
             if floor and task[i] >= HISTORY_RATIO * floor:
@@ -171,24 +202,77 @@ def classify(entry, runs, env, nominal_par, floor):
             d = pars[i] >= 2 * nominal_par
         else:
             d = False
-        degraded.append(d)
+        if wf and runs[i] >= 0 and runs[i] >= WALL_RATIO * wf:
+            d = True
+        flags.append(d)
+    return flags
+
+
+def selected_index(runs, env, nominal_par, floor, wall_floor=None,
+                   sec=None):
+    """The index of the run that OWNS the recorded number. Located by
+    value match against the contract's recorded seconds (both sides
+    render at 3 decimals) — robust even against artifacts recorded by
+    an older selection rule — falling back to the selection rule
+    itself, the mirror of BenchReport.selectedIndex: a failed run
+    poisons the entry to its max; otherwise the min over runs neither
+    degraded nor janino-warmup-contaminated (> 5 compiles), falling
+    back to the min over all when every run is condemned."""
+    if sec is not None:
+        for i, r in enumerate(runs):
+            if abs(r - sec) < 5e-4:
+                return i
+    if any(r < 0 for r in runs):
+        return max(range(len(runs)), key=lambda i: runs[i])
+    jan = env.get("janino_compiles") or []
+    deg = degraded_flags(runs, env, nominal_par, floor, wall_floor)
+    clean = [i for i in range(len(runs))
+             if not deg[i] and not (i < len(jan) and jan[i] > 5)]
+    pool = clean if clean else range(len(runs))
+    return min(pool, key=lambda i: runs[i])
+
+
+def classify(entry, runs, env, nominal_par, floor, wall_floor=None,
+             sec=None):
+    pars = env.get("canary_par_ms") or []
+    jan = env.get("janino_compiles") or []
+    n = len(runs)
+    notes = []
+    # cache-thrash annotation: SUBSTANTIAL recompilation persisting past
+    # the first run (a couple of fragments past run 1 is path-literal
+    # churn, e.g. a sink writing to a fresh temp dir each run)
+    if any(j > 5 for j in jan[1:]):
+        notes.append(f"cache-thrash({jan})")
+    best_task = best_usable_task(env)
+    degraded = degraded_flags(runs, env, nominal_par, floor, wall_floor)
     floor_breach = bool(floor and best_task
                         and best_task >= HISTORY_RATIO * floor)
     if floor_breach:
         notes.append(f"history-floor(best task {best_task}s >= "
                      f"{HISTORY_RATIO:g}x median {floor}s)")
-    min_i = min(range(n), key=lambda i: runs[i] if runs[i] >= 0 else 1e18)
+    # the judged run is the one that OWNS the recorded number (round
+    # 10, mirroring BenchReport.needsDiscount): min-selection steers
+    # away from degraded runs, so condemning the raw argmin would
+    # condemn numbers the selection rule already avoided
+    sel = selected_index(runs, env, nominal_par, floor, wall_floor, sec)
+    wall_breach = bool(wall_floor and wall_floor >= MIN_WALL_FLOOR
+                       and runs[sel] >= 0
+                       and runs[sel] >= WALL_RATIO * wall_floor)
+    if wall_breach:
+        notes.append(f"wall-floor(recorded {runs[sel]}s >= "
+                     f"{WALL_RATIO:g}x median best wall {wall_floor}s)")
     if all(degraded) and n > 0:
         return "degraded", notes
-    if degraded[min_i]:
+    if degraded[sel]:
         return "min-run-degraded", notes
     # a floor-condemning note beside a non-discounted verdict would
-    # contradict itself (the min-time run can carry a sub-1s aliased
+    # contradict itself (the recorded run can carry a sub-1s aliased
     # task row judged by a clean canary while the entry's BEST usable
-    # run still did 3x its historical work) — when the external
-    # reference condemns the entry, the verdict must count it in the
-    # environment-discount total no matter which run owned the min
-    if floor_breach:
+    # run still did 3x its historical work) — when an external
+    # reference condemns the entry (work floor or wall floor), the
+    # verdict must count it in the environment-discount total no
+    # matter which run owned the recorded number
+    if floor_breach or wall_breach:
         return "min-run-degraded", notes
     verdict = ("warmup-absorbed" if any(degraded) or (jan and jan[0] > 0)
                else "clean")
@@ -259,10 +343,16 @@ def adjudicate(bench_path, diag_path=None):
     lines = []
     contract = load_contract(bench_path)
     run_id = contract.get("run_id")
-    diag_dir = os.path.join(os.path.dirname(os.path.abspath(bench_path)),
-                            "bench_diag")
     if diag_path is None:
-        diag_path = os.path.join(diag_dir, f"run_{run_id}.json")
+        diag_path = os.path.join(os.path.dirname(os.path.abspath(bench_path)),
+                                 "bench_diag", f"run_{run_id}.json")
+    # the history dir is wherever the DIAG evidence lives, not wherever
+    # the contract file happens to sit (r9 ADVICE, high): graft.Bench's
+    # self-adjudication passes the contract via a /tmp temp file, and
+    # deriving the history from ITS directory silently scanned the
+    # nonexistent /tmp/bench_diag — every history-floor verdict in the
+    # self-emitted ADJUDICATION was disabled
+    diag_dir = os.path.dirname(os.path.abspath(diag_path))
     try:
         with open(diag_path) as f:
             diag = json.load(f)
@@ -275,22 +365,24 @@ def adjudicate(bench_path, diag_path=None):
                      f"{diag.get('run_id')} — evidence may describe "
                      "another run")
     nominal = diag.get("nominal_par_ms") or 0
-    floors = history_floors(diag_dir, diag.get("run_id"),
-                            contract.get("sf"))
+    floors, wall_floors = history_floors(diag_dir, diag.get("run_id"),
+                                         contract.get("sf"))
     xscale = cross_scale_flags(diag, floors)
     counts = {}
+    discounted = []
     for name, sec in contract.get("queries", {}).items():
         runs = diag.get("runs", {}).get(name)
         env = diag.get("host_env", {}).get(name)
         if name in ("q93a_mv_maintain", "q93b_mv_read"):
-            # derived split of the q93 entry's best run — its evidence
-            # rows live under q93_incremental_mv
+            # derived split of the q93 entry's recorded run — its
+            # evidence rows live under q93_incremental_mv
             verdict, notes = "component-of-q93", []
         elif not runs or not env:
             verdict, notes = "no-evidence", []
         else:
             verdict, notes = classify(name, runs, env, nominal,
-                                      floors.get(name))
+                                      floors.get(name),
+                                      wall_floors.get(name), sec)
             if name in xscale:
                 # a physically impossible work ratio vs the sibling
                 # scale condemns the whole entry no matter what the
@@ -298,6 +390,8 @@ def adjudicate(bench_path, diag_path=None):
                 verdict = "degraded"
                 notes.append(xscale[name])
         counts[verdict] = counts.get(verdict, 0) + 1
+        if verdict in ("degraded", "min-run-degraded", "suspect-uniform"):
+            discounted.append(name)
         flag = ("" if verdict in ("clean", "warmup-absorbed",
                                   "component-of-q93") else "  <<<")
         extra = (" " + " ".join(notes)) if notes else ""
@@ -305,11 +399,11 @@ def adjudicate(bench_path, diag_path=None):
     lines.append("")
     lines.append("summary: " +
                  ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
-    bad = (counts.get("degraded", 0) + counts.get("min-run-degraded", 0)
-           + counts.get("suspect-uniform", 0))
+    bad = len(discounted)
     lines.append("entries whose recorded number needs environment "
                  f"discount: {bad}")
     return lines, {"run_id": run_id, "diag_path": diag_path, "bad": bad,
+                   "discounted": discounted,
                    "sf": contract.get("sf"), "value": contract.get("value"),
                    "contract": json.dumps(contract, separators=(",", ":"))}
 
@@ -349,7 +443,7 @@ def md_report(bench_path, lines, meta):
 
 
 def main(argv):
-    out_path, md, pos = None, False, []
+    out_path, md, as_json, pos = None, False, False, []
     it = iter(argv)
     for a in it:
         if a == "--out":
@@ -359,6 +453,8 @@ def main(argv):
                 sys.exit(2)
         elif a == "--md":
             md = True
+        elif a == "--json":
+            as_json = True
         else:
             pos.append(a)
     if not pos:
@@ -375,11 +471,20 @@ def main(argv):
         out_path = os.path.join(os.path.dirname(bench_path),
                                 f"ADJUDICATION_r{m.group(1)}.md")
     lines, meta = adjudicate(bench_path, diag_path)
-    print("\n".join(lines))
+    if as_json:
+        # machine-readable verdict line for the Scala parity spec
+        # (AdjudicationParitySpec asserts this set equals
+        # BenchReport.discountedEntries over the same artifacts)
+        print(json.dumps({"run_id": meta["run_id"], "bad": meta["bad"],
+                          "discounted": meta["discounted"]},
+                         separators=(",", ":")))
+    else:
+        print("\n".join(lines))
     if out_path:
         with open(out_path, "w") as f:
             f.write(md_report(bench_path, lines, meta))
-        print(f"\nwrote {out_path}")
+        if not as_json:
+            print(f"\nwrote {out_path}")
 
 
 if __name__ == "__main__":

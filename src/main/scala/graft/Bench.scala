@@ -52,30 +52,50 @@ object Bench {
     *       (task time spans the whole run body, catching stretch
     *       episodes the point-sampled canary misses — the r7
     *       x10_q122 class). Sub-1 s task rows alias under the 0.1 s
-    *       rounding and never condemn a run.
+    *       rounding and never condemn a run;
+    *   (d) wall ≥ [[BenchReport.WallRatio]]× the entry's historical
+    *       WALL floor (round 10): a delivery-collapse run does honest
+    *       work slowly — task-clean, canary-clean, 2× honest wall
+    *       (the r9 x30_q65 blind spot). The wall here reads against
+    *       an EXTERNAL cross-run reference, not the run's own
+    *       siblings, so the retry still cannot select for lucky
+    *       timings — only for windows delivering history-normal
+    *       speed. Floors under [[BenchReport.MinWallFloor]] are too
+    *       noisy to ratio against and read as absent.
     * Absent witnesses (no row yet, no floor) read as clean.
     */
   def contaminatedRun(parMs: Option[Double], nominalParMs: Double,
                       janino: Option[Long], taskSec: Option[Double],
-                      floor: Option[Double]): Boolean =
+                      floor: Option[Double],
+                      wallSec: Option[Double] = None,
+                      wallFloor: Option[Double] = None): Boolean =
     parMs.exists(_ >= 2 * nominalParMs) ||
       janino.exists(_ > 5) ||
-      floor.exists(f => taskSec.exists(t => t >= 1.0 && t >= 3 * f))
+      floor.exists(f => taskSec.exists(t => t >= 1.0 && t >= 3 * f)) ||
+      wallFloor.filter(_ >= BenchReport.MinWallFloor).exists(wf =>
+        wallSec.exists(w => w >= 0 && w >= BenchReport.WallRatio * wf))
 
   /** Whether an entry qualifies for the end-of-roster revisit run
     * (r8 verdict ask #2): every run was condemned by the witnesses
     * (retries exhausted inside the same host episode), or the best
     * usable task row still sits > 1.5× the entry's history floor (a
-    * uniformly stretched entry whose per-run ratios all read ~1×).
+    * uniformly stretched entry whose per-run ratios all read ~1×), or
+    * (round 10) the best WALL still sits > 1.5× the history wall
+    * floor — the delivery-collapse class whose work witnesses all
+    * read clean (r9 x30_q65: best wall 12.48 s vs 6.77 s floor would
+    * have earned a revisit this misses without the wall criterion).
     * Failed entries (run < 0) never revisit — a deterministic failure
     * must stay visible as a failure, not get extra chances.
     */
   def needsRevisit(runs: Seq[Double], contamFlags: Seq[Boolean],
                    bestUsableTask: Option[Double],
-                   floor: Option[Double]): Boolean =
+                   floor: Option[Double],
+                   wallFloor: Option[Double] = None): Boolean =
     runs.nonEmpty && runs.forall(_ >= 0) && (
       (contamFlags.nonEmpty && contamFlags.forall(identity)) ||
-        floor.exists(f => bestUsableTask.exists(_ > 1.5 * f)))
+        floor.exists(f => bestUsableTask.exists(_ > 1.5 * f)) ||
+        wallFloor.filter(_ >= BenchReport.MinWallFloor).exists(wf =>
+          runs.min > BenchReport.WallRatio * wf))
 
   /** The scale every pre-round-8 diag file (no `sf` stamp) was
     * measured at: the driver's official corpus. Unstamped files are
@@ -100,54 +120,93 @@ object Bench {
     * adjudicator would flag.
     */
   def taskFloors(dir: java.nio.file.Path,
-                 sfDir: Option[String] = None): Map[String, Double] = {
+                 sfDir: Option[String] = None): Map[String, Double] =
+    diagFloors(dir, sfDir)._1
+
+  /** Both historical floors in one history pass: `_1` the task_sec
+    * floors (see the scaladoc above), `_2` the round-10 WALL floors —
+    * per file, each entry's best (minimum non-negative) wall from the
+    * diag's `runs` arrays; across files, the median of those bests
+    * (same ≥3-files minimum, same median-not-min rationale). Walls
+    * are recorded at millisecond precision, so unlike task_sec there
+    * is no sub-1 s aliasing cutoff — the quality gate is instead on
+    * the FLOOR itself ([[BenchReport.MinWallFloor]], applied by the
+    * consumers). `excludeRunId` drops that run's own file, mirroring
+    * the adjudicator's history-minus-the-run-under-adjudication rule
+    * (used by AdjudicationParitySpec; the live bench needs no
+    * exclusion — its own file isn't written when floors load).
+    */
+  def diagFloors(dir: java.nio.file.Path,
+                 sfDir: Option[String] = None,
+                 excludeRunId: Option[Long] = None)
+      : (Map[String, Double], Map[String, Double]) = {
     import org.json4s._
-    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    if (!java.nio.file.Files.isDirectory(dir))
+      return (Map.empty, Map.empty)
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)
     val files =
       try stream.iterator().asScala
         .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
       finally stream.close() // Files.list holds the directory fd open
-    val perFile: List[Map[String, Double]] = files.flatMap { p =>
-      try {
-        val j = org.json4s.jackson.JsonMethods.parse(
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        // scale guard: a local sf0.01 iteration run writes diag files
-        // too, and its ~10x-lower task costs would poison the sf0.1
-        // floors (and vice versa). Unstamped files (round <8) default
-        // to the driver's official scale rather than matching
-        // anything — floors from another scale are systematically
-        // wrong, not a stray the median can absorb.
-        val fileSf = j \ "sf" match {
-          case JString(s) => s
-          case _ => legacyDiagSf
-        }
-        if (sfDir.exists(_ != fileSf))
-          None
-        else j \ "host_env" match {
-          case JObject(fields) => Some(fields.flatMap { case (entry, v) =>
-            val tasks = v \ "task_sec" match {
-              case JArray(xs) => xs.collect {
-                case JDouble(d) => d
-                case JInt(i) => i.toDouble
-                case JDecimal(d) => d.toDouble
-              }
-              case _ => Nil
+    def nums(v: JValue): List[Double] = v match {
+      case JArray(xs) => xs.collect {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble
+      }
+      case _ => Nil
+    }
+    val perFile: List[(Map[String, Double], Map[String, Double])] =
+      files.flatMap { p =>
+        try {
+          val j = org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          // scale guard: a local sf0.01 iteration run writes diag files
+          // too, and its ~10x-lower task costs would poison the sf0.1
+          // floors (and vice versa). Unstamped files (round <8) default
+          // to the driver's official scale rather than matching
+          // anything — floors from another scale are systematically
+          // wrong, not a stray the median can absorb.
+          val fileSf = j \ "sf" match {
+            case JString(s) => s
+            case _ => legacyDiagSf
+          }
+          val fileRunId = j \ "run_id" match {
+            case JInt(i) => Some(i.toLong)
+            case JLong(l) => Some(l)
+            case _ => None
+          }
+          if (sfDir.exists(_ != fileSf) ||
+              excludeRunId.exists(fileRunId.contains))
+            None
+          else {
+            val tasks = j \ "host_env" match {
+              case JObject(fields) => fields.flatMap { case (entry, v) =>
+                val usable = nums(v \ "task_sec").filter(_ >= 1.0)
+                if (usable.nonEmpty) Some(entry -> usable.min) else None
+              }.toMap
+              case _ => Map.empty[String, Double]
             }
-            val usable = tasks.filter(_ >= 1.0)
-            if (usable.nonEmpty) Some(entry -> usable.min) else None
-          }.toMap)
-          case _ => None
-        }
-      } catch { case _: Throwable => None } // a malformed diag file
-      // (partial write, hand edit) must not take the bench down
-    }
-    perFile.flatten.groupBy(_._1).collect {
-      case (entry, kvs) if kvs.size >= 3 =>
-        val s = kvs.map(_._2).sorted
-        entry -> s(s.size / 2)
-    }
+            val walls = j \ "runs" match {
+              case JObject(fields) => fields.flatMap { case (entry, v) =>
+                val ok = nums(v).filter(_ >= 0)
+                if (ok.nonEmpty) Some(entry -> ok.min) else None
+              }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            Some((tasks, walls))
+          }
+        } catch { case _: Throwable => None } // a malformed diag file
+        // (partial write, hand edit) must not take the bench down
+      }
+    def medians(maps: List[Map[String, Double]]): Map[String, Double] =
+      maps.flatten.groupBy(_._1).collect {
+        case (entry, kvs) if kvs.size >= 3 =>
+          val s = kvs.map(_._2).sorted
+          entry -> s(s.size / 2)
+      }
+    (medians(perFile.map(_._1)), medians(perFile.map(_._2)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -343,10 +402,16 @@ object Bench {
     // task-sec against a ~36 task-sec historical median — task_sec
     // spans the whole run body, so the floor catches episodes the
     // post-run point sample slips past.
-    val floors = taskFloors(java.nio.file.Paths.get("bench_diag"),
-      Some(sfDir))
+    val (floors, wallFloorsAll) = diagFloors(
+      java.nio.file.Paths.get("bench_diag"), Some(sfDir))
+    // wall floors under the quality gate are unusable (sub-200ms
+    // entries ratio-alias on scheduler jitter) — drop them here so
+    // every consumer (retry, revisit, selection, discount mirror)
+    // sees the same filtered map
+    val wallFloors = wallFloorsAll.filter(_._2 >= BenchReport.MinWallFloor)
     System.err.println(s"[bench] task_sec floors loaded for " +
-      s"${floors.size} entries from bench_diag/ history")
+      s"${floors.size} entries, wall floors for ${wallFloors.size}, " +
+      s"from bench_diag/ history")
 
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val heapMb = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -388,7 +453,8 @@ object Bench {
       // aligned with the entry's raw_runs array — see EntryEnv scaladoc
       val prev = entryEnv.getOrElse(entry,
         BenchReport.EntryEnv(Nil, Nil, Nil, Nil,
-          taskFloor = floors.getOrElse(entry, -1.0)))
+          taskFloor = floors.getOrElse(entry, -1.0),
+          wallFloor = wallFloors.getOrElse(entry, -1.0)))
       // copy, not positional construction: the gc_ms/jit_ms rows are
       // appended after each RUN (in best()), so rebuilding here would
       // silently drop the earlier runs' deltas
@@ -468,9 +534,11 @@ object Bench {
       */
     def contamFlags(entry: String): Seq[Boolean] = {
       val e = entryEnv(entry)
+      val walls = rawRuns.getOrElse(entry, Seq.empty)
       e.taskSec.indices.map { i =>
         contaminatedRun(e.canaryParMs.lift(i), nominalParMs,
-          e.janino.lift(i), e.taskSec.lift(i), floors.get(entry))
+          e.janino.lift(i), e.taskSec.lift(i), floors.get(entry),
+          walls.lift(i), wallFloors.get(entry))
       }
     }
 
@@ -497,15 +565,12 @@ object Bench {
       * visible.
       */
     def minSelect(entry: String, ts: Seq[Double]): Double =
-      if (ts.exists(_ < 0)) ts.max
-      else {
-        val e = entryEnv(entry)
-        val deg = BenchReport.degradedRuns(ts, e, nominalParMs)
-        val excl = ts.indices.map(i =>
-          deg(i) || e.janino.lift(i).exists(_ > 5))
-        val clean = ts.zip(excl).collect { case (t, false) => t }
-        if (clean.nonEmpty) clean.min else ts.min
-      }
+      // round 10: the selection rule LIVES in BenchReport.selectedIndex
+      // — one implementation shared with the discount mirror and
+      // (via AdjudicationParitySpec) pinned to the Python adjudicator,
+      // so the recorded number and the run the classifiers judge can
+      // never diverge again (the r9 discounted_n:2-beside-1 artifact)
+      ts(BenchReport.selectedIndex(ts, entryEnv(entry), nominalParMs))
 
     // the body of every entry, re-runnable after the roster completes:
     // the end-of-roster revisit pass (r8 verdict ask #2) re-executes a
@@ -591,9 +656,13 @@ object Bench {
     // writes + pruned merges — scales with DELTA size) vs READ
     // (serving the tiny aggregate table — scales with MV size). The
     // headline `q93_incremental_mv` number stays their SUM, comparable
-    // with prior rounds; the components are reported alongside.
-    var q93Maintain = -1.0
-    var q93Read = -1.0
+    // with prior rounds; the components are reported alongside. The
+    // per-run pairs accumulate aligned with the entry's runs array and
+    // the reported split is RE-DERIVED from whichever run owns the
+    // recorded number AFTER selection (r9 ADVICE: tracking the
+    // min-by-raw-sum here could describe a run the clean-preferred
+    // selection excluded, so q93a+q93b no longer summed to q93).
+    val q93Splits = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def runQ93Split(): Double = {
       try {
         var root: String = null
@@ -602,12 +671,11 @@ object Bench {
           graft.queries.EventQueries.mvRead(spark, root)
             .write.format("noop").mode("overwrite").save()
         }
-        if (q93Maintain < 0 || tm + tr < q93Maintain + q93Read) {
-          q93Maintain = tm; q93Read = tr
-        }
+        q93Splits += ((tm, tr))
         tm + tr
       } catch { case e: Throwable =>
         System.err.println(s"[bench] q93 failed: ${e.getMessage}")
+        q93Splits += ((-1.0, -1.0)) // keep alignment with the runs array
         -1.0
       }
     }
@@ -759,7 +827,8 @@ object Bench {
     val revisitUpdates: Map[String, Double] = {
       val flagged = rawRuns.keys.toList.filter { entry =>
         needsRevisit(rawRuns(entry), contamFlags(entry),
-          BenchReport.bestUsableTask(entryEnv(entry)), floors.get(entry))
+          BenchReport.bestUsableTask(entryEnv(entry)), floors.get(entry),
+          wallFloors.get(entry))
       }
       if (flagged.isEmpty) {
         System.err.println("[bench] revisit pass: no entries flagged — no-op")
@@ -767,15 +836,35 @@ object Bench {
       } else {
         System.err.println(s"[bench] revisit pass: ${flagged.size} " +
           s"flagged (${flagged.mkString(", ")})")
-        var waitedSec = 0
-        while (waitedSec < 120 && canaryParMsNow() >= 2 * nominalParMs) {
-          System.err.println("[bench] revisit: all-core canary still " +
-            "≥2× nominal — waiting 15s for a healthy window")
-          Thread.sleep(15000); waitedSec += 15
+        // adaptive backoff (r9 verdict ask #5): the r9 storm burned a
+        // revisit run at 133.6 s because the single up-front ≤120 s
+        // canary wait expired INSIDE the same host episode. The wait
+        // is now a shared budget (~10 min across the whole pass, the
+        // r9-observed episode scale) drawn down in 15 s steps — once
+        // up front, then again before EACH flagged entry's run, so a
+        // storm that outlives the first wait doesn't consume every
+        // remaining revisit inside itself. A clean window spends 0 s.
+        var backoffBudgetSec = 600
+        def awaitHealthyWindow(context: String): Unit = {
+          var stale = canaryParMsNow() >= 2 * nominalParMs
+          while (backoffBudgetSec > 0 && stale) {
+            System.err.println(s"[bench] revisit ($context): all-core " +
+              s"canary still ≥2× nominal — waiting 15s " +
+              s"(${backoffBudgetSec}s backoff budget left)")
+            Thread.sleep(15000); backoffBudgetSec -= 15
+            stale = canaryParMsNow() >= 2 * nominalParMs
+          }
         }
+        awaitHealthyWindow("pass start")
         flagged.flatMap { entry =>
           revisitBodies.get(entry).map { run =>
+            awaitHealthyWindow(entry)
             val t = run()
+            // re-capture the entry's minhash/LSH diag rows so the
+            // candidate_sec array stays aligned with the now-longer
+            // runs array (r9 ADVICE: a revisited minhash entry
+            // shipped candidate_sec one element short)
+            captureMinhash(entry); captureLsh(entry)
             val sel = minSelect(entry, rawRuns(entry))
             System.err.println(s"[bench] revisit $entry: extra run " +
               s"${math.rint(t * 1000) / 1000}s -> recorded $sel")
@@ -785,13 +874,25 @@ object Bench {
       }
     }
 
-    val results =
-      ((headlineResults :+ ("ingest_parse_write_100k" -> ingestSec)) ++
-        (if (q93Maintain >= 0)
-          Seq("q93a_mv_maintain" -> q93Maintain, "q93b_mv_read" -> q93Read)
-        else Seq.empty) ++
-        x10Probe ++ x30Probe)
+    val headlineFinal =
+      (headlineResults :+ ("ingest_parse_write_100k" -> ingestSec))
         .map { case (k, v) => k -> revisitUpdates.getOrElse(k, v) }
+    // the q93 split components, re-derived from the run that OWNS the
+    // final recorded q93 number (selection may have excluded the
+    // raw-min run, and a revisit may have replaced it) — so
+    // q93a + q93b always sums to the recorded q93_incremental_mv
+    val q93Components: Seq[(String, Double)] = (for {
+      rec <- headlineFinal.collectFirst {
+        case ("q93_incremental_mv", v) => v }
+      runs <- rawRuns.get("q93_incremental_mv")
+      i = runs.indexWhere(r => math.abs(r - rec) < 1e-12)
+      if i >= 0 && i < q93Splits.size && q93Splits(i)._1 >= 0
+    } yield Seq("q93a_mv_maintain" -> q93Splits(i)._1,
+      "q93b_mv_read" -> q93Splits(i)._2)).getOrElse(Seq.empty)
+    val results =
+      (headlineFinal ++ q93Components ++
+        (x10Probe ++ x30Probe)
+          .map { case (k, v) => k -> revisitUpdates.getOrElse(k, v) })
     // assembly lives in BenchReport (spec-pinned: parseable JSON,
     // single small contract line, non-finite timings sanitized). The
     // diag outgrew the driver's stdout tail capture in r4 (the
@@ -848,22 +949,41 @@ object Bench {
 
   /** Shell out to the repo's own adjudicator over this run's contract
     * line + diag evidence and write `ADJUDICATION_r{N}.md`, N inferred
-    * as one past the newest committed BENCH_r{N}.json (the driver
+    * as one past the newest GIT-TRACKED BENCH_r{N}.json — the driver
     * writes that file from this run's stdout at round close, so the
-    * adjudication is named for the round it will land in). Best-effort:
-    * a missing python3 or script must never take the bench down.
+    * adjudication is named for the round it will land in. Tracked,
+    * not merely present (r9 ADVICE): re-running the official-scale
+    * bench after the driver drops an untracked BENCH_r{N}.json in the
+    * worktree must keep emitting for round N (that file IS round N's
+    * record, not a closed round), not jump to N+1. `SPARK_GRAFT_ROUND`
+    * overrides the inference outright; a directory listing is the
+    * fallback when git is unavailable. Best-effort: a missing python3
+    * or script must never take the bench down.
     */
   def emitSelfAdjudication(contractLine: String, runId: Long): Unit =
     try {
       val re = "BENCH_r(\\d+)\\.json".r
-      val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      val maxRound =
+      def trackedRounds(): Option[Seq[Int]] =
+        try {
+          val p = new ProcessBuilder("git", "ls-files", "BENCH_r*.json")
+            .start()
+          val outTxt = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          if (p.waitFor() != 0) None
+          else Some(outTxt.linesIterator.map(_.trim).collect {
+            case re(n) => n.toInt }.toSeq)
+        } catch { case _: Throwable => None }
+      def listedRounds(): Seq[Int] = {
+        val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
         try {
           import scala.jdk.CollectionConverters._
           stream.iterator().asScala.map(_.getFileName.toString)
-            .collect { case re(n) => n.toInt }.foldLeft(0)(math.max)
+            .collect { case re(n) => n.toInt }.toSeq
         } finally stream.close()
-      val out = f"ADJUDICATION_r${maxRound + 1}%02d.md"
+      }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse(trackedRounds().getOrElse(listedRounds())
+          .foldLeft(0)(math.max) + 1)
+      val out = f"ADJUDICATION_r$round%02d.md"
       val tmp = java.nio.file.Files.createTempFile("bench-contract", ".json")
       java.nio.file.Files.write(tmp, contractLine.getBytes("UTF-8")): Unit
       val pb = new ProcessBuilder("python3", "scripts/adjudicate_bench.py",

@@ -114,6 +114,24 @@ object BenchReport {
     * Cross-scale flags are layered on in [[discountedEntries]] — they
     * need the sibling probe's rows, not this entry's.
     */
+  /** The wall-floor witness's ratio gate and floor-quality minimum
+    * (shared constants with `scripts/adjudicate_bench.py`). Round-10
+    * addition for the r9 blind spot: a run whose WORK is healthy but
+    * whose DELIVERY is stalled reads task-clean at 2× honest wall
+    * (the r9 official x30_q65: 10.6 task-sec delivered over 12.48 s
+    * wall on a 32-core box ≈ 0.85 effective cores, beside a 6.06 s
+    * honest wall). Work-based witnesses cannot see it; the run's wall
+    * against the entry's HISTORY wall floor can. Calibration over the
+    * 45-file sf0.1 diag history: 1.5× condemns exactly the storm run
+    * run_1786821204845's stalled entries (x30_q65 at 1.84×, x10_q86
+    * at 1.57× — so the gate must sit ≤ 1.57) and flags NOTHING in the
+    * clean rehearsal run_1786816951295; floors under 0.2 s are too
+    * noisy to ratio against (a 0.15 s entry at 0.25 s is scheduler
+    * jitter, not a stall) and read as absent.
+    */
+  val WallRatio = 1.5
+  val MinWallFloor = 0.2
+
   /** Per-run degraded flags, the adjudicator's rule exactly: where a
     * run's OWN task row is usable (≥ 1 s) it is the authoritative
     * signal — degraded means ≥ 2× the entry's best usable row or ≥ 3×
@@ -122,36 +140,91 @@ object BenchReport {
     * nominal). The canary is a point sample — an episode can start
     * after the body finishes and stamp a high reading on a run that
     * did honest work — so it never overrides a usable task row.
+    * Independently of the work witnesses, a run whose WALL sits ≥
+    * [[WallRatio]]× the entry's history wall floor is degraded — the
+    * delivery-collapse witness (see the constant's scaladoc), OR'd on
+    * top because it sees precisely the stalls the task row exonerates.
     */
   def degradedRuns(runs: Seq[Double], e: EntryEnv,
                    nominalParMs: Double): Seq[Boolean] = {
     val bestTask = bestUsableTask(e)
     val floor = Option(e.taskFloor).filter(_ > 0)
+    val wallFloor = Option(e.wallFloor).filter(_ >= MinWallFloor)
     runs.indices.map { i =>
       val t = e.taskSec.lift(i)
-      if (bestTask.isDefined && t.exists(_ >= 1.0))
-        t.exists(x => x >= 2 * bestTask.get ||
-          floor.exists(f => x >= 3 * f))
-      else if (nominalParMs > 0 && e.canaryParMs.isDefinedAt(i))
-        e.canaryParMs(i) >= 2 * nominalParMs
-      else false
+      val work =
+        if (bestTask.isDefined && t.exists(_ >= 1.0))
+          t.exists(x => x >= 2 * bestTask.get ||
+            floor.exists(f => x >= 3 * f))
+        else if (nominalParMs > 0 && e.canaryParMs.isDefinedAt(i))
+          e.canaryParMs(i) >= 2 * nominalParMs
+        else false
+      work || wallFloor.exists(wf =>
+        runs(i) >= 0 && runs(i) >= WallRatio * wf)
     }
   }
 
+  /** Index of the run that owns an entry's recorded number — ONE rule
+    * shared by the bench's min-selection ([[Bench]].minSelect
+    * delegates here) and the discount mirror, so selection and
+    * judging can never diverge (the r9 artifact carried
+    * `discounted_n: 2` beside a self-adjudication saying 1):
+    * a failed run poisons the entry to its max (failures stay
+    * visible); otherwise the min over runs neither degraded
+    * ([[degradedRuns]]) nor janino-warmup-contaminated (> 5
+    * compiles), falling back to the min over all runs when every run
+    * is condemned.
+    */
+  def selectedIndex(runs: Seq[Double], e: EntryEnv,
+                    nominalParMs: Double): Int = {
+    require(runs.nonEmpty, "selectedIndex needs at least one run")
+    if (runs.exists(_ < 0)) runs.indices.maxBy(runs)
+    else {
+      val deg = degradedRuns(runs, e, nominalParMs)
+      val clean = runs.indices.filter(i =>
+        !deg(i) && !e.janino.lift(i).exists(_ > 5))
+      if (clean.nonEmpty) clean.minBy(runs) else runs.indices.minBy(runs)
+    }
+  }
+
+  /** Whether an entry's RECORDED number needs environment discount —
+    * the Scala mirror of `scripts/adjudicate_bench.py`'s verdict
+    * classes (degraded / min-run-degraded / suspect-uniform), pinned
+    * to the script by AdjudicationParitySpec over the committed
+    * artifacts. Round-10 semantics (r9 ADVICE): the judged run is the
+    * one that OWNS the recorded number — located by value match
+    * against `recorded` (both sides render at 3 decimals), falling
+    * back to [[selectedIndex]] — not the raw argmin, so a number the
+    * selection rule already steered away from a degraded run is no
+    * longer condemned for that run's sins. Discount when: every run
+    * degraded; the owning run degraded; the entry's best usable task
+    * ≥ 3× its history floor (external reference condemns the entry no
+    * matter which run owned the min); the recorded WALL ≥
+    * [[WallRatio]]× the history wall floor (the delivery-collapse
+    * witness); or every post-run all-core canary ≥ 2× nominal
+    * (suspect-uniform).
+    */
   def needsDiscount(runs: Seq[Double], e: EntryEnv,
-                    nominalParMs: Double): Boolean = {
+                    nominalParMs: Double,
+                    recorded: Double = Double.NaN): Boolean = {
     val n = runs.size
     if (n == 0) return false
     val bestTask = bestUsableTask(e)
     val floor = Option(e.taskFloor).filter(_ > 0)
+    val wallFloor = Option(e.wallFloor).filter(_ >= MinWallFloor)
     val flags = degradedRuns(runs, e, nominalParMs)
-    val minI = runs.indices.minBy(i =>
-      if (runs(i) >= 0) runs(i) else Double.MaxValue)
+    val selI = runs.indices
+      .find(i => java.lang.Double.isFinite(recorded) &&
+        math.abs(runs(i) - recorded) < 5e-4)
+      .getOrElse(selectedIndex(runs, e, nominalParMs))
     val floorBreach =
       floor.exists(f => bestTask.exists(_ >= 3 * f))
+    val wallBreach = wallFloor.exists(wf =>
+      runs(selI) >= 0 && runs(selI) >= WallRatio * wf)
     val suspectUniform = nominalParMs > 0 && e.canaryParMs.size >= n &&
       (0 until n).forall(i => e.canaryParMs(i) >= 2 * nominalParMs)
-    flags.forall(identity) || flags(minI) || floorBreach || suspectUniform
+    flags.forall(identity) || flags(selI) || floorBreach || wallBreach ||
+      suspectUniform
   }
 
   /** Cross-scale impossible-work flags, mirroring the script's
@@ -197,11 +270,15 @@ object BenchReport {
                         nominalParMs: Double): Seq[String] = {
     val xscale = crossScaleDiscounts(env)
     results.collect {
-      case (name, _) if !name.startsWith("q93a") &&
+      // evidence-gating mirrors the script exactly: an entry with no
+      // runs or no host_env rows is unadjudicable ("no-evidence")
+      // even when a cross-scale flag names it
+      case (name, recorded) if !name.startsWith("q93a") &&
         !name.startsWith("q93b") &&
+        rawRuns.get(name).exists(_.nonEmpty) && env.contains(name) &&
         (xscale(name) ||
-          (rawRuns.contains(name) && env.contains(name) &&
-            needsDiscount(rawRuns(name), env(name), nominalParMs))) =>
+          needsDiscount(rawRuns(name), env(name), nominalParMs,
+            recorded)) =>
         name
     }
   }
@@ -229,7 +306,8 @@ object BenchReport {
                             codeCacheMb: Seq[Long] = Nil,
                             spillMb: Seq[Long] = Nil,
                             peakExecMb: Seq[Long] = Nil,
-                            taskFloor: Double = -1.0)
+                            taskFloor: Double = -1.0,
+                            wallFloor: Double = -1.0)
 
   private def lArr(ts: Seq[Long]): String =
     ts.mkString("[", ",", "]")
@@ -320,7 +398,11 @@ object BenchReport {
         // (median of per-file bests across bench_diag/; -1 = <3 files
         // of history) — makes "no entry ships >Nx its floor" checkable
         // from this one file
-        ",\"task_floor\":" + num(e.taskFloor) + "}"
+        ",\"task_floor\":" + num(e.taskFloor) +
+        // and its wall twin (median of per-file best walls): the
+        // delivery-collapse witness reference — see WallRatio's
+        // scaladoc for the r9 x30_q65 case this closes
+        ",\"wall_floor\":" + num(e.wallFloor) + "}"
     }.mkString("{", ",", "}")
     val mhJson = minhashDiag.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

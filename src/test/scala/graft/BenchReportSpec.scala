@@ -108,11 +108,13 @@ class BenchReportSpec extends AnyFunSuite {
     parse(line): Unit
   }
 
-  test("contaminatedRun: three independent witnesses, absent reads clean") {
+  test("contaminatedRun: four independent witnesses, absent reads clean") {
     def run(par: Double = 50.0, jan: Long = 0L, task: Double = 10.0,
-            floor: Option[Double] = Some(10.0)) =
+            floor: Option[Double] = Some(10.0),
+            wall: Option[Double] = None,
+            wallFloor: Option[Double] = None) =
       Bench.contaminatedRun(Some(par), nominalParMs = 50.0, Some(jan),
-        Some(task), floor)
+        Some(task), floor, wall, wallFloor)
     assert(!run()) // healthy: par at nominal, no compiles, task at floor
     assert(run(par = 100.0))      // all-core canary at 2x nominal
     assert(!run(par = 99.9))      // just under the gate
@@ -123,8 +125,16 @@ class BenchReportSpec extends AnyFunSuite {
     // sub-1s task rows alias under the 0.1s rounding — never condemn
     assert(!Bench.contaminatedRun(Some(50.0), 50.0, Some(0L), Some(0.9),
       Some(0.2)))
+    // round-10 wall witness: the delivery-collapse class (r9 x30_q65 —
+    // honest work delivered at 2x the honest wall) condemns the run
+    // against the EXTERNAL history wall floor at 1.5x
+    assert(run(wall = Some(12.48), wallFloor = Some(6.77)))
+    assert(!run(wall = Some(10.1), wallFloor = Some(6.77))) // under 1.5x
+    // a sub-0.2s wall floor is scheduler-jitter noise — reads absent
+    assert(!run(wall = Some(0.4), wallFloor = Some(0.15)))
     // absent witnesses read clean: no floor, no rows
     assert(!run(task = 1e9, floor = None))
+    assert(!run(wall = Some(1e9), wallFloor = None))
     assert(!Bench.contaminatedRun(None, 50.0, None, None, Some(10.0)))
   }
 
@@ -162,6 +172,23 @@ class BenchReportSpec extends AnyFunSuite {
     assert(floors("qA") === 35.6)
     // qB has only 2 usable files, qC none — below the 3-file minimum
     assert(!floors.contains("qB") && !floors.contains("qC"))
+    // round-10 wall floors ride the same pass: per-file best
+    // NON-NEGATIVE wall from the diag's runs arrays (failures never
+    // become a best), median across ≥3 files
+    def writeWalls(id: Long, walls: Seq[Double]): Unit =
+      java.nio.file.Files.write(dir.resolve(s"run_$id.json"),
+        s"""{"run_id":$id,"runs":{"qW":[${walls.mkString(",")}]},"host_env":{}}"""
+          .getBytes("UTF-8")): Unit
+    writeWalls(11L, Seq(0.9, 1.8, -1.0))
+    writeWalls(12L, Seq(5.2, 4.1))
+    writeWalls(13L, Seq(9.9, 60.0))
+    val (_, walls) = Bench.diagFloors(dir, Some("/root/testdata/sf0.1"))
+    assert(walls("qW") === 4.1) // median of per-file bests 0.9/4.1/9.9
+    // excludeRunId mirrors the adjudicator's history-minus-the-run
+    // rule: dropping file 12 leaves bests 0.9/9.9 — under the 3-file
+    // minimum, so no floor
+    assert(!Bench.diagFloors(dir, Some("/root/testdata/sf0.1"),
+      excludeRunId = Some(12L))._2.contains("qW"))
     // with no sf filter the stray files shift the median down a slot
     assert(Bench.taskFloors(dir)("qA") === 28.6)
     // at a NEW scale, unstamped (pre-r8) files are excluded — they
@@ -194,7 +221,8 @@ class BenchReportSpec extends AnyFunSuite {
           canaryMs = Seq(41.2, 388.0), canaryAfterMs = Seq(40.9, 42.0),
           canaryParMs = Seq(55.0, 2140.5), stealPct = Seq(0.3, 71.25),
           codeCacheMb = Seq(88L, 237L), spillMb = Seq(0L, 1536L),
-          peakExecMb = Seq(210L, 980L), taskFloor = 36.7)))
+          peakExecMb = Seq(210L, 980L), taskFloor = 36.7,
+          wallFloor = 4.25)))
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
@@ -226,6 +254,8 @@ class BenchReportSpec extends AnyFunSuite {
     assert(e.get("spill_mb").get(1).asLong() === 1536L)
     assert(e.get("peak_exec_mb").get(1).asLong() === 980L)
     assert(e.get("task_floor").asDouble() === 36.7)
+    // round-10: the wall floor the delivery-collapse witness read
+    assert(e.get("wall_floor").asDouble() === 4.25)
     assert(j.get("minhash").get("q65").get("n_pairs").asLong() === 265L)
     assert(j.get("lsh").get("q72").get("max_bucket").asLong() === 23L)
     assert(j.get("corpus_build_sec").get("x30").asDouble() === -1.0)
@@ -235,9 +265,11 @@ class BenchReportSpec extends AnyFunSuite {
   // decision (round-9): same fixtures as scripts/test_adjudicate.py so
   // the two implementations are pinned to the same behavior ──────────
   private def envOf(task: Seq[Double], pars: Seq[Double],
-                    floor: Double = -1.0) =
+                    floor: Double = -1.0, wallFloor: Double = -1.0,
+                    janino: Seq[Long] = Nil) =
     BenchReport.EntryEnv(Nil, Nil, Nil, Nil, taskSec = task,
-      canaryParMs = pars, taskFloor = floor)
+      canaryParMs = pars, taskFloor = floor, wallFloor = wallFloor,
+      janino = janino)
 
   test("degradedRuns: task row decides where usable, canary only where aliased") {
     val nominal = 48.5
@@ -258,6 +290,37 @@ class BenchReportSpec extends AnyFunSuite {
     assert(BenchReport.degradedRuns(Seq(2.0, 1.0),
       envOf(Seq(10.0, 5.0), Seq(52.0, 55.0)), 50.0) ===
       Seq(true, false))
+    // round-10 wall witness, OR'd on top of the work witnesses: the
+    // r9 x30_q65 recorded run did honest work (task-clean) at 2x its
+    // honest wall — only the history wall floor sees it
+    assert(BenchReport.degradedRuns(Seq(12.48, 6.1),
+      envOf(Seq(10.6, 11.0), Seq(60.4, 73.4), wallFloor = 6.767),
+      50.0) === Seq(true, false))
+    // a sub-0.2s wall floor is noise and reads as absent
+    assert(BenchReport.degradedRuns(Seq(0.3, 0.25),
+      envOf(Seq(0.1, 0.1), Seq(52.0, 55.0), wallFloor = 0.15),
+      50.0) === Seq(false, false))
+  }
+
+  test("selectedIndex: one selection rule for recording and judging") {
+    val nominal = 50.0
+    // the min over runs neither degraded nor janino-contaminated
+    assert(BenchReport.selectedIndex(Seq(2.0, 1.5),
+      envOf(Seq(5.0, 12.0), Seq(52.0, 55.0)), nominal) === 0)
+    // janino > 5 excludes a run from selection
+    assert(BenchReport.selectedIndex(Seq(1.0, 1.2),
+      envOf(Seq(5.0, 5.0), Seq(52.0, 55.0), janino = Seq(30L, 0L)),
+      nominal) === 1)
+    // every run condemned -> min over all
+    assert(BenchReport.selectedIndex(Seq(1.0, 1.2),
+      envOf(Seq(0.2, 0.2), Seq(150.0, 140.0)), nominal) === 0)
+    // a failed run poisons the entry to its max (failures stay visible)
+    assert(BenchReport.selectedIndex(Seq(1.0, -1.0, 3.0),
+      envOf(Seq(5.0, 5.0, 5.0), Seq(52.0, 52.0, 52.0)), nominal) === 2)
+    // the wall witness steers selection off a delivery-collapsed run
+    assert(BenchReport.selectedIndex(Seq(6.1, 12.48),
+      envOf(Seq(11.0, 10.6), Seq(73.4, 60.4), wallFloor = 6.767),
+      nominal) === 0)
   }
 
   test("needsDiscount mirrors the adjudicator's verdict classes") {
@@ -265,12 +328,22 @@ class BenchReportSpec extends AnyFunSuite {
     // clean: healthy canaries, flat task ratios
     assert(!BenchReport.needsDiscount(Seq(1.0, 0.9),
       envOf(Seq(5.0, 5.1), Seq(52.0, 55.0)), nominal))
-    // min-run-degraded: the min-time run is the task-inflated one
+    // min-run-degraded: the run that OWNS the recorded number (value-
+    // matched) is the task-inflated one — a legacy artifact whose
+    // selection recorded the degraded raw min
     assert(BenchReport.needsDiscount(Seq(2.0, 1.5),
+      envOf(Seq(5.0, 12.0), Seq(52.0, 55.0)), nominal, recorded = 1.5))
+    // ...but a number the selection rule steered to the CLEAN run is
+    // no longer condemned for the degraded run's sins (r9 ADVICE):
+    // both with the recorded value named and via the selection-rule
+    // fallback
+    assert(!BenchReport.needsDiscount(Seq(2.0, 1.5),
+      envOf(Seq(5.0, 12.0), Seq(52.0, 55.0)), nominal, recorded = 2.0))
+    assert(!BenchReport.needsDiscount(Seq(2.0, 1.5),
       envOf(Seq(5.0, 12.0), Seq(52.0, 55.0)), nominal))
-    // warmup-absorbed shape (non-min run degraded): NOT discounted
+    // warmup-absorbed shape (non-recorded run degraded): NOT discounted
     assert(!BenchReport.needsDiscount(Seq(2.0, 0.9),
-      envOf(Seq(10.0, 5.0), Seq(52.0, 55.0)), nominal))
+      envOf(Seq(10.0, 5.0), Seq(52.0, 55.0)), nominal, recorded = 0.9))
     // degraded via canary fallback: no usable task rows, both canaries hot
     assert(BenchReport.needsDiscount(Seq(1.0, 1.1),
       envOf(Seq(0.2, 0.2), Seq(150.0, 140.0)), nominal))
@@ -286,10 +359,26 @@ class BenchReportSpec extends AnyFunSuite {
     // suspect-uniform: flat ratios, every post-run canary >=2x nominal
     assert(BenchReport.needsDiscount(Seq(1.0, 1.0),
       envOf(Seq(5.0, 5.1), Seq(120.0, 130.0)), nominal))
-    // floor-force: min-time run has only a sub-1s aliased row judged
-    // by a clean canary, but the best usable run did 3x its floor
+    // floor-force: the recorded run has only a sub-1s aliased row
+    // judged by a clean canary, but the best usable run did 3x its
+    // floor — the external reference condemns the entry regardless
     assert(BenchReport.needsDiscount(Seq(1.2, 5.0),
-      envOf(Seq(0.9, 120.0), Seq(52.0, 55.0), floor = 36.7), nominal))
+      envOf(Seq(0.9, 120.0), Seq(52.0, 55.0), floor = 36.7), nominal,
+      recorded = 1.2))
+    // round-10 wall breach: the r9 x30_q65 delivery-collapse shape —
+    // every work witness clean, recorded wall 12.48s vs a 6.767s
+    // history wall floor (1.84x >= the 1.5x gate)
+    assert(BenchReport.needsDiscount(Seq(12.48, 23.0),
+      envOf(Seq(10.6, 11.0), Seq(60.4, 73.4), wallFloor = 6.767),
+      nominal, recorded = 12.48))
+    // under the gate the number stands; and a clean run recorded
+    // beside a wall-stalled sibling stands too
+    assert(!BenchReport.needsDiscount(Seq(9.0, 23.0),
+      envOf(Seq(10.6, 11.0), Seq(60.4, 73.4), wallFloor = 6.767),
+      nominal, recorded = 9.0))
+    assert(!BenchReport.needsDiscount(Seq(12.48, 6.1),
+      envOf(Seq(10.6, 11.0), Seq(60.4, 73.4), wallFloor = 6.767),
+      nominal, recorded = 6.1))
     // empty evidence: nothing to condemn
     assert(!BenchReport.needsDiscount(Nil, envOf(Nil, Nil), nominal))
   }
@@ -309,6 +398,15 @@ class BenchReportSpec extends AnyFunSuite {
       Some(30.0), Some(20.0))) // exactly 1.5x: not a breach
     // no floor (fresh repo) and clean flags -> nothing to check against
     assert(!Bench.needsRevisit(Seq(1.0), Seq(false), Some(31.0), None))
+    // round-10 wall criterion: work witnesses all clean but the best
+    // WALL still sits >1.5x the history wall floor (the r9 x30_q65
+    // delivery-collapse class) -> revisit
+    assert(Bench.needsRevisit(Seq(12.48, 23.0), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(6.767)))
+    assert(!Bench.needsRevisit(Seq(9.0, 23.0), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(6.767))) // best under 1.5x
+    assert(!Bench.needsRevisit(Seq(0.4, 0.5), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(0.15))) // sub-0.2s floor: noise
     // a failed run must stay visible as a failure, not get extra chances
     assert(!Bench.needsRevisit(Seq(1.0, -1.0), Seq(true, true),
       Some(99.0), Some(1.0)))
