@@ -132,7 +132,13 @@ def history_floors(diag_dir, exclude_run_id, sf=None):
     stamped with a different sf are excluded (a local sf0.01 run must
     not poison the sf0.1 floors); pre-round-8 files carry no stamp and
     default to the driver's official scale — floors from another scale
-    are systematically wrong, not a stray the median can absorb."""
+    are systematically wrong, not a stray the median can absorb.
+    Files self-stamped "stormed": true (round 11 — the bench stamps a
+    run whose own adjudication mirror found >= 2 discounted entries)
+    are excluded too: their per-entry bests were measured inside a
+    degraded-delivery window, and admitting them drifts the medians
+    upward, silently loosening the 3x history-floor and 1.5x
+    wall-floor gates for every future run (r10 ADVICE)."""
     per_task, per_wall = {}, {}
     for p in sorted(glob.glob(os.path.join(diag_dir, "run_*.json"))):
         # admit exactly what Bench.diagFloors admits (run_<digits>.json):
@@ -149,6 +155,8 @@ def history_floors(diag_dir, exclude_run_id, sf=None):
         if d.get("run_id") == exclude_run_id:
             continue
         if sf and (d.get("sf") or LEGACY_DIAG_SF) != sf:
+            continue
+        if d.get("stormed"):
             continue
         for entry, env in (d.get("host_env") or {}).items():
             t = best_usable_task(env)

@@ -255,6 +255,22 @@ def main():
                                        sf=ab.LEGACY_DIAG_SF)
         check("non-numeric diag file ignored", floors3["qA"], 35.6)
 
+        # a "stormed": true self-stamped file (round 11 — the bench
+        # stamps runs whose own discount mirror found >= 2 discounted
+        # entries) is excluded from the basis: its storm-inflated bests
+        # would drift the medians upward and loosen the degradation
+        # gates (mirrors Bench.diagFloors)
+        with open(os.path.join(d, "run_10.json"), "w") as f:
+            json.dump({"run_id": 10, "stormed": True,
+                       "host_env": {"qA": {"task_sec": [9999.0]}},
+                       "runs": {"qA": [999.0]}}, f)
+        floors4, walls4 = ab.history_floors(d, exclude_run_id=7,
+                                            sf=ab.LEGACY_DIAG_SF)
+        check("stormed diag excluded from task floors",
+              floors4["qA"], 35.6)
+        check("stormed diag excluded from wall floors",
+              walls4["qA"], 5.2)
+
     # the history dir must follow the DIAG file, not the contract file
     # (r9 ADVICE, high): graft.Bench self-adjudicates by passing the
     # contract via a /tmp temp file — deriving the history from the

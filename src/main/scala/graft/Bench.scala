@@ -104,6 +104,76 @@ object Bench {
     */
   val legacyDiagSf = "/root/testdata/sf0.1"
 
+  /** Bounded canary-gated idle-wait (round 11): probe once; while the
+    * reading sits ≥ 2× `refMs` (the same staleness gate every other
+    * canary consumer uses) and budget remains, sleep `stepSec` and
+    * re-probe. Returns (seconds actually waited, every reading taken —
+    * first = the reading that decided whether to wait at all, last =
+    * the reading the caller proceeds under). A quiet window spends 0 s
+    * and returns one reading; an exhausted budget proceeds regardless
+    * — the wait only ever DELAYS measurement, never changes what gets
+    * recorded, so recorded-wall semantics are untouched. `probe` and
+    * `sleep` are injectable so the policy is spec-testable without
+    * sleeping (BenchReportSpec). A non-positive `refMs` (no reference)
+    * never waits.
+    */
+  def awaitQuietWindow(probe: () => Double, refMs: Double, budgetSec: Int,
+                       stepSec: Int = 15,
+                       sleep: Int => Unit = s => Thread.sleep(s * 1000L))
+      : (Int, Seq[Double]) = {
+    require(stepSec > 0, "awaitQuietWindow needs a positive step")
+    var waited = 0
+    val readings = scala.collection.mutable.ArrayBuffer(probe())
+    while (refMs > 0 && waited < budgetSec && readings.last >= 2 * refMs) {
+      val step = math.min(stepSec, budgetSec - waited)
+      sleep(step); waited += step
+      readings += probe()
+    }
+    (waited, readings.toSeq)
+  }
+
+  /** Median `nominal_par_ms` across the non-stormed diag history (any
+    * sf — the all-core canary measures host delivery, not data scale;
+    * ≥ 3 files, same minimum as the floors). The roster-START gate's
+    * reference: the run's own nominal is self-calibrated from samples
+    * taken at launch, so a storm already in progress inflates it and a
+    * self-referenced gate would read "quiet" — exactly how the r10
+    * official run opened at load1 5.16 and began immediately. History
+    * is the only reference that predates the storm. None on a fresh
+    * repo: the gate then falls back to the self-nominal (and simply
+    * never fires under a launch-time storm, same as the pre-r11
+    * bench).
+    */
+  def historicalNominalParMs(dir: java.nio.file.Path): Option[Double] = {
+    import org.json4s._
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(dir)
+    val files =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
+      finally stream.close()
+    val vals = files.flatMap { p =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        val stormed = j \ "stormed" match {
+          case JBool(b) => b
+          case _ => false
+        }
+        if (stormed) None
+        else j \ "nominal_par_ms" match {
+          case JDouble(d) if d > 0 => Some(d)
+          case JInt(i) if i > 0 => Some(i.toDouble)
+          case JDecimal(d) if d > 0 => Some(d.toDouble)
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    }
+    if (vals.size < 3) None
+    else { val s = vals.sorted; Some(s(s.size / 2)) }
+  }
+
   /** Per-entry historical task_sec floor from the accumulated
     * `bench_diag/run_*.json` evidence files: for each file, the
     * entry's best USABLE task row (≥ 1 s — below that the 0.1 s
@@ -177,8 +247,21 @@ object Bench {
             case JLong(l) => Some(l)
             case _ => None
           }
+          // storm-stamped files are excluded from the floor basis
+          // (r10 ADVICE): a run that self-describes as measured inside
+          // a degraded-delivery window carries inflated per-entry
+          // bests, and admitting them drifts the medians upward —
+          // silently loosening the 3× history-floor and 1.5× wall-
+          // floor degradation gates for every future run. The stamp is
+          // written by the bench itself (≥ 2 discounted entries ⇒
+          // storm; see main()) — mirrored in
+          // scripts/adjudicate_bench.py's history_floors.
+          val stormed = j \ "stormed" match {
+            case JBool(b) => b
+            case _ => false
+          }
           if (sfDir.exists(_ != fileSf) ||
-              excludeRunId.exists(fileRunId.contains))
+              excludeRunId.exists(fileRunId.contains) || stormed)
             None
           else {
             val tasks = j \ "host_env" match {
@@ -394,6 +477,36 @@ object Bench {
       canaryParMsNow(): Unit // JIT-warm the parallel path itself
       (1 to 3).map(_ => canaryParMsNow()).min
     }
+    // ── roster-start quiet-window gate (r10 verdict ask #2) ─────────
+    // The r10 official run opened at load1 5.16 and began immediately,
+    // committing 30.5 s on a tree whose clean-window record reads
+    // 24.7 s. The revisit pass already waits out busy windows; the
+    // roster START was ungated. Reference = the HISTORICAL median
+    // nominal (the self-nominal above was just sampled, so a storm in
+    // progress at launch inflates it and a self-referenced gate reads
+    // "quiet"); budget ~5 min in 15 s steps, then proceed regardless
+    // and let the discount machinery self-describe. The wait only
+    // delays the first entry — recorded-wall semantics are untouched.
+    val startGateRef = historicalNominalParMs(
+      java.nio.file.Paths.get("bench_diag")).getOrElse(nominalParMs)
+    val (startWaitSec, startReads) =
+      awaitQuietWindow(() => canaryParMsNow(), startGateRef,
+        budgetSec = 300)
+    if (startWaitSec > 0) {
+      System.err.println(s"[bench] start gate: waited ${startWaitSec}s " +
+        s"for a quiet window (all-core canary " +
+        s"${startReads.head}ms -> ${startReads.last}ms vs historical " +
+        s"nominal ${startGateRef}ms)")
+      // the wait may have ended in a quieter window than launch: fresh
+      // samples let the self-calibrating nominal start from the
+      // healthy floor instead of the storm's
+      nominalParMs =
+        math.min(nominalParMs, (1 to 3).map(_ => canaryParMsNow()).min)
+    } else System.err.println(s"[bench] start gate: canary " +
+      s"${startReads.head}ms vs historical nominal ${startGateRef}ms — " +
+      "quiet, no wait")
+    val startGateJson = BenchReport.gateJson(startWaitSec, startGateRef,
+      startReads)
     // per-entry historical task_sec floors (median of per-file bests
     // across bench_diag/ — see taskFloors scaladoc): the cross-history
     // reference the r7 post-mortem asked for. The point-sampled canary
@@ -740,6 +853,29 @@ object Bench {
       entry -> t
     }
 
+    // ── inter-group cool-downs (r10 verdict ask #3) ────────────────
+    // Evidence across the ten r10 diags: runs launched after ≥40 min
+    // idle land 24–27 s clean; runs inside a sustained-burn window
+    // land 29–31 s with discounts — and the roster itself burns
+    // ~25 min of 32-core work, long enough to manufacture the very
+    // throttle window it then discounts. A bounded (≤60 s) canary-
+    // gated pause at each scale-group boundary lets a building
+    // throttle drain before the next group measures under it; a
+    // nominal canary skips the pause outright. Evidence (waited_s +
+    // every reading) lands in the diag's `cooldowns` object so a
+    // judge can see the boundary canaries were nominal on both sides.
+    val cooldowns = scala.collection.mutable.LinkedHashMap[String, String]()
+    def coolDown(group: String): Unit = {
+      val (w, reads) = awaitQuietWindow(() => canaryParMsNow(),
+        nominalParMs, budgetSec = 60)
+      cooldowns(group) = BenchReport.gateJson(w, nominalParMs, reads)
+      if (w > 0) System.err.println(s"[bench] cool-down before $group: " +
+        s"waited ${w}s (canary ${reads.head}ms -> ${reads.last}ms vs " +
+        s"nominal ${nominalParMs}ms)")
+      else System.err.println(s"[bench] cool-down before $group: canary " +
+        s"${reads.head}ms vs nominal ${nominalParMs}ms — nominal, skipped")
+    }
+
     // ── 10× dedup/ANN scale probe ─────────────────────────────────
     // AFTER the headline loop (r2 ran it first and every headline
     // number was measured against a storage pool pre-loaded with
@@ -758,6 +894,7 @@ object Bench {
     // contaminated timing unable to own the recorded number.
     var corpusBuild10 = -1.0
     val x10Probe: Seq[(String, Double)] = {
+      coolDown("x10")
       var dir10: String = null
       corpusBuild10 = timed { dir10 = buildScaledCorpus(spark, sfDir, copies = 10) }
       val fixed = x10Queries.map { n =>
@@ -789,6 +926,7 @@ object Bench {
     // documents ≈ 170 MB parquet — comfortable in the sandbox.
     var corpusBuild30 = -1.0
     val x30Probe: Seq[(String, Double)] = {
+      coolDown("x30")
       var dir30: String = null
       corpusBuild30 = timed { dir30 = buildScaledCorpus(spark, sfDir, copies = 30) }
       // three runs (was two through r6): both recorded x30 stalls
@@ -846,14 +984,17 @@ object Bench {
         // remaining revisit inside itself. A clean window spends 0 s.
         var backoffBudgetSec = 600
         def awaitHealthyWindow(context: String): Unit = {
-          var stale = canaryParMsNow() >= 2 * nominalParMs
-          while (backoffBudgetSec > 0 && stale) {
-            System.err.println(s"[bench] revisit ($context): all-core " +
-              s"canary still ≥2× nominal — waiting 15s " +
-              s"(${backoffBudgetSec}s backoff budget left)")
-            Thread.sleep(15000); backoffBudgetSec -= 15
-            stale = canaryParMsNow() >= 2 * nominalParMs
-          }
+          // same policy as the roster-start gate / group cool-downs,
+          // one shared implementation (round 11) — here drawing down
+          // the pass-wide budget so a storm that outlives the first
+          // wait doesn't consume every remaining revisit inside itself
+          val (w, reads) = awaitQuietWindow(() => canaryParMsNow(),
+            nominalParMs, backoffBudgetSec)
+          backoffBudgetSec -= w
+          if (w > 0) System.err.println(s"[bench] revisit ($context): " +
+            s"waited ${w}s for the all-core canary " +
+            s"(${reads.head}ms -> ${reads.last}ms vs nominal " +
+            s"${nominalParMs}ms; ${backoffBudgetSec}s backoff budget left)")
         }
         awaitHealthyWindow("pass start")
         flagged.flatMap { entry =>
@@ -899,9 +1040,21 @@ object Bench {
     // official BENCH_r04.json came back `parsed: null`), so it ships
     // on stderr AND as a side file; the compact driver contract line
     // is the LAST thing on stdout
+    // the adjudicator's discount count, computed in-process BEFORE the
+    // diag write (moved up in round 11): the diag now carries the
+    // `stormed` self-stamp — ≥ 2 discounted entries means the run was
+    // measured inside a degraded-delivery window, and the floor
+    // history (diagFloors here, history_floors in the script) excludes
+    // such files so banked storm evidence can't drift the medians up
+    // and loosen the degradation gates (r10 ADVICE). A single
+    // discounted entry is a localized blip, not a storm — the file's
+    // other ~40 per-entry bests are honest history and stay admitted.
+    val discounted = BenchReport.discountedEntries(results, rawRuns,
+      entryEnv, nominalParMs)
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
       corpusBuild10, corpusBuild30, runId, startedAt, entryEnv,
-      nominalParMs, sfDir)
+      nominalParMs, sfDir, stormed = discounted.size >= 2,
+      startGate = startGateJson, cooldowns = cooldowns)
     // canonical latest-run file PLUS an accumulating per-run-id copy:
     // r6's official diag was lost when a rerun overwrote the canonical
     // file; the per-run file makes every run's evidence permanent and
@@ -925,11 +1078,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] diag file write failed: ${e.getMessage}") }
     System.err.println(s"[bench] diag: $diag")
-    // the adjudicator's discount count, computed in-process (r8 verdict
-    // ask #5): the JSON a judge reads is self-describing — a clean run
-    // ships "discounted":[] without anyone running the script
-    val discounted = BenchReport.discountedEntries(results, rawRuns,
-      entryEnv, nominalParMs)
+    // (r8 verdict ask #5): the JSON a judge reads is self-describing —
+    // a clean run ships "discounted":[] without anyone running the
+    // script
     if (discounted.nonEmpty)
       System.err.println(s"[bench] entries needing environment " +
         s"discount: ${discounted.mkString(", ")}")

@@ -312,6 +312,20 @@ object BenchReport {
   private def lArr(ts: Seq[Long]): String =
     ts.mkString("[", ",", "]")
 
+  /** Evidence row for one bounded quiet-window wait (the round-11
+    * roster-start gate and the x10/x30 group cool-downs): seconds
+    * actually waited, the reference the staleness gate read against,
+    * and EVERY all-core canary reading taken — first = the reading
+    * that decided whether to wait, last = the reading the bench
+    * proceeded under, so a judge sees the boundary was nominal on
+    * both sides (or that the budget expired and the run proceeded
+    * self-describing).
+    */
+  def gateJson(waitedSec: Int, refParMs: Double,
+               canaryParMs: Seq[Double]): String =
+    s"""{"waited_s":$waitedSec,"ref_par_ms":${num(refParMs)},""" +
+      s""""canary_par_ms":${dArr(canaryParMs)}}"""
+
   private def dArr(ts: Seq[Double]): String =
     "[" + ts.map(t =>
       if (java.lang.Double.isFinite(t))
@@ -333,7 +347,11 @@ object BenchReport {
                env: collection.Map[String, EntryEnv] =
                  collection.Map.empty[String, EntryEnv],
                nominalParMs: Double = -1.0,
-               sfDir: String = ""): String = {
+               sfDir: String = "",
+               stormed: Boolean = false,
+               startGate: String = "",
+               cooldowns: collection.Map[String, String] =
+                 collection.Map.empty[String, String]): String = {
     // Locale.ROOT (in dArr): the default-locale f"" interpolator
     // renders 0.9 as "0,900" under comma-decimal locales — still
     // JSON, but four ints where two doubles belong, silently
@@ -413,9 +431,20 @@ object BenchReport {
     // "sf": which corpus this run measured — taskFloors filters the
     // history on it so a local sf0.01 iteration run can never poison
     // the sf0.1 floors (absent before round 8)
+    val cdJson = cooldowns.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // "stormed" (round 11): the run's own ≥2-discounts self-stamp —
+    // diagFloors / history_floors exclude stamped files from the floor
+    // basis so storm evidence can't drift the medians upward.
+    // "start_gate" / "cooldowns": the quiet-window waits' evidence
+    // (see gateJson) — empty start gate renders as waited 0 / no rows.
     s"""{"run_id":$runId,"started_at":${jstr(startedAt)},""" +
       s""""sf":${jstr(sfDir)},""" +
+      s""""stormed":$stormed,""" +
       s""""nominal_par_ms":${num(nominalParMs)},""" +
+      s""""start_gate":${if (startGate.isEmpty) gateJson(0, -1.0, Nil)
+        else startGate},""" +
+      s""""cooldowns":$cdJson,""" +
       s""""runs":$runsJson,"heap_mb_before":$heapJson,"host_env":$envJson,""" +
       s""""minhash":$mhJson,"lsh":$lshJson,"corpus_build_sec":""" +
       s"""{"x10":${num(corpusBuild10)},"x30":${num(corpusBuild30)}}}"""

@@ -189,6 +189,18 @@ class BenchReportSpec extends AnyFunSuite {
     // minimum, so no floor
     assert(!Bench.diagFloors(dir, Some("/root/testdata/sf0.1"),
       excludeRunId = Some(12L))._2.contains("qW"))
+    // a storm-stamped file (round 11: the bench self-stamps a run
+    // whose own discount mirror found ≥2 discounted entries) must be
+    // excluded from the floor basis — its inflated bests would drift
+    // the medians upward and loosen the degradation gates. With the
+    // stamp honored, qA's floors are unchanged by this absurd file.
+    write(9L, Map("qA" -> Seq(9999.0, 8888.0)))
+    val stampedTxt = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("run_9.json")), "UTF-8")
+    java.nio.file.Files.write(dir.resolve("run_9.json"),
+      ("{\"stormed\":true," + stampedTxt.tail).getBytes("UTF-8")): Unit
+    assert(Bench.taskFloors(dir, Some("/root/testdata/sf0.1"))("qA")
+      === 35.6)
     // with no sf filter the stray files shift the median down a slot
     assert(Bench.taskFloors(dir)("qA") === 28.6)
     // at a NEW scale, unstamped (pre-r8) files are excluded — they
@@ -199,6 +211,61 @@ class BenchReportSpec extends AnyFunSuite {
     assert(Bench.taskFloors(dir, Some("/root/testdata/sf1.0")).isEmpty)
     // absent dir → empty map (fresh repo: retries simply never fire)
     assert(Bench.taskFloors(dir.resolve("nope")).isEmpty)
+  }
+
+  test("awaitQuietWindow: canary-gated bounded wait, injectable clock") {
+    // quiet at first probe: zero wait, one reading, no sleep calls
+    var slept = List.empty[Int]
+    val sleep = (s: Int) => slept = slept :+ s
+    def probes(vals: Double*): () => Double = {
+      val it = vals.iterator
+      () => it.next()
+    }
+    assert(Bench.awaitQuietWindow(probes(60.0), refMs = 50.0,
+      budgetSec = 300, sleep = sleep) === (0, Seq(60.0)))
+    assert(slept.isEmpty)
+    // stale (≥2× ref) waits in steps until a probe reads quiet; every
+    // reading is returned (first decided to wait, last is proceeded
+    // under)
+    assert(Bench.awaitQuietWindow(probes(140.0, 120.0, 61.0), 50.0,
+      budgetSec = 300, sleep = sleep) === (30, Seq(140.0, 120.0, 61.0)))
+    assert(slept === List(15, 15))
+    // budget exhausts mid-storm: proceed regardless, waited == budget
+    slept = Nil
+    val (w, reads) = Bench.awaitQuietWindow(probes(200.0, 200.0, 200.0),
+      50.0, budgetSec = 20, sleep = sleep)
+    assert(w === 20 && reads.size === 3) // 15s step then 5s remainder
+    assert(slept === List(15, 5))
+    // exactly the 2× gate is stale; just under is quiet
+    assert(Bench.awaitQuietWindow(probes(100.0, 40.0), 50.0, 300,
+      sleep = sleep)._1 === 15)
+    assert(Bench.awaitQuietWindow(probes(99.9), 50.0, 300,
+      sleep = sleep)._1 === 0)
+    // a non-positive reference (fresh repo, no history) never waits
+    assert(Bench.awaitQuietWindow(probes(9999.0), -1.0, 300,
+      sleep = sleep)._1 === 0)
+  }
+
+  test("historicalNominalParMs: median across non-stormed diag files") {
+    val dir = java.nio.file.Files.createTempDirectory("nominals")
+    def write(id: Long, nominal: Double, stormed: Boolean = false): Unit =
+      java.nio.file.Files.write(dir.resolve(s"run_$id.json"),
+        (s"""{"run_id":$id,"stormed":$stormed,""" +
+          s""""nominal_par_ms":$nominal}""").getBytes("UTF-8")): Unit
+    // fewer than 3 usable files -> no reference (gate falls back to
+    // the self-nominal)
+    write(1L, 49.5)
+    write(2L, 52.9)
+    assert(Bench.historicalNominalParMs(dir).isEmpty)
+    write(3L, 48.4)
+    assert(Bench.historicalNominalParMs(dir) === Some(49.5))
+    // a stormed file's nominal is excluded; a malformed file skipped
+    write(4L, 1.0, stormed = true)
+    java.nio.file.Files.write(dir.resolve("run_5.json"),
+      "{not json".getBytes("UTF-8")): Unit
+    assert(Bench.historicalNominalParMs(dir) === Some(49.5))
+    // absent dir -> None
+    assert(Bench.historicalNominalParMs(dir.resolve("nope")).isEmpty)
   }
 
   test("diag json parses with all sections, run identity, and host env") {
@@ -213,6 +280,11 @@ class BenchReportSpec extends AnyFunSuite {
       corpusBuild10 = 2.15, corpusBuild30 = Double.NaN,
       runId = 1755192000123L, startedAt = "2026-08-14T17:20:00.123Z",
       nominalParMs = 54.2, sfDir = "/root/testdata/sf0.1",
+      stormed = true,
+      startGate = BenchReport.gateJson(45, 50.1, Seq(130.0, 120.0, 52.0)),
+      cooldowns = scala.collection.mutable.LinkedHashMap(
+        "x10" -> BenchReport.gateJson(0, 54.2, Seq(55.0)),
+        "x30" -> BenchReport.gateJson(15, 54.2, Seq(140.0, 53.0))),
       env = scala.collection.mutable.LinkedHashMap(
         "q01" -> BenchReport.EntryEnv(
           Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
@@ -229,6 +301,26 @@ class BenchReportSpec extends AnyFunSuite {
     assert(j.get("nominal_par_ms").asDouble() === 54.2)
     // round-8 scale stamp: taskFloors keys its history filter on this
     assert(j.get("sf").asText() === "/root/testdata/sf0.1")
+    // round-11: the ≥2-discounts self-stamp the floor basis excludes on
+    assert(j.get("stormed").asBoolean() === true)
+    // round-11 quiet-window evidence: the roster-start gate and the
+    // per-group cool-downs, each waited_s + reference + every reading
+    val sg = j.get("start_gate")
+    assert(sg.get("waited_s").asInt() === 45)
+    assert(sg.get("ref_par_ms").asDouble() === 50.1)
+    assert(sg.get("canary_par_ms").get(2).asDouble() === 52.0)
+    assert(j.get("cooldowns").get("x10").get("waited_s").asInt() === 0)
+    assert(j.get("cooldowns").get("x30").get("canary_par_ms").get(0)
+      .asDouble() === 140.0)
+    // defaults (a run with no gate evidence) still parse
+    val bare = parse(BenchReport.diagJson(
+      collection.Map.empty[String, Seq[Double]],
+      collection.Map.empty[String, Long],
+      collection.Map.empty[String, String],
+      collection.Map.empty[String, String], -1.0, -1.0))
+    assert(bare.get("stormed").asBoolean() === false)
+    assert(bare.get("start_gate").get("waited_s").asInt() === 0)
+    assert(bare.get("cooldowns").size() === 0)
     assert(j.get("runs").get("x10_q65").get(2).asDouble() === -1.0)
     assert(j.get("heap_mb_before").get("q01").asLong() === 127L)
     // host-load rows align index-for-index with the entry's runs array
