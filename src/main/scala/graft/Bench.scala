@@ -104,18 +104,25 @@ object Bench {
     */
   val legacyDiagSf = "/root/testdata/sf0.1"
 
-  /** Bounded canary-gated idle-wait (round 11): probe once; while the
-    * reading sits ≥ 2× `refMs` (the same staleness gate every other
-    * canary consumer uses) and budget remains, sleep `stepSec` and
-    * re-probe. Returns (seconds actually waited, every reading taken —
-    * first = the reading that decided whether to wait at all, last =
-    * the reading the caller proceeds under). A quiet window spends 0 s
-    * and returns one reading; an exhausted budget proceeds regardless
-    * — the wait only ever DELAYS measurement, never changes what gets
-    * recorded, so recorded-wall semantics are untouched. `probe` and
-    * `sleep` are injectable so the policy is spec-testable without
-    * sleeping (BenchReportSpec). A non-positive `refMs` (no reference)
-    * never waits.
+  /** Bounded canary-gated idle-wait (round 11; predicate upgraded in
+    * round 12): probe, then sleep `stepSec` and re-probe until the
+    * LAST TWO readings both sit under 2× `refMs` (the same staleness
+    * gate every other canary consumer uses) or the budget runs out.
+    * Two CONSECUTIVE quiet readings, not one (r11 verdict ask #4): the
+    * r11 x30 cool-down proceeded the moment a single reading dipped to
+    * 52 ms inside an oscillating storm (`canary_par_ms:
+    * [229.8, 171.8, 52.4]`) and the storm returned mid-entry — one
+    * quiet sample inside an oscillation is a lull, not a window, so
+    * every gate now demands a quiet reading that HELD for a step.
+    * Returns (seconds actually waited, every reading taken — first =
+    * the reading that decided the gate's starting state, last two =
+    * the readings the caller proceeds under). Even a quiet launch
+    * therefore spends one `stepSec` confirming; an exhausted budget
+    * proceeds regardless — the wait only ever DELAYS measurement,
+    * never changes what gets recorded, so recorded-wall semantics are
+    * untouched. `probe` and `sleep` are injectable so the policy is
+    * spec-testable without sleeping (BenchReportSpec). A non-positive
+    * `refMs` (no reference) never waits.
     */
   def awaitQuietWindow(probe: () => Double, refMs: Double, budgetSec: Int,
                        stepSec: Int = 15,
@@ -124,7 +131,10 @@ object Bench {
     require(stepSec > 0, "awaitQuietWindow needs a positive step")
     var waited = 0
     val readings = scala.collection.mutable.ArrayBuffer(probe())
-    while (refMs > 0 && waited < budgetSec && readings.last >= 2 * refMs) {
+    def quiet(r: Double): Boolean = r < 2 * refMs
+    def windowOpen: Boolean = readings.size >= 2 &&
+      quiet(readings.last) && quiet(readings(readings.size - 2))
+    while (refMs > 0 && waited < budgetSec && !windowOpen) {
       val step = math.min(stepSec, budgetSec - waited)
       sleep(step); waited += step
       readings += probe()
@@ -132,11 +142,25 @@ object Bench {
     (waited, readings.toSeq)
   }
 
-  /** Median `nominal_par_ms` across the non-stormed diag history (any
-    * sf — the all-core canary measures host delivery, not data scale;
-    * ≥ 3 files, same minimum as the floors). The roster-START gate's
-    * reference: the run's own nominal is self-calibrated from samples
-    * taken at launch, so a storm already in progress inflates it and a
+  /** How many of the NEWEST non-stormed diag files feed the
+    * roster-start gate's nominal reference (r11 ADVICE): the history
+    * now spans 70+ files across rounds, and an unbounded median would
+    * let months-stale readings from a differently-delivering host
+    * dominate the gate. 15 newest ≈ the last two rounds' runs — recent
+    * enough to track the current host, wide enough that one odd run
+    * cannot move the median.
+    */
+  val NominalRecencyWindow = 15
+
+  /** Median `nominal_par_ms` across the [[NominalRecencyWindow]]
+    * newest non-stormed diag files, newest by the run-id timestamp in
+    * the file name (any sf — the all-core canary measures host
+    * delivery, not data scale; ≥ 3 files, same minimum as the floors;
+    * the storm filter runs BEFORE the recency cut, so a run of
+    * back-to-back storms narrows the window's age rather than emptying
+    * it and disabling the gate). The roster-START gate's reference:
+    * the run's own nominal is self-calibrated from samples taken at
+    * launch, so a storm already in progress inflates it and a
     * self-referenced gate would read "quiet" — exactly how the r10
     * official run opened at load1 5.16 and began immediately. History
     * is the only reference that predates the storm. None on a fresh
@@ -149,11 +173,16 @@ object Bench {
     if (!java.nio.file.Files.isDirectory(dir)) return None
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)
+    val re = "run_(\\d+)\\.json".r
     val files =
-      try stream.iterator().asScala
-        .filter(_.getFileName.toString.matches("run_\\d+\\.json")).toList
+      try stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case re(id) => Some(id.toLong -> p)
+          case _ => None
+        }
+      }.toList
       finally stream.close()
-    val vals = files.flatMap { p =>
+    val vals = files.sortBy(-_._1).iterator.flatMap { case (_, p) =>
       try {
         val j = org.json4s.jackson.JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
@@ -169,7 +198,7 @@ object Bench {
           case _ => None
         }
       } catch { case _: Throwable => None }
-    }
+    }.take(NominalRecencyWindow).toList
     if (vals.size < 3) None
     else { val s = vals.sorted; Some(s(s.size / 2)) }
   }
@@ -740,6 +769,178 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     SparkEntry.headlines.headOption.foreach(n => runIn(n, sfDir))
 
+    def captureMinhash(entry: String): Unit =
+      graft.ext.Dedup.lastMinhashDiag.foreach { d =>
+        // Double.toString, not the f-interpolator: %f formats via the
+        // JVM default locale, so a comma-decimal locale would emit
+        // invalid JSON in the diag file. candidate_sec is the per-run
+        // array collected in best() (aligned with raw_runs), so the
+        // phase split of EVERY run is on record, including a wobble
+        // that lands only on a non-min run.
+        val cs = candSecs.getOrElse(entry, Seq.empty).mkString("[", ",", "]")
+        minhashDiag(entry) =
+          s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}",""" +
+            s""""candidate_sec":$cs}"""
+      }
+    def captureLsh(entry: String): Unit =
+      // the thunk runs the histogram job HERE, after best() stopped
+      // the timer — the measured entry never pays for its own diag
+      graft.ext.Similarity.lastLshDiag.foreach { thunk =>
+        val d = thunk()
+        lshDiag(entry) = s"""{"n_candidates":${d.nCandidates},""" +
+          s""""n_buckets":${d.nBuckets},"max_bucket":${d.maxBucket}}"""
+      }
+
+    /** One auto-sized LSH pair-search probe over `dir`'s embeddings:
+      * plane count from autoPlanes(n, target=8 — the 1× family's
+      * measured occupancy). Shared by the x10 and x30 entries so the
+      * two scale points of the occupancy-held fit can never
+      * desynchronize on harness details.
+      */
+    def lshAutoProbe(dir: String, entry: String, runs: Int): (String, Double) = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val planes = graft.ext.Similarity.autoPlanes(n, targetPerBucket = 8)
+      System.err.println(s"[bench] $entry: n=$n -> nPlanes=$planes")
+      val t = best(entry, runs) {
+        try timed {
+          graft.ext.Similarity.lshNeighborPairs(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            dim = 64, threshold = 0.3, nPlanes = planes)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $entry failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      captureLsh(entry)
+      entry -> t
+    }
+
+    // ── inter-group cool-downs (r10 verdict ask #3) ────────────────
+    // Evidence across the ten r10 diags: runs launched after ≥40 min
+    // idle land 24–27 s clean; runs inside a sustained-burn window
+    // land 29–31 s with discounts — and the roster itself burns
+    // ~25 min of 32-core work, long enough to manufacture the very
+    // throttle window it then discounts. A bounded (≤60 s) canary-
+    // gated pause at each group boundary lets a building throttle
+    // drain before the next group measures under it; since round 12
+    // the gate demands TWO consecutive quiet readings (see
+    // awaitQuietWindow), so a clean boundary costs one confirm step.
+    // Evidence (waited_s + every reading) lands in the diag's
+    // `cooldowns` object so a judge can see the boundary canaries were
+    // nominal on both sides.
+    val cooldowns = scala.collection.mutable.LinkedHashMap[String, String]()
+    def coolDown(group: String): Unit = {
+      val (w, reads) = awaitQuietWindow(() => canaryParMsNow(),
+        nominalParMs, budgetSec = 60)
+      cooldowns(group) = BenchReport.gateJson(w, nominalParMs, reads)
+      if (w > 0) System.err.println(s"[bench] cool-down before $group: " +
+        s"waited ${w}s (canary ${reads.head}ms -> ${reads.last}ms vs " +
+        s"nominal ${nominalParMs}ms)")
+      else System.err.println(s"[bench] cool-down before $group: canary " +
+        s"${reads.head}ms vs nominal ${nominalParMs}ms — nominal, skipped")
+    }
+
+    // ── 30× probe for the three heaviest linear ops — FIRST on the
+    // roster (r11 verdict ask #1) ──────────────────────────────────
+    // Through round 11 this group opened at t≈458 s of sustained
+    // 32-core burn, precisely the host's ~8-minute credit-throttle
+    // onset documented across 71 diags — the r11 official run retried
+    // x30_q65 seven times over ~6 minutes inside that window and still
+    // recorded 1.93× its honest floor, because no affordable boundary
+    // cool-down can out-wait a credit refill that takes tens of
+    // minutes. Running the roster's heaviest, floor-gated entries
+    // right after JIT warmup puts them inside the same quiet window
+    // the roster-start gate already buys. The r2 concern with probes
+    // running early (headlines measured against a storage pool
+    // pre-loaded with scaled intermediates) no longer applies:
+    // prepare() clears the cache and forces a collection before every
+    // run, and registered queries stage intra-query reuse to temp
+    // parquet rather than the storage pool (round 4).
+    // The x30 corpus turns the linearity argument into a two-point
+    // fit: with 10× and 30× both recorded, a hidden super-linear term
+    // shows up as a ratio-of-ratios > 3 (r3 VERDICT ask #5). Corpus
+    // ~30× sf0.1 documents ≈ 170 MB parquet — comfortable in the
+    // sandbox.
+    var corpusBuild30 = -1.0
+    val x30Probe: Seq[(String, Double)] = {
+      coolDown("x30")
+      var dir30: String = null
+      corpusBuild30 = timed { dir30 = buildScaledCorpus(spark, sfDir, copies = 30) }
+      // three runs (was two through r6): both recorded x30 stalls
+      // (r5 x30_q65 19 s, r6 x30_q122 44.8 s) needed EVERY run of the
+      // entry contaminated to own the committed min, and a 44.8 s
+      // record means both r6 runs stalled — a third sample at ~3-10 s
+      // apiece is cheap insurance, and the per-run host_env rows say
+      // which runs were measured under load
+      val fixed = x30Queries.map { n =>
+        val entry = s"x30_$n"
+        val t = best(entry, 3)(runIn(n, dir30))
+        captureMinhash(entry)
+        entry -> t
+      }
+      // the auto-planes sizing rule's SECOND scale point (x10 below is
+      // the first): with occupancy targeted at the 1× family's ~8 per
+      // bucket, linear candidate growth across x10 AND x30 is the
+      // two-point fit that separates "held occupancy" from "got lucky
+      // at one scale" — same argument the fixed x10/x30 pairs make for
+      // the minhash family
+      fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 3)
+    }
+
+    // ── 10× dedup/ANN scale probe — second, still inside the fresh-
+    // credit window ───────────────────────────────────────────────
+    // The x10 group is the roster's longest burn (13 entries × 3 runs)
+    // and carries its own floor-gated entries (x10_q86, x10_q65), so
+    // it runs immediately after x30 rather than after the ~40-entry
+    // headline group. Same corpus construction: near-dup structure is
+    // preserved WITHIN each copy and absent ACROSS copies (every token
+    // gets a per-copy tag; embeddings get a per-copy diagonal ±1 sign
+    // flip, which keeps within-copy cosines bit-identical and
+    // decorrelates cross-copy pairs). True output therefore grows
+    // LINEARLY in corpus size — so wall-time growth beyond ~10× on
+    // these entries would expose super-linear engine behavior (an N²
+    // candidate path would show ~100×). Three runs, not two:
+    // BENCH_r03 recorded x10_q65 at 12× its 1× time while a clean
+    // rerun of the same sequence measured 1.4× — an environmental
+    // stall, not a plan property — and a third sample plus the
+    // raw-runs diag makes one contaminated timing unable to own the
+    // recorded number.
+    var corpusBuild10 = -1.0
+    val x10Probe: Seq[(String, Double)] = {
+      coolDown("x10")
+      var dir10: String = null
+      corpusBuild10 = timed { dir10 = buildScaledCorpus(spark, sfDir, copies = 10) }
+      val fixed = x10Queries.map { n =>
+        val entry = s"x10_$n"
+        val t = best(entry, 3)(runIn(n, dir10))
+        captureMinhash(entry); captureLsh(entry)
+        entry -> t
+      }
+      // autoPlanes demonstration: the same pair search at 10× with the
+      // sizing rule applied (nPlanes from the corpus count, the way a
+      // 100 TB deployment would size it from table statistics) instead
+      // of q72's fixed 8-plane family. x10_q72_ann_lsh above shows the
+      // FIXED family's occupancy growing linearly (candidates
+      // quadratically); this entry's lsh diag row shows the rule
+      // pulling occupancy back to the target and candidates back to
+      // ~linear — the PLANS.md q72 analysis as a measured record
+      // rather than an argument (r4 verdict ask #3 follow-through).
+      // target = the 1× family's MEASURED occupancy (~2000 vectors
+      // over 252 populated buckets ≈ 8/bucket), so the probes test
+      // the rule's actual scale claim — occupancy held CONSTANT as
+      // the corpus grows — not merely "fewer candidates than fixed"
+      fixed :+ lshAutoProbe(dir10, "x10_q72_lsh_auto", runs = 3)
+    }
+
+    // the headline (1×) group runs LAST — it is ~40 individually-light
+    // entries, so a late-roster throttle inflates each by far less in
+    // absolute terms than it inflated the scale probes it used to hit,
+    // and the canary-gated cool-down before the group (the "before
+    // whatever runs last" boundary the r11 verdict asked to keep) plus
+    // the end-of-roster revisit pass cover the residual risk
+    coolDown("headlines")
+
     // streaming-ingest throughput: parse+flatten+stamp+partitioned write
     // of 100k generated purchase events (the reference producer tops out
     // at ~2 events/s; this measures the engine's single-node ceiling)
@@ -793,28 +994,6 @@ object Bench {
       }
     }
 
-    def captureMinhash(entry: String): Unit =
-      graft.ext.Dedup.lastMinhashDiag.foreach { d =>
-        // Double.toString, not the f-interpolator: %f formats via the
-        // JVM default locale, so a comma-decimal locale would emit
-        // invalid JSON in the diag file. candidate_sec is the per-run
-        // array collected in best() (aligned with raw_runs), so the
-        // phase split of EVERY run is on record, including a wobble
-        // that lands only on a non-min run.
-        val cs = candSecs.getOrElse(entry, Seq.empty).mkString("[", ",", "]")
-        minhashDiag(entry) =
-          s"""{"n_pairs":${d.nPairs},"verify_join":"${d.verifyJoin}",""" +
-            s""""candidate_sec":$cs}"""
-      }
-    def captureLsh(entry: String): Unit =
-      // the thunk runs the histogram job HERE, after best() stopped
-      // the timer — the measured entry never pays for its own diag
-      graft.ext.Similarity.lastLshDiag.foreach { thunk =>
-        val d = thunk()
-        lshDiag(entry) = s"""{"n_candidates":${d.nCandidates},""" +
-          s""""n_buckets":${d.nBuckets},"max_bucket":${d.maxBucket}}"""
-      }
-
     val headlineResults = SparkEntry.headlines.map { n =>
       // q93 gets the x10 treatment (n=3, was 2): the r7 committed
       // artifact needed BOTH runs bad to record 6.6 s on a ~3.5 s
@@ -826,128 +1005,6 @@ object Bench {
       }
       captureMinhash(n); captureLsh(n)
       n -> t
-    }
-
-    /** One auto-sized LSH pair-search probe over `dir`'s embeddings:
-      * plane count from autoPlanes(n, target=8 — the 1× family's
-      * measured occupancy). Shared by the x10 and x30 entries so the
-      * two scale points of the occupancy-held fit can never
-      * desynchronize on harness details.
-      */
-    def lshAutoProbe(dir: String, entry: String, runs: Int): (String, Double) = {
-      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val planes = graft.ext.Similarity.autoPlanes(n, targetPerBucket = 8)
-      System.err.println(s"[bench] $entry: n=$n -> nPlanes=$planes")
-      val t = best(entry, runs) {
-        try timed {
-          graft.ext.Similarity.lshNeighborPairs(
-            spark.read.parquet(s"$dir/embeddings.parquet"),
-            dim = 64, threshold = 0.3, nPlanes = planes)
-            .write.format("noop").mode("overwrite").save()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $entry failed: ${e.getMessage}")
-          -1.0
-        }
-      }
-      captureLsh(entry)
-      entry -> t
-    }
-
-    // ── inter-group cool-downs (r10 verdict ask #3) ────────────────
-    // Evidence across the ten r10 diags: runs launched after ≥40 min
-    // idle land 24–27 s clean; runs inside a sustained-burn window
-    // land 29–31 s with discounts — and the roster itself burns
-    // ~25 min of 32-core work, long enough to manufacture the very
-    // throttle window it then discounts. A bounded (≤60 s) canary-
-    // gated pause at each scale-group boundary lets a building
-    // throttle drain before the next group measures under it; a
-    // nominal canary skips the pause outright. Evidence (waited_s +
-    // every reading) lands in the diag's `cooldowns` object so a
-    // judge can see the boundary canaries were nominal on both sides.
-    val cooldowns = scala.collection.mutable.LinkedHashMap[String, String]()
-    def coolDown(group: String): Unit = {
-      val (w, reads) = awaitQuietWindow(() => canaryParMsNow(),
-        nominalParMs, budgetSec = 60)
-      cooldowns(group) = BenchReport.gateJson(w, nominalParMs, reads)
-      if (w > 0) System.err.println(s"[bench] cool-down before $group: " +
-        s"waited ${w}s (canary ${reads.head}ms -> ${reads.last}ms vs " +
-        s"nominal ${nominalParMs}ms)")
-      else System.err.println(s"[bench] cool-down before $group: canary " +
-        s"${reads.head}ms vs nominal ${nominalParMs}ms — nominal, skipped")
-    }
-
-    // ── 10× dedup/ANN scale probe ─────────────────────────────────
-    // AFTER the headline loop (r2 ran it first and every headline
-    // number was measured against a storage pool pre-loaded with
-    // 10×-scale cached intermediates). Same pipelines over a corpus
-    // 10× the SF dir, built so near-dup structure is preserved WITHIN
-    // each copy and absent ACROSS copies (every token gets a per-copy
-    // tag; embeddings get a per-copy diagonal ±1 sign flip, which
-    // keeps within-copy cosines bit-identical and decorrelates
-    // cross-copy pairs). True output therefore grows LINEARLY in
-    // corpus size — so wall-time growth beyond ~10× on these entries
-    // would expose super-linear engine behavior (an N² candidate path
-    // would show ~100×). Three runs, not two: BENCH_r03 recorded
-    // x10_q65 at 12× its 1× time while a clean rerun of the same
-    // sequence measured 1.4× — an environmental stall, not a plan
-    // property — and a third sample plus the raw-runs diag makes one
-    // contaminated timing unable to own the recorded number.
-    var corpusBuild10 = -1.0
-    val x10Probe: Seq[(String, Double)] = {
-      coolDown("x10")
-      var dir10: String = null
-      corpusBuild10 = timed { dir10 = buildScaledCorpus(spark, sfDir, copies = 10) }
-      val fixed = x10Queries.map { n =>
-        val entry = s"x10_$n"
-        val t = best(entry, 3)(runIn(n, dir10))
-        captureMinhash(entry); captureLsh(entry)
-        entry -> t
-      }
-      // autoPlanes demonstration: the same pair search at 10× with the
-      // sizing rule applied (nPlanes from the corpus count, the way a
-      // 100 TB deployment would size it from table statistics) instead
-      // of q72's fixed 8-plane family. x10_q72_ann_lsh above shows the
-      // FIXED family's occupancy growing linearly (candidates
-      // quadratically); this entry's lsh diag row shows the rule
-      // pulling occupancy back to the target and candidates back to
-      // ~linear — the PLANS.md q72 analysis as a measured record
-      // rather than an argument (r4 verdict ask #3 follow-through).
-      // target = the 1× family's MEASURED occupancy (~2000 vectors
-      // over 252 populated buckets ≈ 8/bucket), so the probes test
-      // the rule's actual scale claim — occupancy held CONSTANT as
-      // the corpus grows — not merely "fewer candidates than fixed"
-      fixed :+ lshAutoProbe(dir10, "x10_q72_lsh_auto", runs = 3)
-    }
-
-    // ── 30× probe for the three heaviest linear ops ───────────────
-    // turns the linearity argument into a two-point fit: with 10× and
-    // 30× both recorded, a hidden super-linear term shows up as a
-    // ratio-of-ratios > 3 (r3 VERDICT ask #5). Corpus ~30× sf0.1
-    // documents ≈ 170 MB parquet — comfortable in the sandbox.
-    var corpusBuild30 = -1.0
-    val x30Probe: Seq[(String, Double)] = {
-      coolDown("x30")
-      var dir30: String = null
-      corpusBuild30 = timed { dir30 = buildScaledCorpus(spark, sfDir, copies = 30) }
-      // three runs (was two through r6): both recorded x30 stalls
-      // (r5 x30_q65 19 s, r6 x30_q122 44.8 s) needed EVERY run of the
-      // entry contaminated to own the committed min, and a 44.8 s
-      // record means both r6 runs stalled — a third sample at ~3-10 s
-      // apiece is cheap insurance, and the per-run host_env rows say
-      // which runs were measured under load
-      val fixed = x30Queries.map { n =>
-        val entry = s"x30_$n"
-        val t = best(entry, 3)(runIn(n, dir30))
-        captureMinhash(entry)
-        entry -> t
-      }
-      // the auto-planes sizing rule's SECOND scale point (x10 above is
-      // the first): with occupancy targeted at the 1× family's ~8 per
-      // bucket, linear candidate growth across x10 AND x30 is the
-      // two-point fit that separates "held occupancy" from "got lucky
-      // at one scale" — same argument the fixed x10/x30 pairs make for
-      // the minhash family
-      fixed :+ lshAutoProbe(dir30, "x30_q72_lsh_auto", runs = 3)
     }
 
     // ── end-of-roster revisit pass (r8 verdict ask #2) ─────────────
@@ -1049,6 +1106,14 @@ object Bench {
     // and loosen the degradation gates (r10 ADVICE). A single
     // discounted entry is a localized blip, not a storm — the file's
     // other ~40 per-entry bests are honest history and stay admitted.
+    // Stamp semantics, pinned by DiagAuditSpec over the whole banked
+    // history (r11 ADVICE): a rule-based stamp is reproducible from
+    // the file alone (DiagAudit.recomputedDiscounts ≥ 2); a file
+    // stamped BELOW that threshold must carry a `stormed_reason`
+    // naming the manual evidence (a hand-run storm rehearsal, or a
+    // pre-r10 storm the recompute is blind to because those files
+    // carry no stamped wall floors). The bench itself only ever writes
+    // the rule-based stamp.
     val discounted = BenchReport.discountedEntries(results, rawRuns,
       entryEnv, nominalParMs)
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,

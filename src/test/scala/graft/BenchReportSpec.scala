@@ -214,22 +214,35 @@ class BenchReportSpec extends AnyFunSuite {
   }
 
   test("awaitQuietWindow: canary-gated bounded wait, injectable clock") {
-    // quiet at first probe: zero wait, one reading, no sleep calls
     var slept = List.empty[Int]
     val sleep = (s: Int) => slept = slept :+ s
     def probes(vals: Double*): () => Double = {
       val it = vals.iterator
       () => it.next()
     }
-    assert(Bench.awaitQuietWindow(probes(60.0), refMs = 50.0,
-      budgetSec = 300, sleep = sleep) === (0, Seq(60.0)))
-    assert(slept.isEmpty)
-    // stale (≥2× ref) waits in steps until a probe reads quiet; every
-    // reading is returned (first decided to wait, last is proceeded
-    // under)
-    assert(Bench.awaitQuietWindow(probes(140.0, 120.0, 61.0), 50.0,
-      budgetSec = 300, sleep = sleep) === (30, Seq(140.0, 120.0, 61.0)))
-    assert(slept === List(15, 15))
+    // round 12 (r11 verdict ask #4): the gate leaves only on TWO
+    // consecutive quiet readings — a quiet launch still spends one
+    // confirm step, so every gate record shows ≥2 trailing quiet
+    // readings (the r11 x30 cool-down proceeded on a single 52 ms dip
+    // inside an oscillating storm and the storm returned mid-entry)
+    assert(Bench.awaitQuietWindow(probes(60.0, 55.0), refMs = 50.0,
+      budgetSec = 300, sleep = sleep) === (15, Seq(60.0, 55.0)))
+    assert(slept === List(15))
+    // stale (≥2× ref) waits in steps until two consecutive probes read
+    // quiet; every reading is returned (first decided the gate's
+    // starting state, last two are proceeded under)
+    slept = Nil
+    assert(Bench.awaitQuietWindow(probes(140.0, 120.0, 61.0, 58.0), 50.0,
+      budgetSec = 300, sleep = sleep)
+      === (45, Seq(140.0, 120.0, 61.0, 58.0)))
+    assert(slept === List(15, 15, 15))
+    // a single quiet dip inside an oscillation does NOT open the
+    // window — the exact r11 failure shape (229.8 -> 171.8 -> 52.4,
+    // proceeded, storm returned); now the dip must hold for a step
+    slept = Nil
+    assert(Bench.awaitQuietWindow(
+      probes(229.8, 171.8, 52.4, 180.0, 60.0, 51.0), 50.0,
+      budgetSec = 300, sleep = sleep)._1 === 75)
     // budget exhausts mid-storm: proceed regardless, waited == budget
     slept = Nil
     val (w, reads) = Bench.awaitQuietWindow(probes(200.0, 200.0, 200.0),
@@ -237,13 +250,14 @@ class BenchReportSpec extends AnyFunSuite {
     assert(w === 20 && reads.size === 3) // 15s step then 5s remainder
     assert(slept === List(15, 5))
     // exactly the 2× gate is stale; just under is quiet
-    assert(Bench.awaitQuietWindow(probes(100.0, 40.0), 50.0, 300,
+    assert(Bench.awaitQuietWindow(probes(100.0, 40.0, 41.0), 50.0, 300,
+      sleep = sleep)._1 === 30)
+    assert(Bench.awaitQuietWindow(probes(99.9, 99.8), 50.0, 300,
       sleep = sleep)._1 === 15)
-    assert(Bench.awaitQuietWindow(probes(99.9), 50.0, 300,
-      sleep = sleep)._1 === 0)
     // a non-positive reference (fresh repo, no history) never waits
+    // and takes a single reading
     assert(Bench.awaitQuietWindow(probes(9999.0), -1.0, 300,
-      sleep = sleep)._1 === 0)
+      sleep = sleep) === (0, Seq(9999.0)))
   }
 
   test("historicalNominalParMs: median across non-stormed diag files") {
@@ -264,6 +278,27 @@ class BenchReportSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("run_5.json"),
       "{not json".getBytes("UTF-8")): Unit
     assert(Bench.historicalNominalParMs(dir) === Some(49.5))
+    // recency window (r11 ADVICE): only the NominalRecencyWindow
+    // newest non-stormed files count, so stale readings from an old
+    // host configuration cannot dominate the gate reference. 12 old
+    // fast-host files + 8 new slow-host files: an unbounded median
+    // would read 10.0 (the stale regime); the windowed median reads
+    // the current host's 50.0. The storm filter runs BEFORE the cut —
+    // stormed files never displace admissible history out the window.
+    val dir2 = java.nio.file.Files.createTempDirectory("nominals2")
+    def write2(id: Long, nominal: Double, stormed: Boolean = false): Unit =
+      java.nio.file.Files.write(dir2.resolve(s"run_$id.json"),
+        (s"""{"run_id":$id,"stormed":$stormed,""" +
+          s""""nominal_par_ms":$nominal}""").getBytes("UTF-8")): Unit
+    (1L to 12L).foreach(write2(_, 10.0))
+    (13L to 20L).foreach(write2(_, 50.0))
+    assert(Bench.NominalRecencyWindow === 15)
+    // newest 15 = ids 6..20 -> seven 10.0 + eight 50.0 -> median 50.0
+    assert(Bench.historicalNominalParMs(dir2) === Some(50.0))
+    // stormed files between the regimes are skipped, not counted
+    // against the window
+    (21L to 30L).foreach(write2(_, 999.0, stormed = true))
+    assert(Bench.historicalNominalParMs(dir2) === Some(50.0))
     // absent dir -> None
     assert(Bench.historicalNominalParMs(dir.resolve("nope")).isEmpty)
   }
