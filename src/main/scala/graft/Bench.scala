@@ -90,12 +90,21 @@ object Bench {
   def needsRevisit(runs: Seq[Double], contamFlags: Seq[Boolean],
                    bestUsableTask: Option[Double],
                    floor: Option[Double],
-                   wallFloor: Option[Double] = None): Boolean =
+                   wallFloor: Option[Double] = None,
+                   recordedWall: Option[Double] = None): Boolean =
     runs.nonEmpty && runs.forall(_ >= 0) && (
       (contamFlags.nonEmpty && contamFlags.forall(identity)) ||
         floor.exists(f => bestUsableTask.exists(_ > 1.5 * f)) ||
         wallFloor.filter(_ >= BenchReport.MinWallFloor).exists(wf =>
-          runs.min > BenchReport.WallRatio * wf))
+          // round 13 (r12 verdict ask #5): judge the wall the entry
+          // would actually RECORD (the clean-preferred selection),
+          // not runs.min — a min run condemned by the work witnesses
+          // can sit under the gate while the recorded number breaches
+          // it, and such an entry would otherwise ship straight into
+          // a wall-floor discount without its one extra chance.
+          // ≥, not >, matching [[BenchReport.degradedRuns]]'s wall
+          // witness exactly so revisit fires iff the discount would.
+          recordedWall.getOrElse(runs.min) >= BenchReport.WallRatio * wf))
 
   /** The scale every pre-round-8 diag file (no `sf` stamp) was
     * measured at: the driver's official corpus. Unstamped files are
@@ -122,16 +131,23 @@ object Bench {
     * never changes what gets recorded, so recorded-wall semantics are
     * untouched. `probe` and `sleep` are injectable so the policy is
     * spec-testable without sleeping (BenchReportSpec). A non-positive
-    * `refMs` (no reference) never waits.
+    * `refMs` (no reference) never waits. `quietRatio` is the staleness
+    * gate (round 13): the default 2× is the shared canary threshold
+    * every other consumer keeps; the roster-START gate passes
+    * [[StartGateRatio]] because r12 opened on 95/99 ms against a
+    * 101 ms 2× threshold inside an oscillating storm that immediately
+    * re-stormed — marginal readings just under 2× are the storm's own
+    * oscillation, not a window.
     */
   def awaitQuietWindow(probe: () => Double, refMs: Double, budgetSec: Int,
                        stepSec: Int = 15,
+                       quietRatio: Double = 2.0,
                        sleep: Int => Unit = s => Thread.sleep(s * 1000L))
       : (Int, Seq[Double]) = {
     require(stepSec > 0, "awaitQuietWindow needs a positive step")
     var waited = 0
     val readings = scala.collection.mutable.ArrayBuffer(probe())
-    def quiet(r: Double): Boolean = r < 2 * refMs
+    def quiet(r: Double): Boolean = r < quietRatio * refMs
     def windowOpen: Boolean = readings.size >= 2 &&
       quiet(readings.last) && quiet(readings(readings.size - 2))
     while (refMs > 0 && waited < budgetSec && !windowOpen) {
@@ -141,6 +157,26 @@ object Bench {
     }
     (waited, readings.toSeq)
   }
+
+  /** Roster-START gate tuning (round 13, r12 verdict asks #2/#3).
+    * Budget: the r12 start gate waited 90 s against a credit-throttle
+    * storm whose refill takes tens of minutes (banked diag history:
+    * storms follow ~8 min of sustained 32-core burn, and the driver
+    * launches the bench right after a ~12-min test + correctness
+    * burn, so the bucket is empty at launch) — a 5-min budget
+    * exhausts inside the storm and the roster opens degraded. 15 min
+    * is the verdict's cap: long enough to span the observed refill
+    * horizon, bounded so a never-quiet host can't stall the round.
+    * Ratio: the START gate demands readings under 1.5× the historical
+    * nominal (boundary cool-downs keep the shared 2×) — r12 opened on
+    * 95/99 ms vs a 101 ms 2× threshold inside an oscillation that
+    * immediately re-stormed and self-discounted 9 entries; 1.5×
+    * (≈76 ms there) rejects exactly that marginal shape. Applies ONLY
+    * to the start gate: it runs once and protects the whole roster,
+    * so a stricter predicate is worth minutes there and nowhere else.
+    */
+  val StartGateBudgetSec = 900
+  val StartGateRatio = 1.5
 
   /** How many of the NEWEST non-stormed diag files feed the
     * roster-start gate's nominal reference (r11 ADVICE): the history
@@ -239,9 +275,51 @@ object Bench {
                  sfDir: Option[String] = None,
                  excludeRunId: Option[Long] = None)
       : (Map[String, Double], Map[String, Double]) = {
+    val perFile = perFileBests(dir, sfDir, excludeRunId)
+    def medians(maps: List[Map[String, Double]]): Map[String, Double] =
+      maps.flatten.groupBy(_._1).collect {
+        case (entry, kvs) if kvs.size >= 3 =>
+          val s = kvs.map(_._2).sorted
+          entry -> s(s.size / 2)
+      }
+    (medians(perFile.map(_._1)), medians(perFile.map(_._2)))
+  }
+
+  /** Per-entry count of history files contributing a usable task row
+    * (`_1`) / wall row (`_2`) to the floor basis — the floors'
+    * coverage. `includeStormed = true` counts storm-stamped files too,
+    * so the pair of calls shows what a stamping pass EVICTED (r12
+    * ADVICE: retro-stamping 13 files dropped q80_media_features from
+    * 4 to 2 contributing files, below the ≥3 minimum in
+    * [[diagFloors]], silently disabling its 3× task-floor gate — the
+    * bench-favorable direction — with nothing reporting it).
+    * [[DiagAudit]].main prints entries whose non-stormed coverage sits
+    * below the minimum while their any-file coverage meets it.
+    */
+  def diagFloorCoverage(dir: java.nio.file.Path,
+                        sfDir: Option[String] = None,
+                        includeStormed: Boolean = false)
+      : (Map[String, Int], Map[String, Int]) = {
+    val perFile = perFileBests(dir, sfDir, None, includeStormed)
+    def counts(maps: List[Map[String, Double]]): Map[String, Int] =
+      maps.flatten.groupBy(_._1).map { case (e, kvs) => e -> kvs.size }
+    (counts(perFile.map(_._1)), counts(perFile.map(_._2)))
+  }
+
+  /** One (task-bests, wall-bests) pair per admitted history file —
+    * the shared extraction behind [[diagFloors]] (medians) and
+    * [[diagFloorCoverage]] (counts); admission rules (file-name gate,
+    * scale guard, storm exclusion unless `includeStormed`, malformed-
+    * file skip) are documented inline.
+    */
+  private def perFileBests(dir: java.nio.file.Path,
+                           sfDir: Option[String],
+                           excludeRunId: Option[Long],
+                           includeStormed: Boolean = false)
+      : List[(Map[String, Double], Map[String, Double])] = {
     import org.json4s._
     if (!java.nio.file.Files.isDirectory(dir))
-      return (Map.empty, Map.empty)
+      return Nil
     import scala.jdk.CollectionConverters._
     val stream = java.nio.file.Files.list(dir)
     val files =
@@ -290,7 +368,8 @@ object Bench {
             case _ => false
           }
           if (sfDir.exists(_ != fileSf) ||
-              excludeRunId.exists(fileRunId.contains) || stormed)
+              excludeRunId.exists(fileRunId.contains) ||
+              (stormed && !includeStormed))
             None
           else {
             val tasks = j \ "host_env" match {
@@ -312,13 +391,7 @@ object Bench {
         } catch { case _: Throwable => None } // a malformed diag file
         // (partial write, hand edit) must not take the bench down
       }
-    def medians(maps: List[Map[String, Double]]): Map[String, Double] =
-      maps.flatten.groupBy(_._1).collect {
-        case (entry, kvs) if kvs.size >= 3 =>
-          val s = kvs.map(_._2).sorted
-          entry -> s(s.size / 2)
-      }
-    (medians(perFile.map(_._1)), medians(perFile.map(_._2)))
+    perFile
   }
 
   def main(args: Array[String]): Unit = {
@@ -513,27 +586,39 @@ object Bench {
     // roster START was ungated. Reference = the HISTORICAL median
     // nominal (the self-nominal above was just sampled, so a storm in
     // progress at launch inflates it and a self-referenced gate reads
-    // "quiet"); budget ~5 min in 15 s steps, then proceed regardless
+    // "quiet"); budget [[StartGateBudgetSec]] (minutes-scale, r12
+    // verdict ask #2 — the storm it waits out is a credit refill that
+    // takes tens of minutes, not a 90 s blip) in 15 s steps at the
+    // stricter [[StartGateRatio]] predicate, then proceed regardless
     // and let the discount machinery self-describe. The wait only
     // delays the first entry — recorded-wall semantics are untouched.
     val startGateRef = historicalNominalParMs(
       java.nio.file.Paths.get("bench_diag")).getOrElse(nominalParMs)
     val (startWaitSec, startReads) =
       awaitQuietWindow(() => canaryParMsNow(), startGateRef,
-        budgetSec = 300)
-    if (startWaitSec > 0) {
+        budgetSec = StartGateBudgetSec, quietRatio = StartGateRatio)
+    // keyed on whether any STALE reading was observed, not waited>0
+    // (r12 ADVICE): the two-consecutive-quiet predicate makes even a
+    // quiet launch spend one confirm step (waited=15), so waited>0 no
+    // longer distinguishes "rode out a storm" from "quiet launch,
+    // confirmed" — and the nominal recalibration below is only
+    // meaningful in the former (the launch samples were storm-taken)
+    val sawStale = startGateRef > 0 &&
+      startReads.exists(_ >= StartGateRatio * startGateRef)
+    if (sawStale) {
       System.err.println(s"[bench] start gate: waited ${startWaitSec}s " +
         s"for a quiet window (all-core canary " +
         s"${startReads.head}ms -> ${startReads.last}ms vs historical " +
-        s"nominal ${startGateRef}ms)")
+        s"nominal ${startGateRef}ms at ${StartGateRatio}x)")
       // the wait may have ended in a quieter window than launch: fresh
       // samples let the self-calibrating nominal start from the
       // healthy floor instead of the storm's
       nominalParMs =
         math.min(nominalParMs, (1 to 3).map(_ => canaryParMsNow()).min)
     } else System.err.println(s"[bench] start gate: canary " +
-      s"${startReads.head}ms vs historical nominal ${startGateRef}ms — " +
-      "quiet, no wait")
+      s"${startReads.mkString("/")}ms vs historical nominal " +
+      s"${startGateRef}ms at ${StartGateRatio}x — quiet launch, " +
+      s"confirmed in ${startWaitSec}s")
     val startGateJson = BenchReport.gateJson(startWaitSec, startGateRef,
       startReads)
     // per-entry historical task_sec floors (median of per-file bests
@@ -638,7 +723,18 @@ object Bench {
       // drain, so the spill counter is settled too; peak resets here
       val spill0 = spillBytesAcc.get(); peakExecAcc.set(0)
       val (steal0, tick0) = cpuTicks()
-      val t = body
+      // walls are recorded PRE-ROUNDED to the 3 decimals the diag
+      // renders (r12 ADVICE): the live storm stamp judges the
+      // full-precision wall while DiagAudit recomputes from the
+      // rendered diag, so a run sitting exactly on the 1.5x wall gate
+      // could flip one discount between live and recompute and a
+      // freshly banked unstamped file could fail DiagAuditSpec's
+      // repo-wide invariant. n/1000.0 is correctly-rounded division,
+      // so the stored double round-trips bit-identically through the
+      // diag's %.3f render and json parse — live and recomputed
+      // verdicts read the same value. A failed run's -1.0 is a fixed
+      // point of the rounding.
+      val t = math.rint(body * 1000) / 1000
       val (steal1, tick1) = cpuTicks()
       val e = entryEnv(entry)
       entryEnv(entry) = e.copy(gcMs = e.gcMs :+ (gcMsTotal() - gc0),
@@ -980,11 +1076,16 @@ object Bench {
     def runQ93Split(): Double = {
       try {
         var root: String = null
-        val tm = timed { root = graft.queries.EventQueries.mvMaintain(spark, sfDir) }
-        val tr = timed {
+        // components rounded to the same 3 decimals instrumentedRun
+        // rounds the wall to, so q93a + q93b still sums exactly (at
+        // the rendered precision) to the recorded q93 after rounding
+        val tm = math.rint(timed {
+          root = graft.queries.EventQueries.mvMaintain(spark, sfDir)
+        } * 1000) / 1000
+        val tr = math.rint(timed {
           graft.queries.EventQueries.mvRead(spark, root)
             .write.format("noop").mode("overwrite").save()
-        }
+        } * 1000) / 1000
         q93Splits += ((tm, tr))
         tm + tr
       } catch { case e: Throwable =>
@@ -1023,7 +1124,12 @@ object Bench {
       val flagged = rawRuns.keys.toList.filter { entry =>
         needsRevisit(rawRuns(entry), contamFlags(entry),
           BenchReport.bestUsableTask(entryEnv(entry)), floors.get(entry),
-          wallFloors.get(entry))
+          wallFloors.get(entry),
+          // the wall the entry would RECORD (clean-preferred
+          // selection), not runs.min — see needsRevisit's round-13
+          // note; failed entries never reach the wall criterion
+          // (needsRevisit's runs.forall(_ >= 0) guard runs first)
+          recordedWall = Some(minSelect(entry, rawRuns(entry))))
       }
       if (flagged.isEmpty) {
         System.err.println("[bench] revisit pass: no entries flagged — no-op")

@@ -155,18 +155,32 @@ object DiagAudit {
     * document, preserving every existing byte of evidence: a file
     * already carrying a `stormed` literal gets it rewritten in place;
     * a pre-r11 file (no stamp) gets the pair inserted right after the
-    * opening brace. Returns the stamped text.
+    * opening brace. A document ALREADY carrying a `stormed_reason`
+    * never gains a second one (r12 ADVICE: inserting beside an
+    * existing reason produced a duplicate JSON key) — the existing
+    * reason is itself evidence, so it is kept verbatim and only the
+    * stamp is flipped true. Returns the stamped text.
     */
   def stampText(txt: String, reason: String): String = {
-    val r = "\"stormed_reason\":" + jstr(reason)
-    if (txt.contains("\"stormed\":true"))
-      txt.replaceFirst("\"stormed\":true",
-        java.util.regex.Matcher.quoteReplacement("\"stormed\":true," + r))
-    else if (txt.contains("\"stormed\":false"))
-      txt.replaceFirst("\"stormed\":false",
-        java.util.regex.Matcher.quoteReplacement("\"stormed\":true," + r))
-    else txt.replaceFirst("\\{",
-      java.util.regex.Matcher.quoteReplacement("{\"stormed\":true," + r + ","))
+    val t = "\"stormed\":true"
+    if (txt.contains("\"stormed_reason\":")) {
+      if (txt.contains(t)) txt // fully stamped already: no-op
+      else if (txt.contains("\"stormed\":false"))
+        txt.replaceFirst("\"stormed\":false",
+          java.util.regex.Matcher.quoteReplacement(t))
+      else txt.replaceFirst("\\{",
+        java.util.regex.Matcher.quoteReplacement("{" + t + ","))
+    } else {
+      val r = "\"stormed_reason\":" + jstr(reason)
+      if (txt.contains(t))
+        txt.replaceFirst(t,
+          java.util.regex.Matcher.quoteReplacement(t + "," + r))
+      else if (txt.contains("\"stormed\":false"))
+        txt.replaceFirst("\"stormed\":false",
+          java.util.regex.Matcher.quoteReplacement(t + "," + r))
+      else txt.replaceFirst("\\{",
+        java.util.regex.Matcher.quoteReplacement("{" + t + "," + r + ","))
+    }
   }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -202,5 +216,37 @@ object DiagAudit {
       println(s"stamped ${a.file}")
     } else if (toStamp.nonEmpty)
       println(s"\n${toStamp.size} file(s) need a stamp — rerun with --stamp")
+    reportFloorCoverage(dir)
+  }
+
+  /** Floor-coverage report (r12 ADVICE): storm-stamping evicts whole
+    * files from the floor basis, and an entry whose non-stormed
+    * coverage falls below [[Bench.diagFloors]]'s ≥3-file minimum
+    * silently loses its 3× task-floor / 1.5× wall-floor gate — the
+    * bench-favorable direction, invisible without this report (the r12
+    * retro-stamp dropped q80_media_features from 4 to 2 contributing
+    * files). Prints, at the official scale, every entry whose
+    * non-stormed coverage sits under the minimum while its any-file
+    * coverage meets it — i.e. entries whose gate the eviction (not a
+    * thin history) disabled.
+    */
+  def reportFloorCoverage(dir: java.nio.file.Path): Unit = {
+    val sf = Some(Bench.legacyDiagSf)
+    val (task, wall) = Bench.diagFloorCoverage(dir, sf)
+    val (taskAll, wallAll) =
+      Bench.diagFloorCoverage(dir, sf, includeStormed = true)
+    def lost(cov: Map[String, Int], all: Map[String, Int]): Seq[String] =
+      all.collect { case (e, n) if n >= 3 && cov.getOrElse(e, 0) < 3 =>
+        f"$e%-28s ${cov.getOrElse(e, 0)}%d/3 non-stormed ($n%d incl. stormed)"
+      }.toSeq.sorted
+    val lostTask = lost(task, taskAll)
+    val lostWall = lost(wall, wallAll)
+    if (lostTask.nonEmpty || lostWall.nonEmpty) {
+      println("\nfloor coverage lost to storm eviction (gate disabled " +
+        "until 3 clean runs bank):")
+      lostTask.foreach(l => println(s"  task  $l"))
+      lostWall.foreach(l => println(s"  wall  $l"))
+    } else println("\nfloor coverage: no entry lost its >=3-file " +
+      "minimum to storm eviction")
   }
 }

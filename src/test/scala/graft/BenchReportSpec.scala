@@ -258,6 +258,50 @@ class BenchReportSpec extends AnyFunSuite {
     // and takes a single reading
     assert(Bench.awaitQuietWindow(probes(9999.0), -1.0, 300,
       sleep = sleep) === (0, Seq(9999.0)))
+    // round 13 (r12 verdict ask #3): the roster-START gate's stricter
+    // 1.5x predicate — the r12 official run opened on 95/99 ms against
+    // a 101 ms 2x threshold inside an oscillating storm and
+    // self-discounted 9 entries; at 1.5x those marginal readings keep
+    // the gate waiting until genuinely nominal readings hold
+    slept = Nil
+    assert(Bench.awaitQuietWindow(probes(95.0, 99.0, 70.0, 71.0), 50.6,
+      budgetSec = 900, quietRatio = Bench.StartGateRatio, sleep = sleep)
+      === (45, Seq(95.0, 99.0, 70.0, 71.0)))
+    assert(slept === List(15, 15, 15))
+    // exactly 1.5x ref is stale; just under is quiet
+    assert(Bench.awaitQuietWindow(probes(75.0, 74.9, 74.8), 50.0, 900,
+      quietRatio = 1.5, sleep = sleep)._1 === 30)
+    assert(Bench.awaitQuietWindow(probes(74.9, 74.8), 50.0, 900,
+      quietRatio = 1.5, sleep = sleep)._1 === 15)
+    // the start-gate tuning itself (r12 verdict asks #2/#3): a
+    // minutes-scale budget — the credit-refill storms it waits out
+    // take tens of minutes, and the r12 5-min budget exhausted inside
+    // one — capped at 15 min so a never-quiet host can't stall the
+    // round; predicate 1.5x at the start gate ONLY (cool-downs keep
+    // the shared 2x default)
+    assert(Bench.StartGateBudgetSec === 900)
+    assert(Bench.StartGateRatio === 1.5)
+  }
+
+  test("pre-rounded walls round-trip bit-identically through the diag") {
+    // round 13 (r12 ADVICE): the live storm stamp judges walls the
+    // bench recorded while DiagAudit recomputes from the 3-decimal
+    // rendered diag — so the bench now records walls PRE-ROUNDED with
+    // rint(t*1000)/1000 (instrumentedRun). This pins the mechanism:
+    // n/1000.0 is correctly-rounded division, so the stored double,
+    // its %.3f render, and the parse of that render are the SAME
+    // double — a run sitting exactly on the 1.5x wall gate can never
+    // flip one discount between live and recompute.
+    val rnd = new scala.util.Random(7)
+    (1 to 1000).foreach { _ =>
+      val rounded = math.rint(rnd.nextDouble() * 100 * 1000) / 1000
+      val rendered = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(rounded))
+      assert(java.lang.Double.parseDouble(rendered) === rounded,
+        s"render drift at $rounded")
+    }
+    // the -1.0 failure marker is a fixed point of the rounding
+    assert(math.rint(-1.0 * 1000) / 1000 === -1.0)
   }
 
   test("historicalNominalParMs: median across non-stormed diag files") {
@@ -534,6 +578,23 @@ class BenchReportSpec extends AnyFunSuite {
       Some(10.6), None, wallFloor = Some(6.767))) // best under 1.5x
     assert(!Bench.needsRevisit(Seq(0.4, 0.5), Seq(false, false),
       Some(10.6), None, wallFloor = Some(0.15))) // sub-0.2s floor: noise
+    // round 13 (r12 verdict ask #5): the wall criterion judges the
+    // wall the entry would RECORD (clean-preferred selection), not
+    // runs.min — a min run condemned by the work witnesses can sit
+    // under the gate while the recorded number breaches it, and such
+    // an entry would otherwise ship straight into a wall-floor
+    // discount without its one extra chance
+    assert(Bench.needsRevisit(Seq(6.0, 12.48), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(6.767),
+      recordedWall = Some(12.48)))
+    assert(!Bench.needsRevisit(Seq(6.0, 12.48), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(6.767),
+      recordedWall = Some(6.0)))
+    // >= not > — matching BenchReport.degradedRuns' wall witness, so
+    // revisit fires exactly when the discount would
+    assert(Bench.needsRevisit(Seq(10.5, 23.0), Seq(false, false),
+      Some(10.6), None, wallFloor = Some(7.0),
+      recordedWall = Some(10.5)))
     // a failed run must stay visible as a failure, not get extra chances
     assert(!Bench.needsRevisit(Seq(1.0, -1.0), Seq(true, true),
       Some(99.0), Some(1.0)))

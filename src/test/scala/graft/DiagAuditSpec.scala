@@ -85,6 +85,65 @@ class DiagAuditSpec extends AnyFunSuite {
     for (s <- Seq(stamped, DiagAudit.stampText(r11, "x")))
       assert(org.json4s.jackson.JsonMethods.parse(s) \ "stormed" ===
         org.json4s.JBool(true))
+    // r12 ADVICE: a document ALREADY carrying a stormed_reason never
+    // gains a second one (duplicate JSON key) — the existing reason is
+    // evidence and is kept verbatim; only the stamp flips
+    val withReason =
+      """{"run_id":10,"stormed":false,"stormed_reason":"hand","runs":{}}"""
+    assert(DiagAudit.stampText(withReason, "x") ===
+      """{"run_id":10,"stormed":true,"stormed_reason":"hand","runs":{}}""")
+    val full =
+      """{"run_id":11,"stormed":true,"stormed_reason":"hand","runs":{}}"""
+    assert(DiagAudit.stampText(full, "x") === full) // fully stamped: no-op
+    // reason but no stormed literal (hand-edited file): gains only the
+    // stamp, right after the opening brace
+    val reasonOnly = """{"run_id":12,"stormed_reason":"hand","runs":{}}"""
+    assert(DiagAudit.stampText(reasonOnly, "x") ===
+      """{"stormed":true,"run_id":12,"stormed_reason":"hand","runs":{}}""")
+    // stamping is idempotent end-to-end now
+    assert(DiagAudit.stampText(DiagAudit.stampText(old, "why"), "again")
+      === stamped)
+  }
+
+  test("diagFloorCoverage reports the gates storm-eviction disabled") {
+    // r12 ADVICE: retro-stamping evicts whole files from the floor
+    // basis, and an entry whose non-stormed coverage falls below the
+    // >=3-file minimum silently loses its 3x task-floor gate (the live
+    // case: q80_media_features dropped 4 -> 2). The coverage pair
+    // (non-stormed vs any-file) makes the eviction visible.
+    val dir = java.nio.file.Files.createTempDirectory("floor-cov")
+    def put(id: Long, stormed: Boolean, qs: Map[String, Double]): Unit = {
+      val env = qs.map { case (e, t) => s""""$e":{"task_sec":[$t]}""" }
+        .mkString("{", ",", "}")
+      val runs = qs.map { case (e, t) => s""""$e":[${t * 2}]""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(dir.resolve(s"run_$id.json"),
+        (s"""{"run_id":$id,"stormed":$stormed,"runs":$runs,""" +
+          s""""host_env":$env}""").getBytes("UTF-8")): Unit
+    }
+    put(1, stormed = false, Map("qA" -> 5.0, "qB" -> 5.0))
+    put(2, stormed = false, Map("qA" -> 5.0, "qB" -> 5.0, "qC" -> 5.0))
+    put(3, stormed = true, Map("qA" -> 9.0))
+    put(4, stormed = false, Map("qB" -> 5.0))
+    put(5, stormed = true, Map("qA" -> 9.0, "qC" -> 9.0))
+    val sf = Some(Bench.legacyDiagSf)
+    val (task, wall) = Bench.diagFloorCoverage(dir, sf)
+    // qA: 2 of its 4 files survive the storm filter — gate lost;
+    // qB: 3 clean files — gate intact; qC: 2 files even counting the
+    // stormed one — thin history, never had the gate
+    assert(task("qA") === 2 && task("qB") === 3 && task("qC") === 1)
+    assert(wall("qA") === 2 && wall("qB") === 3)
+    val (taskAll, _) = Bench.diagFloorCoverage(dir, sf,
+      includeStormed = true)
+    assert(taskAll("qA") === 4 && taskAll("qB") === 3 &&
+      taskAll("qC") === 2)
+    // the floors themselves honor the minimum: qB keeps a floor, qA
+    // (evicted below 3) and qC (thin) do not
+    val floors = Bench.taskFloors(dir, sf)
+    assert(floors.contains("qB") && !floors.contains("qA") &&
+      !floors.contains("qC"))
+    // the report runs without throwing over the same fixture
+    DiagAudit.reportFloorCoverage(dir)
   }
 
   test("auditDir flags exactly the semantics violations") {
