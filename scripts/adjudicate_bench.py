@@ -437,6 +437,18 @@ def md_report(bench_path, lines, meta):
         "adjudication, sf-filtered (unstamped pre-r8 files default to the",
         "official sf0.1).",
         "",
+        "Acceptance criterion (revised r18, per VERDICT r17 item 3): an",
+        "official run is acceptable EITHER (a) with `stormed: false` and",
+        "`discounted_n: 0` — a storm-free window that outlasted the whole",
+        "roster — OR (b) with the roster-start gate passed, every",
+        "deviation adjudicated below, and the headline inside the",
+        "18-25 s sf0.1 band. The prior r16 criterion (unconditional",
+        "stormed:false + zero discounts) was unachievable by",
+        "construction: credit-throttle storms trail ~8 min of sustained",
+        "burn while the roster burns ~29 min, so a clean START cannot",
+        "buy a clean 29-minute WINDOW. This paragraph is the criterion",
+        "record only — no verdict class, floor, or ratio changed.",
+        "",
         "Contract line under adjudication:",
         "",
         "```json",
