@@ -104,6 +104,31 @@ LEGACY_DIAG_SF = "/root/testdata/sf0.1"  # scale of pre-r8 unstamped files
 # 0.2s are scheduler-jitter noise and read as absent.
 WALL_RATIO = 1.5
 MIN_WALL_FLOOR = 0.2
+# Criterion-(b) acceptance band for the official sf0.1 headline total
+# (settled r19: 18-25 s widened to 18-26 s so the band contains its own
+# cited envelope — ~25.6 s clean-cluster median, 25.7 s observed top).
+# These constants are the single source of truth: md_report interpolates
+# them into the criterion prose AND emits an explicit in-band /
+# out-of-band line for the headline, so the documented and checked
+# values cannot drift (ADVICE r19).
+BAND_LO, BAND_HI = 18.0, 26.0
+BAND_SF = "/root/testdata/sf0.1"  # the band is calibrated at this scale
+
+
+def band_check_line(value, sf):
+    """One explicit criterion-(b) line for the report: compares the
+    contract's headline total against [BAND_LO, BAND_HI]. The band is
+    an sf0.1 calibration, so a run at any other scale gets a
+    not-applicable line instead of a misleading comparison."""
+    if not isinstance(value, (int, float)):
+        return ("Criterion-(b) band check: no numeric headline in the "
+                "contract — band not evaluated.")
+    if sf != BAND_SF:
+        return (f"Criterion-(b) band check: not applicable — band is "
+                f"calibrated for {BAND_SF}, this run's sf is {sf}.")
+    verdict = "IN" if BAND_LO <= value <= BAND_HI else "OUT OF"
+    return (f"Criterion-(b) band check: headline {value:g}s is {verdict} "
+            f"the {BAND_LO:g}-{BAND_HI:g} s band.")
 
 
 def load_contract(path):
@@ -442,9 +467,14 @@ def md_report(bench_path, lines, meta):
         "`discounted_n: 0` — a storm-free window that outlasted the whole",
         "roster — OR (b) with the roster-start gate passed, every",
         "deviation adjudicated below, and the headline inside the",
-        "18-26 s sf0.1 band (widened from 18-25 s per ADVICE r18 so it",
+        f"{BAND_LO:g}-{BAND_HI:g} s sf0.1 band (widened from 18-25 s per "
+        "ADVICE r18 so it",
         "contains the cited clean envelope: ~25.6 s clean-cluster",
-        "median, 25.7 s top of the observed official spread).",
+        "median, 25.7 s top of the observed official spread; the band is",
+        "defined once as BAND_LO/BAND_HI in this script and checked",
+        "explicitly below).",
+        "",
+        band_check_line(meta.get("value"), meta.get("sf")),
         "The prior r16 criterion (unconditional",
         "stormed:false + zero discounts) was unachievable by",
         "construction: credit-throttle storms trail ~8 min of sustained",

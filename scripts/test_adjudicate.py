@@ -360,6 +360,37 @@ def main():
         check("r9 clean rehearsal stays at zero discounts",
               meta["discounted"], [])
 
+    # criterion-(b) band check line (ADVICE r19): the constants are the
+    # single source of truth, the line states in/out explicitly, and a
+    # non-sf0.1 or headline-less contract gets not-applicable prose
+    check("band check: mid-band headline is IN",
+          ab.band_check_line((ab.BAND_LO + ab.BAND_HI) / 2, ab.BAND_SF),
+          f"Criterion-(b) band check: headline "
+          f"{(ab.BAND_LO + ab.BAND_HI) / 2:g}s is IN the "
+          f"{ab.BAND_LO:g}-{ab.BAND_HI:g} s band.")
+    check("band check: boundary headline is IN (inclusive)",
+          "is IN" in ab.band_check_line(ab.BAND_HI, ab.BAND_SF), True)
+    check("band check: fast outlier is OUT",
+          "is OUT OF" in ab.band_check_line(ab.BAND_LO - 0.001, ab.BAND_SF),
+          True)
+    check("band check: slow outlier is OUT",
+          "is OUT OF" in ab.band_check_line(ab.BAND_HI + 0.001, ab.BAND_SF),
+          True)
+    check("band check: other sf is not-applicable",
+          "not applicable" in ab.band_check_line(20.0, "/root/testdata/sf0.01"),
+          True)
+    check("band check: missing headline is not evaluated",
+          "not evaluated" in ab.band_check_line(None, ab.BAND_SF), True)
+    # the report preamble must carry the same constants it checks
+    rpt = ab.md_report("BENCH_r0.json", ["body"],
+                       {"run_id": 1, "diag_path": "x", "sf": ab.BAND_SF,
+                        "value": 22.0, "contract": "{}", "bad": 0,
+                        "discounted": []})
+    check("report interpolates band constants into criterion prose",
+          f"{ab.BAND_LO:g}-{ab.BAND_HI:g} s sf0.1 band" in rpt, True)
+    check("report emits the explicit band line",
+          "Criterion-(b) band check: headline 22s is IN" in rpt, True)
+
     print("\nall adjudicator self-tests passed")
 
 
