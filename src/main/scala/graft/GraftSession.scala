@@ -48,6 +48,22 @@ object GraftSession {
       // (diag code_cache_mb), far from any flushing regime.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "1000"))
+      // ObjectHashAggregate (every typed Aggregator: BoundedCollect's
+      // LSH bucket collect, KMV/CMS/Bloom sketches) falls back to
+      // SORT-based aggregation once a task's hash map passes this many
+      // groups — the default 128 means the minhash band aggregation
+      // (~16 nearly-unique band keys per doc) ALWAYS degenerated into
+      // a full sort of the band stream on both the map and reduce
+      // sides (r21 profiling: the dominant term of the x30 candidate
+      // phase). 1M groups/task keeps the hash path for any sanely
+      // partitioned load: per-task group count is (distinct keys /
+      // shuffle partitions), and production sizes partitions so tasks
+      // hold well under 1M groups; the graft aggregator buffers are
+      // all O(cap)/O(sketch)-bounded, so 1M of them is ~100 MB against
+      // the 16 g executor heap. Env-overridable for memory-tight
+      // deployments.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "1048576"))
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 

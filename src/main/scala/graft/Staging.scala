@@ -92,6 +92,40 @@ object Staging {
     df.sparkSession.read.parquet(dir.toString)
   }
 
+  /** [[checkpoint]] plus the staged row count read from the parquet
+    * FOOTERS on the driver — no `count()` job. Several operators need
+    * the materialized size right after staging (the minhash broadcast
+    * guard, the connected-components hybrid cutoff); a Spark count()
+    * job over a file written milliseconds ago costs a full
+    * schedule/launch round-trip per call, which at the 1× bench scale
+    * is a measurable slice of the whole entry (r21; guide §1.2 —
+    * remove work, then tune). Footer reads are O(files) driver work on
+    * an OUTPUT-SCALE artifact, the same metadata the count() job
+    * would have planned over.
+    */
+  def checkpointCounted(df: DataFrame, tag: String): (DataFrame, Long) = {
+    val dir = mkStageDir(tag)
+    tracked.add(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    (df.sparkSession.read.parquet(dir.toString), parquetRowCount(dir))
+  }
+
+  /** Sum of footer record counts across a staged dir's parquet files. */
+  private def parquetRowCount(dir: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally s.close()
+  }
+
   /** Global sort of an output-scale result whose PLAN is expensive.
     *
     * `expensive.orderBy(keys)` executes the expensive plan ~twice: the

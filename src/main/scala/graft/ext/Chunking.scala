@@ -28,7 +28,31 @@ object Chunking {
     * n_chunk_tokens, chunk_md5 (md5 of the space-rejoined window).
     */
   def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 128, stride: Int = 96): DataFrame = {
+      window: Int = 128, stride: Int = 96): DataFrame =
+    chunkFrames(docs, idCol, textCol, window, stride)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+
+  /** [[tokenChunks]] with a 64-bit `chunk_digest` (xxhash64 of the
+    * space-rejoined window) instead of the md5 string — for consumers
+    * that use the digest ONLY as an equality key (q103's cross-doc
+    * block-spread join): 8-byte shuffle keys, no cryptographic digest
+    * per chunk, identical grouping modulo 64-bit collisions. q95
+    * keeps [[tokenChunks]] — its oracle replays the md5 BY VALUE.
+    */
+  def tokenChunkDigests(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 128, stride: Int = 96): DataFrame =
+    chunkFrames(docs, idCol, textCol, window, stride)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
+        xxhash64(array_join(col("chunk"), " ")).as("chunk_digest"))
+
+  /** Shared chunking core: (doc_id, chunk_id, start_tok, chunk). */
+  private def chunkFrames(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       "need 0 < stride <= window")
     docs
@@ -46,9 +70,5 @@ object Chunking {
       .withColumn("start_tok", col("chunk_id") * stride)
       .withColumn("chunk",
         slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(window)))
-      .select(
-        col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("chunk")).cast("bigint").as("n_chunk_tokens"),
-        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
   }
 }

@@ -30,20 +30,36 @@ object Decontam {
     * gram key — the train side then shuffles once, which is the
     * unavoidable cost when the index side itself is corpus-scale.
     */
+  /** Exploded 64-bit gram digests — the r21 working representation
+    * for both sweep variants: the gram is only ever an EQUALITY key
+    * here (join + count_distinct; never displayed, never replayed
+    * by value in an oracle), so the fused rolling digest
+    * ([[graft.functions.GramHashes]], grouping-key collision argument
+    * in graft.functions.TextHash) replaces corpus-wide n-gram STRING
+    * construction on the big train side, and the index/shuffle carry
+    * 8-byte longs instead of ~50-byte phrases. Distinct-gram counts
+    * over digests equal counts over strings modulo 64-bit collisions.
+    */
+  private def gramDigests(df: DataFrame, idCol: String, textCol: String,
+      n: Int, outId: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as(outId),
+      explode(call_function("graft_gram_hashes",
+        Dedup.tokens(col(textCol)), lit(n))).as("gram"))
+  }
+
   def contaminationPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
-    // eval side deduped per (doc, gram): explodedShingles is NOT
+    // eval side deduped per (doc, gram): the digest explode is NOT
     // per-doc-distinct, so an eval doc repeating a boilerplate gram
     // b times would inflate the broadcast index b× and multiply the
     // join output a·b per logical pair before count_distinct collapses
     // it. The TRAIN side stays raw — a distinct there would shuffle
     // the corpus, defeating the map-side streaming shape.
-    val evalGrams = Dedup.explodedShingles(eval, idCol, textCol, n)
-      .select(col("doc_id").as("eval_id"), col("s").as("gram"))
+    val evalGrams = gramDigests(eval, idCol, textCol, n, "eval_id")
       .distinct()
-    val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
-      .select(col("doc_id").as("train_id"), col("s").as("gram"))
+    val trainGrams = gramDigests(train, idCol, textCol, n, "train_id")
     val index = if (broadcastEval) broadcast(evalGrams) else evalGrams
     trainGrams.join(index, Seq("gram"))
       .groupBy(col("train_id"), col("eval_id"))
@@ -88,12 +104,9 @@ object Decontam {
     // eval-side tokenize+shingle pipeline executes twice, in exactly
     // the too-big-to-broadcast regime this function exists for
     val evalGrams = stage(
-      Dedup.explodedShingles(eval, idCol, textCol, n)
-        .select(col("doc_id").as("eval_id"), col("s").as("gram"))
-        .distinct(),
+      gramDigests(eval, idCol, textCol, n, "eval_id").distinct(),
       "decontam-eval-grams")
-    val trainGrams = Dedup.explodedShingles(train, idCol, textCol, n)
-      .select(col("doc_id").as("train_id"), col("s").as("gram"))
+    val trainGrams = gramDigests(train, idCol, textCol, n, "train_id")
     val bloom = evalGrams.select(col("gram")).distinct()
       .agg(BloomSketch.bloomAgg(numBits, numHashes)(col("gram")).as("bf"))
     trainGrams

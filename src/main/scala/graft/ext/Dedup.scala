@@ -151,14 +151,17 @@ object Dedup {
     val base = docs.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+    // positioned w-gram digests via the fused rolling-hash expression
+    // (r21: replaces md5(array_join(slice(...))) — an O(w) string
+    // build + cryptographic digest per position — with an
+    // O(1)-amortized rolling 64-bit digest; grouping-key-only, see
+    // graft.functions.TextHash for the collision argument. The
+    // canonical-pick window below shuffles an 8-byte long per
+    // occurrence instead of a 32-char digest string.)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val occ = base
       .select(col("doc_id"),
-        posexplode(bound(col("toks")) { tt =>
-          when(size(tt) >= w,
-            transform(sequence(lit(0), (size(tt) - w).cast("int")),
-              i => md5(array_join(slice(tt, i + 1, lit(w)), " "))))
-            .otherwise(array().cast("array<string>"))
-        }))
+        posexplode(call_function("graft_gram_hashes", col("toks"), lit(w))))
       .select(col("doc_id"), col("pos").cast("bigint").as("i"),
         col("col").as("g"))
     val wCanon = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("i"))
@@ -201,6 +204,17 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Exact 3-gram Jaccard of two TEXT columns via the fused native
+    * set expression ([[graft.functions.JaccardShingles]]) — value-
+    * identical to `jaccard(shingles(a), shingles(b))` (byte-equality
+    * gram sets, same raw division; TextHashSpec pins it) without the
+    * per-element interpreted HOF chain. The verify-join hot path:
+    * every candidate pair pays this once (r21 — it was ~100
+    * task-seconds of the x30 q65 probe).
+    */
+  def jaccardTexts(a: Column, b: Column): Column =
+    call_function("graft_jaccard_shingles", tokens(a), tokens(b), lit(3))
+
   // ── MinHash + LSH ─────────────────────────────────────────────────
 
   /** Universal hash family h_j(x) = (a_j·x + b_j) mod p over a base
@@ -211,7 +225,7 @@ object Dedup {
     */
   private val P = 2147483647L // 2^31 − 1 (Mersenne prime)
 
-  private def hashFamily(k: Int): Seq[(Long, Long)] = {
+  private[graft] def hashFamily(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(k)((rnd.nextInt(Int.MaxValue - 2) + 1L,
       rnd.nextInt(Int.MaxValue - 1).toLong))
@@ -250,6 +264,27 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** MinHash signatures as ONE map-side projection via the fused
+    * native expression ([[graft.functions.MinhashSig]]) — values
+    * BIT-IDENTICAL to [[minhashSignatures]] over
+    * [[explodedShingles]] (MinhashSigSpec pins the equality per doc),
+    * so banding/candidates/recall are unchanged. What changes is the
+    * plan: the shingle explode, the 64-column hash aggregate and its
+    * exchange disappear (r21 optimization — guide §1.2 step 2: the
+    * shape was already right, the per-task work wasn't). Docs with no
+    * shingle (< 3 tokens) are dropped, exactly the docs the aggregate
+    * formulation never saw rows for. Returns (doc_id, sig).
+    */
+  def minhashSignaturesNative(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_minhash_sig",
+          tokens(col(textCol)), lit(k)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Explode a signature into (band_id, band_hash) LSH keys. */
@@ -431,7 +466,7 @@ object Dedup {
       s"bands must divide k: k=$k, bands=$bands")
     val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val withSig = minhashSignatures(explodedShingles(docs, idCol, textCol), k)
+    val withSig = minhashSignaturesNative(docs, idCol, textCol, k)
     // staged + counted: the count is the broadcast-safety guard below,
     // and the disk stage ([[graft.Staging.checkpoint]]) makes the
     // verify join read the (tiny, output-scale) pair set from a file
@@ -445,7 +480,8 @@ object Dedup {
     // SPLIT on record — candidate build vs verify join — so a
     // recurrence names its phase instead of restarting the hunt
     val tCand0 = System.nanoTime()
-    val candidates = graft.Staging.checkpoint(withSig
+    // staged + footer-counted in one pass (no count() job — r21)
+    val (candidates, nPairs) = graft.Staging.checkpointCounted(withSig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("doc_id"),
@@ -457,7 +493,6 @@ object Dedup {
       .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .distinct(), "mh-cands")
-    val nPairs = candidates.count()
     lastMinhashDiag = Some(MinhashDiag(nPairs,
       if (nPairs <= broadcastPairLimit) "broadcast" else "shuffle",
       (System.nanoTime() - tCand0) / 1e9))
@@ -485,7 +520,7 @@ object Dedup {
         min(when(col("doc_id") === col("doc_id_a"), col("text"))).as("text_a"),
         min(when(col("doc_id") === col("doc_id_b"), col("text"))).as("text_b"))
       .withColumn("jaccard_sim",
-        round(jaccard(shingles(col("text_a")), shingles(col("text_b"))), 6))
+        round(jaccardTexts(col("text_a"), col("text_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
   }
@@ -506,7 +541,7 @@ object Dedup {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k: k=$k, bands=$bands")
     val rows = k / bands
-    minhashSignatures(explodedShingles(docs, idCol, textCol), k)
+    minhashSignaturesNative(docs, idCol, textCol, k)
       .select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("doc_id"),
@@ -608,7 +643,7 @@ object Dedup {
       .join(broadcast(newTexts), Seq("new_id"))
       .join(oldTexts, Seq("old_id"))
       .withColumn("jaccard_sim",
-        round(jaccard(shingles(col("new_text")), shingles(col("old_text"))), 6))
+        round(jaccardTexts(col("new_text"), col("old_text")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("new_id"), col("old_id"), col("jaccard_sim"))
   }
@@ -629,10 +664,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverLimit: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
-    // disk-staged: consumed by the count below plus either the collect
-    // (small path) or the edge build (iterative path); no cache entry
-    // survives the call either way
-    val p = graft.Staging.checkpoint(
+    // disk-staged + footer-counted (no count() job — r21): consumed by
+    // the cutoff below plus either the collect (small path) or the
+    // edge build (iterative path); no cache entry survives the call
+    // either way
+    val (p, nPairs) = graft.Staging.checkpointCounted(
       pairs.select(col("doc_id_a"), col("doc_id_b")), "cc-pairs")
     // LSH + threshold leave a SPARSE pair set (pairs ≪ docs); below
     // the cutoff a driver-side union-find replaces ~diameter Spark
@@ -644,7 +680,7 @@ object Dedup {
     // path instead of crashing on getLong.
     val longIds = p.schema.fields.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && p.count() <= driverLimit) {
+    if (longIds && nPairs <= driverLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -511,19 +511,30 @@ object Similarity {
     //   computed ON READ — nPlanes dot products per row per read is
     //   far cheaper than a second full write+read of the corpus, and
     //   no second staged copy accumulates in a long-lived session.
+    // r21: the vector NORM is precomputed once per vector alongside
+    // the bucket (sqrt of the same sequential self-dot the fused
+    // cosine would run), so the per-candidate re-rank pays one dot +
+    // one division instead of the full three-accumulator cosine —
+    // values stay bit-identical (same sequential double accumulation,
+    // same sqrt-product divisor, same zero-norm guard; the parquet
+    // stage round-trips the double exactly).
     val projected = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    def withNorm(df: DataFrame): DataFrame =
+      df.withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
     val e =
       if (nPlanes > 0) {
         lastResolvedPlanes = nPlanes
         graft.Staging.checkpoint(
-          projected.withColumn("bucket",
-            hyperplaneBucket(col("v"), dim, nPlanes)),
+          withNorm(projected.withColumn("bucket",
+            hyperplaneBucket(col("v"), dim, nPlanes))),
           "lsh-vecs")
       } else {
-        val raw = graft.Staging.checkpoint(projected, "lsh-vecs")
-        val np = autoPlanes(raw.count())
+        // footer-counted stage (no count() job — r21): the corpus size
+        // the auto-sizer needs is exactly the staged row count
+        val (raw, nVecs) = graft.Staging.checkpointCounted(projected, "lsh-vecs")
+        val np = autoPlanes(nVecs)
         lastResolvedPlanes = np
-        raw.withColumn("bucket", hyperplaneBucket(col("v"), dim, np))
+        withNorm(raw.withColumn("bucket", hyperplaneBucket(col("v"), dim, np)))
       }
     // diag over the staged 1-row-per-vector frame (vec_id only — the
     // embedding column never re-reads): candidate count Σ n·(n−1)/2
@@ -537,11 +548,19 @@ object Similarity {
         .head()
       LshDiag(h.getLong(0), h.getLong(1), h.getLong(2))
     }
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // precomputed-norm cosine: same divisor product, same zero guard,
+    // same 6dp signed-zero normalization as simR — see withNorm above
+    val d = col("na") * col("nb")
+    val simPre =
+      round(when(d === 0.0, 0.0)
+        .otherwise(dotNative(col("va"), col("vb")) / d), 6) + lit(0.0)
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim_r", simR(col("va"), col("vb")))
+      .withColumn("sim_r", simPre)
       .filter(col("sim_r") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim_r"))
     // no distinct: one bucket signature per vector (single-band LSH),

@@ -225,7 +225,48 @@ object GraftFunctions {
         require(es.length == 2,
           s"graft_dot requires exactly 2 arguments, got ${es.length}")
         DotProduct(es(0), es(1))
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info(classOf[MinhashSig], "graft_minhash_sig",
+        "graft_minhash_sig(toks, k) - k-component MinHash signature " +
+          "over word 3-gram shingles of a token array"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_minhash_sig requires exactly 2 arguments, got ${es.length}")
+        MinhashSig(es(0), foldableInt(es(1), "graft_minhash_sig k"))
+      }),
+    (FunctionIdentifier("graft_jaccard_shingles"),
+      info(classOf[JaccardShingles], "graft_jaccard_shingles",
+        "graft_jaccard_shingles(toksA, toksB, n) - exact word n-gram " +
+          "Jaccard similarity of two token arrays"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"graft_jaccard_shingles requires exactly 3 arguments, got ${es.length}")
+        JaccardShingles(es(0), es(1), foldableInt(es(2), "graft_jaccard_shingles n"))
+      }),
+    (FunctionIdentifier("graft_gram_hashes"),
+      info(classOf[GramHashes], "graft_gram_hashes",
+        "graft_gram_hashes(toks, n) - 64-bit digest per stride-1 " +
+          "n-gram position of a token array (grouping keys only)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_gram_hashes requires exactly 2 arguments, got ${es.length}")
+        GramHashes(es(0), foldableInt(es(1), "graft_gram_hashes n"))
       }))
+
+  /** Resolve a foldable int argument (the k/n shape parameters) at
+    * function-build time — they size per-instance constant arrays, so
+    * a non-literal would be a planning error, not a runtime value.
+    */
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, inf, builder) =>

@@ -50,7 +50,18 @@ object DedupQueries {
         // |A∪B| = |A|+|B|−|A∩B| from the pre-computed sizes. Pairs
         // sharing no shingle can't clear the 0.05 floor, so dropping
         // them (inherent to the index join) is lossless.
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
+        // r21: the shingle is only an EQUALITY key in this query (the
+        // index join + the intersection count; never displayed), so
+        // the whole inverted index runs over 64-bit gram DIGESTS
+        // (graft_gram_hashes — no corpus-wide 3-gram string builds,
+        // 8-byte join/agg keys; digest counts ≡ string counts modulo
+        // 64-bit collisions, see graft.functions.TextHash).
+        def digests(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("lang"),
+            explode(call_function("graft_gram_hashes",
+              Dedup.tokens(col("text")), lit(3))).as("d"))
         // per-doc DISTINCT shingle-set size (set semantics for
         // Jaccard) as a MAP-SIDE array expression — no shuffle: the
         // alternative (count_distinct over the exploded rows) shuffles
@@ -59,19 +70,18 @@ object DedupQueries {
         // each remaining consumer re-derives its own (cheap, pruned)
         // scan and nothing needs a corpus-scale persist.
         val szs = docs.select(col("doc_id"), col("lang"),
-          Dedup.distinctShingleCount(col("text")).as("sz"))
+          size(array_distinct(call_function("graft_gram_hashes",
+            Dedup.tokens(col("text")), lit(3)))).cast("bigint").as("sz"))
         // probe slice: the doc_id<100 filter pushes into the scan, so
         // this explodes ~100 docs, not the corpus
-        val ax = Dedup.explodedShingles(docs.filter(col("doc_id") < 100),
-            "doc_id", "text", extraCols = Seq("lang"))
-          .select(col("doc_id").as("doc_id_a"), col("lang"), col("s"))
-        val bx = Dedup.explodedShingles(docs, "doc_id", "text",
-            extraCols = Seq("lang"))
-          .select(col("doc_id").as("doc_id_b"), col("lang"), col("s"))
-        broadcast(ax).join(bx, Seq("lang", "s"))
+        val ax = digests(docs.filter(col("doc_id") < 100))
+          .select(col("doc_id").as("doc_id_a"), col("lang"), col("d"))
+        val bx = digests(docs)
+          .select(col("doc_id").as("doc_id_b"), col("lang"), col("d"))
+        broadcast(ax).join(bx, Seq("lang", "d"))
           .filter(col("doc_id_a") < col("doc_id_b"))
           .groupBy(col("doc_id_a"), col("doc_id_b"))
-          .agg(count_distinct(col("s")).as("inter"))
+          .agg(count_distinct(col("d")).as("inter"))
           // unhinted: AQE broadcasts szs when small; at 100 TB this is
           // a shuffle join on doc_id against the (large) per-doc sizes
           .join(szs.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a")),
@@ -377,11 +387,14 @@ object DedupQueries {
         // map-side blocks, one hash agg on the block digest, an
         // equi-join back, one per-doc agg — corpus never pairs.
         val docs = Tables.load(s, dir, "documents")
-        val blocks = graft.ext.Chunking.tokenChunks(docs, "doc_id", "text",
-          window = 20, stride = 20)
-        val spread = blocks.groupBy(col("chunk_md5"))
+        // r21: 64-bit chunk digest instead of the md5 string — the
+        // digest is only a grouping/join key here (the oracle counts
+        // block spread, never the digest value)
+        val blocks = graft.ext.Chunking.tokenChunkDigests(docs, "doc_id",
+          "text", window = 20, stride = 20)
+        val spread = blocks.groupBy(col("chunk_digest"))
           .agg(count_distinct(col("doc_id")).as("ndocs"))
-        blocks.join(spread, Seq("chunk_md5"))
+        blocks.join(spread, Seq("chunk_digest"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_blocks"),

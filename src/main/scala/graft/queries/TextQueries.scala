@@ -833,24 +833,54 @@ object TextQueries {
         // boilerplate signal at n-gram granularity): every stride-1
         // 8-token window, counted across the corpus, kept when it
         // appears in ≥2 distinct docs — the template/header phrases an
-        // exact-substring dedup pass would target. Shape: shingle rows
-        // form map-side ([[graft.ext.Dedup.explodedShingles]], zip of
-        // shifted slices + outer explode), then the distinct aggregate
-        // plans its standard two exchanges — (ngram, doc_id) partials
-        // first (within-partition repeats collapse map-side; the
-        // shuffle carries near-shingle-stream volume, the honest cost
-        // of an exact cross-doc count), per-ngram finals second —
-        // TakeOrderedAndProject top-k. No joins, no pairs. At 100 TB
-        // you'd shuffle a 64-bit digest instead of the phrase and
-        // semi-join the top digests back for display; at registry
-        // scale the phrase itself keeps the oracle exact.
+        // exact-substring dedup pass would target.
+        //
+        // r21 shape (guide §2.3 "shuffle keys instead of payloads" /
+        // §8): counting runs entirely over 64-bit gram DIGESTS
+        // (graft_gram_hashes — one fused rolling-hash pass, no gram
+        // string ever built corpus-wide), so the count-distinct's two
+        // exchanges carry 8-byte longs instead of ~70-byte phrases.
+        // The phrase strings the top-15 DISPLAYS are recovered
+        // afterwards from a digest-pruned second pass: positions of
+        // the winning digests broadcast against the corpus scan, the
+        // gram text sliced only for those hits. Identical output —
+        // the winner threshold is the EXACT 15th-largest n_total over
+        // the staged digest counts (ties included, final ordering
+        // re-applied on the recovered strings), digest grouping ≡
+        // phrase grouping modulo 64-bit collisions (grouping-key-only
+        // risk, see graft.functions.TextHash).
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
-        graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 8)
-          .withColumnRenamed("s", "ngram")
-          .groupBy(col("ngram"))
-          .agg(count(lit(1)).as("n_total"),
-            count_distinct(col("doc_id")).as("n_docs"))
-          .filter(col("n_docs") >= 2)
+        val toks = docs.select(col("doc_id"),
+          graft.ext.Dedup.tokens(col("text")).as("toks"))
+        val counts = graft.Staging.checkpoint(
+          toks.select(col("doc_id"),
+              explode(call_function("graft_gram_hashes",
+                col("toks"), lit(8))).as("d"))
+            .groupBy(col("d"))
+            .agg(count(lit(1)).as("n_total"),
+              count_distinct(col("doc_id")).as("n_docs"))
+            .filter(col("n_docs") >= 2), "q122-counts")
+        // the 15th-largest n_total (ties below it included via >=)
+        val thr = counts.select(col("n_total").as("nt"))
+          .orderBy(col("nt").desc).limit(15)
+          .agg(min(col("nt")).as("thr"))
+        val cand = counts.join(broadcast(thr), col("n_total") >= col("thr"))
+          .select(col("d"), col("n_total"), col("n_docs"))
+        // recover the winning digests' phrase text: their positions
+        // (tiny) broadcast onto a pruned re-scan; min() collapses the
+        // identical occurrences of one digest
+        val hits = toks.select(col("doc_id"),
+            posexplode(call_function("graft_gram_hashes",
+              col("toks"), lit(8))).as(Seq("pos", "d")))
+          .join(broadcast(cand.select(col("d"))), Seq("d"))
+        val names = toks.join(broadcast(hits), Seq("doc_id"))
+          .select(col("d"),
+            array_join(slice(col("toks"), col("pos") + 1, lit(8)), " ")
+              .as("ngram"))
+          .groupBy(col("d")).agg(min(col("ngram")).as("ngram"))
+        cand.join(names, Seq("d"))
+          .select(col("ngram"), col("n_total"), col("n_docs"))
           .orderBy(col("n_total").desc, col("ngram"))
           .limit(15)
       },

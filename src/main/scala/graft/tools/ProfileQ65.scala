@@ -53,10 +53,16 @@ object ProfileQ65 {
       val tShingle = timed {
         ex.write.format("noop").mode("overwrite").save()
       }
-      val sig = graft.ext.Dedup.minhashSignatures(ex, 64)
+      val sigLegacy = graft.ext.Dedup.minhashSignatures(ex, 64)
+      val tSigLegacy = timed {
+        sigLegacy.write.format("noop").mode("overwrite").save()
+      }
+      val sig = graft.ext.Dedup.minhashSignaturesNative(
+        docs, "doc_id", "text", 64)
       val tSig = timed {
         sig.write.format("noop").mode("overwrite").save()
       }
+      println(f"[q65]   legacy sig-agg $tSigLegacy%.2f  native sig $tSig%.2f")
       val buckets = sig
         .select(col("doc_id"),
           explode(graft.ext.Dedup.lshBands(col("sig"), 16, 4)).as("band"))

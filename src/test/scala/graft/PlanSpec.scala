@@ -212,11 +212,16 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 4, p) // partial+final per phase
   }
 
-  test("q122: repeated n-grams — joinless map-side shingles into one agg + TakeOrdered") {
+  test("q122: repeated n-grams — digest counting, broadcast-only recovery joins") {
+    // r21 shape: counts aggregate over 64-bit gram DIGESTS (map-side
+    // Generate of graft_gram_hashes, no corpus-wide gram strings);
+    // the top-15 phrase recovery re-attaches strings through
+    // BROADCAST joins only — the corpus is never shuffled by a join
     val p = plan("q122_repeated_ngrams")
-    assert(!p.contains("Join"), p)
     assert(p.contains("Generate"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
   test("q123: collocations — vocab joins on the word key, totals broadcast, top-k") {
