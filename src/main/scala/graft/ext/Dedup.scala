@@ -293,6 +293,24 @@ object Dedup {
       b => struct(b.as("band_id"),
         xxhash64(slice(sig, b * rows + 1, lit(rows)), b).as("band_hash")))
 
+  /** (doc_id, band_id, band_hash) rows straight from the documents via
+    * the fused [[graft.functions.MinhashBands]] expression — band
+    * hashes BIT-IDENTICAL to `explode(lshBands(sig, bands, k/bands))`
+    * over [[minhashSignaturesNative]] (TextHashSpec pins it), with the
+    * signature array, the interpreted slice/transform banding and the
+    * struct rows all fused into one map-side pass (r21). Docs with no
+    * shingle emit no rows, as before.
+    */
+  def lshBandRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(call_function("graft_minhash_bands",
+          tokens(col(textCol)), lit(k), lit(bands))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH, then exact-Jaccard
     * verified. Returns (doc_id_a, doc_id_b, jaccard_sim).
     *
@@ -354,9 +372,13 @@ object Dedup {
     val pairedIds = pairs
       .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
       .distinct()
+    // semi-prune BEFORE the distinct (r21): the per-doc id filter
+    // commutes with the (doc_id, s) distinct, and pruning first keeps
+    // the corpus-scale gram stream out of the distinct's exchange —
+    // only the paired docs' grams shuffle
     val grams = explodedShingles(docs, idCol, textCol)
-      .select(col("doc_id"), col("s")).distinct()
       .join(pairedIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("s")).distinct()
     val h = grams.select(col("doc_id"),
       pmod(md5Hash60(col("s")), lit(P)).as("h"))
     val comps = h.crossJoin(broadcast(fam))
@@ -464,9 +486,8 @@ object Dedup {
     // silently discards the trailing signature components
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k: k=$k, bands=$bands")
-    val rows = k / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val withSig = minhashSignaturesNative(docs, idCol, textCol, k)
+    val bandRows = lshBandRows(docs, idCol, textCol, k, bands)
     // staged + counted: the count is the broadcast-safety guard below,
     // and the disk stage ([[graft.Staging.checkpoint]]) makes the
     // verify join read the (tiny, output-scale) pair set from a file
@@ -481,11 +502,7 @@ object Dedup {
     // recurrence names its phase instead of restarting the hunt
     val tCand0 = System.nanoTime()
     // staged + footer-counted in one pass (no count() job — r21)
-    val (candidates, nPairs) = graft.Staging.checkpointCounted(withSig
-      .select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("doc_id"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val (candidates, nPairs) = graft.Staging.checkpointCounted(bandRows
       .groupBy(col("band_id"), col("band_hash"))
       .agg(graft.functions.BoundedCollect
         .collectIds(col("doc_id"), maxBucket).as("ids"))
@@ -540,13 +557,7 @@ object Dedup {
     // trailing signature components
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k: k=$k, bands=$bands")
-    val rows = k / bands
-    minhashSignaturesNative(docs, idCol, textCol, k)
-      .select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rows)).as("band"))
-      .select(col("doc_id"),
-        col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
+    lshBandRows(docs, idCol, textCol, k, bands)
   }
 
   /** Incremental near-dup check: pairs between a NEW batch and an
@@ -661,15 +672,20 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every doc that appears in a
     * pair; singletons are absent (they're their own cluster).
     */
+  /** @param pairBound an upper bound on the pair count already known
+    *        to the caller (the minhash CANDIDATE count — true pairs
+    *        survive the verify filter, so candidates ≥ pairs). When it
+    *        fits `driverLimit`, the pair plan is collected DIRECTLY
+    *        into the union-find — one execution, no staging round-trip
+    *        (r21; the staged path previously wrote + re-read the pair
+    *        set just to learn it was tiny). Unbounded callers keep the
+    *        stage-then-decide path.
+    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverLimit: Long = 1L << 22): DataFrame = {
+      driverLimit: Long = 1L << 22,
+      pairBound: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
-    // disk-staged + footer-counted (no count() job — r21): consumed by
-    // the cutoff below plus either the collect (small path) or the
-    // edge build (iterative path); no cache entry survives the call
-    // either way
-    val (p, nPairs) = graft.Staging.checkpointCounted(
-      pairs.select(col("doc_id_a"), col("doc_id_b")), "cc-pairs")
+    val pr = pairs.select(col("doc_id_a"), col("doc_id_b"))
     // LSH + threshold leave a SPARSE pair set (pairs ≪ docs); below
     // the cutoff a driver-side union-find replaces ~diameter Spark
     // jobs with one collect — the standard hybrid in production dedup
@@ -678,9 +694,9 @@ object Dedup {
     // the id column actually BEING bigint — pairs with string/int ids
     // (simhash over arbitrary keys) take the type-generic iterative
     // path instead of crashing on getLong.
-    val longIds = p.schema.fields.take(2).forall(
+    val longIds = pr.schema.fields.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && nPairs <= driverLimit) {
+    def unionFind(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -691,7 +707,7 @@ object Dedup {
         }
         r
       }
-      p.collect().foreach { row =>
+      rows.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -699,8 +715,17 @@ object Dedup {
       val keys = parent.keySet ++ parent.values
       val assignments = keys.toSeq.sorted.map(k => (k, find(k)))
       import spark.implicits._
-      return assignments.toDF("doc_id", "cluster_id")
+      assignments.toDF("doc_id", "cluster_id")
     }
+    if (longIds && pairBound.exists(_ <= driverLimit))
+      return unionFind(pr.collect())
+    // no caller-supplied bound: disk-stage + footer-count (no count()
+    // job — r21), consumed by the cutoff plus either the collect
+    // (small path) or the edge build (iterative path); no cache entry
+    // survives the call either way
+    val (p, nPairs) = graft.Staging.checkpointCounted(pr, "cc-pairs")
+    if (longIds && nPairs <= driverLimit)
+      return unionFind(p.collect())
     // undirected edge list, both directions
     val edges = graft.Staging.checkpoint(
       p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
@@ -742,7 +767,10 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val pairs = minhashDupPairs(docs, idCol, textCol, threshold = threshold)
-    connectedComponents(pairs)
+    // candidate count (≥ true pair count) from the call just made —
+    // lets the clustering collect the verified pairs directly when
+    // they provably fit the driver cutoff (see connectedComponents)
+    connectedComponents(pairs, pairBound = lastMinhashDiag.map(_.nPairs))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col("doc_id")).as("keep_doc_id"),

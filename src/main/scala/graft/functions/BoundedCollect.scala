@@ -17,29 +17,52 @@ import org.apache.spark.sql.expressions.Aggregator
   * stops appending once the count passes cap, so a non-overflowing
   * group always finishes with ALL members.
   */
+/** Aggregation buffer: total seen count `n` (may exceed the retained
+  * length once the cap trips) + retained ids as a PRIMITIVE array —
+  * r21: the (Long, Seq[Long]) tuple buffer boxed every id through the
+  * ExpressionEncoder at each partial/final boundary and allocated a
+  * persistent-Vector node per reduced row; with millions of
+  * near-singleton LSH buckets per probe that encoder traffic was a
+  * measurable slice of the candidate stage. `Array[Long]` encodes as
+  * an unboxed UnsafeArrayData copy and appends with a plain copyOf
+  * (buckets average ~1–2 members, and retention is capped). Semantics
+  * are unchanged (BoundedCollectSpec's invariance suite pins them).
+  */
+final case class BoundedBuf(var n: Long, var ids: Array[Long])
+
 // boxed input so NULL ids are SKIPPED like collect_list skips them —
 // a primitive Long input would decode a null row as id 0L, emitting a
 // phantom document 0 into candidate pairs AND inflating the group
 // count toward the cap (the KmvSketch null trap, same fix)
 final class BoundedCollect(cap: Int)
-    extends Aggregator[java.lang.Long, (Long, Seq[Long]), Seq[Long]] {
+    extends Aggregator[java.lang.Long, BoundedBuf, Seq[Long]] {
 
-  override def zero: (Long, Seq[Long]) = (0L, Vector.empty)
+  override def zero: BoundedBuf = BoundedBuf(0L, Array.emptyLongArray)
 
-  override def reduce(b: (Long, Seq[Long]), a: java.lang.Long): (Long, Seq[Long]) =
-    if (a eq null) b
-    else (b._1 + 1, if (b._1 < cap + 1) b._2 :+ a.longValue else b._2)
+  override def reduce(b: BoundedBuf, a: java.lang.Long): BoundedBuf = {
+    if (a eq null) return b
+    if (b.n < cap + 1) {
+      val grown = java.util.Arrays.copyOf(b.ids, b.ids.length + 1)
+      grown(b.ids.length) = a.longValue
+      b.ids = grown
+    }
+    b.n += 1
+    b
+  }
 
-  override def merge(x: (Long, Seq[Long]), y: (Long, Seq[Long]))
-      : (Long, Seq[Long]) =
-    (x._1 + y._1, (x._2 ++ y._2).take(cap + 1))
+  override def merge(x: BoundedBuf, y: BoundedBuf): BoundedBuf = {
+    val keep = math.min(cap + 1, x.ids.length + y.ids.length)
+    val merged = java.util.Arrays.copyOf(x.ids, keep)
+    if (keep > x.ids.length)
+      System.arraycopy(y.ids, 0, merged, x.ids.length, keep - x.ids.length)
+    BoundedBuf(x.n + y.n, merged)
+  }
 
-  override def finish(b: (Long, Seq[Long])): Seq[Long] =
-    if (b._1 <= cap) b._2 else Vector.empty
+  override def finish(b: BoundedBuf): Seq[Long] =
+    if (b.n <= cap) scala.collection.immutable.ArraySeq.unsafeWrapArray(b.ids)
+    else Vector.empty
 
-  override def bufferEncoder: Encoder[(Long, Seq[Long])] =
-    Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[Seq[Long]]](
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
+  override def bufferEncoder: Encoder[BoundedBuf] = Encoders.product[BoundedBuf]
 
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()

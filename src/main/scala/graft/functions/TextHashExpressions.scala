@@ -104,14 +104,39 @@ case class MinhashSig(child: Expression, k: Int)
   protected override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  /** One fused pass: shingle bytes → xxhash64(42) → mod P → k
-    * permutation minima. Returns null when no shingle exists. Called
-    * from both the interpreted path and the generated code.
-    */
   def compute(arr: ArrayData): Any = {
+    val (fa, fb) = fam
+    val mins = MinhashSig.sigMins(arr, k, fa, fb)
+    if (mins == null) null else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sigResult")
+      s"""
+        Object $r = $ref.compute($c);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  /** The fused signature core: shingle bytes → xxhash64(42) → mod P →
+    * k permutation minima. Returns null when no shingle exists.
+    * Shared by [[MinhashSig]] (emits the raw signature) and
+    * [[MinhashBands]] (folds the banded slices straight into LSH
+    * band hashes).
+    */
+  def sigMins(arr: ArrayData, k: Int,
+      fa: Array[Long], fb: Array[Long]): Array[Long] = {
     val m = arr.numElements()
     if (m < 3) return null
-    val (fa, fb) = fam
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var any = false
@@ -151,13 +176,73 @@ case class MinhashSig(child: Expression, k: Int)
       }
       i += 1
     }
-    if (!any) null else new GenericArrayData(mins)
+    if (!any) null else mins
+  }
+}
+
+/** LSH band hashes of a token array:
+  * `graft_minhash_bands(toks, k, bands)` → array<bigint> of length
+  * `bands`, where element b equals
+  * `xxhash64(slice(sig, b·rows + 1, rows), b)` over the
+  * [[MinhashSig]] signature — the exact value
+  * [[graft.ext.Dedup.lshBands]] computes, reproduced by folding
+  * Spark's own XXH64 primitives in the same order (seed 42 → fold
+  * hashLong over the slice's components → fold hashInt(b) for the
+  * trailing band-id argument; TextHashSpec pins the equality). NULL
+  * for documents with no shingle. Exploding this with `posexplode`
+  * yields (band_id = pos, band_hash = value) — the signature array,
+  * its interpreted slice/transform banding, and the struct building
+  * all disappear from the candidate plan.
+  */
+case class MinhashBands(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with Serializable {
+  require(bands >= 1 && bands <= k && k % bands == 0,
+    s"bands must divide k: k=$k, bands=$bands")
+
+  override def prettyName: String = "graft_minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  @transient private lazy val fam: (Array[Long], Array[Long]) = {
+    val f = graft.ext.Dedup.hashFamily(k)
+    (f.map(_._1).toArray, f.map(_._2).toArray)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Any = {
+    val (fa, fb) = fam
+    val mins = MinhashSig.sigMins(arr, k, fa, fb)
+    if (mins == null) return null
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // xxhash64(array<bigint>, int) = fold hashLong over elements
+      // from seed 42, then hashInt of the trailing int argument —
+      // Spark's XxHash64Function.hash order, reproduced with the same
+      // XXH64 primitives
+      var h = 42L
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(mins(b * rows + r), h); r += 1 }
+      out(b) = XXH64.hashInt(b, h)
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSig].getName)
+    val ref = ctx.addReferenceObj("minhashBands", this, classOf[MinhashBands].getName)
     nullSafeCodeGen(ctx, ev, c => {
-      val r = ctx.freshName("sigResult")
+      val r = ctx.freshName("bandsResult")
       s"""
         Object $r = $ref.compute($c);
         if ($r == null) { ${ev.isNull} = true; }
@@ -166,7 +251,7 @@ case class MinhashSig(child: Expression, k: Int)
     })
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
 }
 

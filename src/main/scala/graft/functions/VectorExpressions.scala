@@ -235,6 +235,16 @@ object GraftFunctions {
           s"graft_minhash_sig requires exactly 2 arguments, got ${es.length}")
         MinhashSig(es(0), foldableInt(es(1), "graft_minhash_sig k"))
       }),
+    (FunctionIdentifier("graft_minhash_bands"),
+      info(classOf[MinhashBands], "graft_minhash_bands",
+        "graft_minhash_bands(toks, k, bands) - LSH band hashes of the " +
+          "k-component MinHash signature (band_id = array position)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"graft_minhash_bands requires exactly 3 arguments, got ${es.length}")
+        MinhashBands(es(0), foldableInt(es(1), "graft_minhash_bands k"),
+          foldableInt(es(2), "graft_minhash_bands bands"))
+      }),
     (FunctionIdentifier("graft_jaccard_shingles"),
       info(classOf[JaccardShingles], "graft_jaccard_shingles",
         "graft_jaccard_shingles(toksA, toksB, n) - exact word n-gram " +

@@ -841,7 +841,8 @@ object DedupQueries {
         kept.join(exactWinners, Seq("doc_id"), "left_semi"), "cur-s0")
       // 3. near-dup removal: keep each cluster's canonical (min) doc
       val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
-      val losers = Dedup.connectedComponents(pairs)
+      val losers = Dedup.connectedComponents(pairs,
+          pairBound = Dedup.lastMinhashDiag.map(_.nPairs))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val s1 = s0.join(losers, Seq("doc_id"), "left_anti")
@@ -906,7 +907,8 @@ object DedupQueries {
       val s0 = graft.Staging.checkpoint(
         kept.join(exactWinners, Seq("doc_id"), "left_semi"), "fun-s0")
       val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
-      val losers = Dedup.connectedComponents(pairs)
+      val losers = Dedup.connectedComponents(pairs,
+          pairBound = Dedup.lastMinhashDiag.map(_.nPairs))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val s1 = s0.join(losers, Seq("doc_id"), "left_anti")

@@ -63,14 +63,18 @@ object ProfileQ65 {
         sig.write.format("noop").mode("overwrite").save()
       }
       println(f"[q65]   legacy sig-agg $tSigLegacy%.2f  native sig $tSig%.2f")
-      val buckets = sig
+      val bandRows = sig
         .select(col("doc_id"),
           explode(graft.ext.Dedup.lshBands(col("sig"), 16, 4)).as("band"))
         .select(col("doc_id"), col("band.band_id").as("band_id"),
           col("band.band_hash").as("band_hash"))
+      val tBands = timed { bandRows.write.format("noop").mode("overwrite").save() }
+      val buckets = bandRows
         .groupBy(col("band_id"), col("band_hash"))
         .agg(graft.functions.BoundedCollect.collectIds(col("doc_id"), 1000)
           .as("ids"))
+      val tBuckets = timed { buckets.write.format("noop").mode("overwrite").save() }
+      println(f"[q65]   bands-only $tBands%.2f  buckets(collect) $tBuckets%.2f")
       val cand = buckets
         .select(explode(col("ids")).as("doc_id_a"), col("ids"))
         .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))

@@ -55,6 +55,17 @@ class TextHashSpec extends SparkSpec {
     assert(n32 === legacy)
   }
 
+  test("graft_minhash_bands ≡ explode(lshBands) over the signature, bit for bit") {
+    val legacy = Dedup.minhashSignaturesNative(docs, "doc_id", "text", 64)
+      .select(col("doc_id"), explode(Dedup.lshBands(col("sig"), 16, 4)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = Dedup.lshBandRows(docs, "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused === legacy)
+    assert(fused.nonEmpty)
+  }
+
   test("TextHash.modP ≡ % P on boundary and random non-negative inputs") {
     val P = graft.functions.TextHash.P
     val cases = Seq(0L, 1L, P - 1, P, P + 1, 2 * P - 1, 2 * P,
