@@ -115,18 +115,33 @@ BAND_LO, BAND_HI = 18.0, 26.0
 BAND_SF = "/root/testdata/sf0.1"  # the band is calibrated at this scale
 
 
+def band_verdict(value, sf):
+    """Machine-readable band status: "in" / "out" / "n/a". An
+    unstamped contract (sf absent/None) gets the same LEGACY_DIAG_SF
+    default the report preamble and history_floors document for
+    pre-r8 records (ADVICE r20) — an official-scale contract must
+    never read as not-applicable just because the stamp predates r8."""
+    if not isinstance(value, (int, float)):
+        return "n/a"
+    if (sf or LEGACY_DIAG_SF) != BAND_SF:
+        return "n/a"
+    return "in" if BAND_LO <= value <= BAND_HI else "out"
+
+
 def band_check_line(value, sf):
     """One explicit criterion-(b) line for the report: compares the
     contract's headline total against [BAND_LO, BAND_HI]. The band is
     an sf0.1 calibration, so a run at any other scale gets a
-    not-applicable line instead of a misleading comparison."""
-    if not isinstance(value, (int, float)):
-        return ("Criterion-(b) band check: no numeric headline in the "
-                "contract — band not evaluated.")
-    if sf != BAND_SF:
+    not-applicable line instead of a misleading comparison; unstamped
+    contracts default to the official scale (see band_verdict)."""
+    v = band_verdict(value, sf)
+    if v == "n/a":
+        if not isinstance(value, (int, float)):
+            return ("Criterion-(b) band check: no numeric headline in the "
+                    "contract — band not evaluated.")
         return (f"Criterion-(b) band check: not applicable — band is "
                 f"calibrated for {BAND_SF}, this run's sf is {sf}.")
-    verdict = "IN" if BAND_LO <= value <= BAND_HI else "OUT OF"
+    verdict = "IN" if v == "in" else "OUT OF"
     return (f"Criterion-(b) band check: headline {value:g}s is {verdict} "
             f"the {BAND_LO:g}-{BAND_HI:g} s band.")
 
@@ -527,9 +542,14 @@ def main(argv):
     if as_json:
         # machine-readable verdict line for the Scala parity spec
         # (AdjudicationParitySpec asserts this set equals
-        # BenchReport.discountedEntries over the same artifacts)
+        # BenchReport.discountedEntries over the same artifacts).
+        # "band" (ADVICE r20): the criterion-(b) status the markdown
+        # report states in prose, machine-visible for automated
+        # consumers — "in" / "out" / "n/a".
         print(json.dumps({"run_id": meta["run_id"], "bad": meta["bad"],
-                          "discounted": meta["discounted"]},
+                          "discounted": meta["discounted"],
+                          "band": band_verdict(meta.get("value"),
+                                               meta.get("sf"))},
                          separators=(",", ":")))
     else:
         print("\n".join(lines))

@@ -381,6 +381,22 @@ def main():
           True)
     check("band check: missing headline is not evaluated",
           "not evaluated" in ab.band_check_line(None, ab.BAND_SF), True)
+    # ADVICE r20: an UNSTAMPED (pre-r8) contract defaults to the
+    # official scale before the comparison — same default the report
+    # preamble and history_floors document — instead of reading as
+    # not-applicable
+    check("band check: unstamped contract defaults to official sf",
+          "is IN" in ab.band_check_line(20.0, None), True)
+    # ADVICE r20: the machine-readable verdict mirrors the prose
+    check("band verdict: in", ab.band_verdict(20.0, ab.BAND_SF), "in")
+    check("band verdict: out", ab.band_verdict(ab.BAND_LO - 1, ab.BAND_SF),
+          "out")
+    check("band verdict: other sf is n/a",
+          ab.band_verdict(20.0, "/root/testdata/sf0.01"), "n/a")
+    check("band verdict: unstamped defaults to official sf",
+          ab.band_verdict(20.0, None), "in")
+    check("band verdict: non-numeric is n/a", ab.band_verdict(None, ab.BAND_SF),
+          "n/a")
     # the report preamble must carry the same constants it checks
     rpt = ab.md_report("BENCH_r0.json", ["body"],
                        {"run_id": 1, "diag_path": "x", "sf": ab.BAND_SF,

@@ -853,6 +853,11 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           graft.ext.Dedup.tokens(col("text")).as("toks"))
+        // (A/B'd r21: pre-repartitioning by the digest alone so both
+        // aggregates share one exchange measured ~1.5x SLOWER at x30
+        // than the planner's one-distinct rewrite — the raw-row
+        // shuffle loses the map-side partial collapse; keep the
+        // planner's shape)
         val counts = graft.Staging.checkpoint(
           toks.select(col("doc_id"),
               explode(call_function("graft_gram_hashes",
