@@ -62,6 +62,16 @@ object GraftSession {
       // all O(cap)/O(sketch)-bounded, so 1M of them is ~100 MB against
       // the 16 g executor heap. Env-overridable for memory-tight
       // deployments.
+      // Buffer-size audit (r22, ADVICE item): the only MULTI-GROUP
+      // typed aggregation in the repo is BoundedCollect (BoundedBuf,
+      // ≤ 8 KB/group at the default cap) — every fat-buffer sketch
+      // (BloomAggregator 128 KB at 2^20 bits, CountMin 8 KB,
+      // MisraGries, KMV) is used ONLY as a single-group global
+      // aggregate, so the raised threshold exposes at most one such
+      // buffer per task. A future high-cardinality groupBy over a
+      // sketch aggregator must either lower GRAFT_OBJ_AGG_FALLBACK or
+      // scope its own threshold; (groups/task)×(buffer bytes) is the
+      // number to budget against the executor heap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "1048576"))
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)

@@ -156,6 +156,27 @@ object Staging {
     if (sortStagingEnabled) checkpoint(df, tag).orderBy(keys: _*)
     else df.orderBy(keys: _*)
 
+  /** [[stagedSort]] for callers that KNOW an upper bound on the result
+    * rows (r22, guide §2.4): below `smallLimit` the result is globally
+    * sorted by a single-partition shuffle + in-partition sort — the
+    * child executes exactly ONCE (no range-sampler second traversal,
+    * which is what stagedSort's parquet round-trip existed to avoid)
+    * and the output-scale frame never touches disk. Total order is
+    * identical to `orderBy` (one partition trivially satisfies the
+    * range contract). Above the limit, the staged path takes over —
+    * a single-task sort of an unbounded result would serialize, so
+    * the bound must be real (the minhash callers pass the staged
+    * candidate count, an upper bound on verified pairs by
+    * construction).
+    */
+  def boundedSort(df: DataFrame, rowBound: Long, tag: String,
+      smallLimit: Long = 1L << 20)(
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    if (!sortStagingEnabled) df.orderBy(keys: _*)
+    else if (rowBound <= smallLimit)
+      df.repartition(1).sortWithinPartitions(keys: _*)
+    else stagedSort(df, tag)(keys: _*)
+
   /** Run `body` with a checkpoint-compatible stager whose EVERY staged
     * dir is deleted when `body` returns — the multi-stage sibling of
     * [[checkpointScoped]] for call paths that stage internally (e.g.

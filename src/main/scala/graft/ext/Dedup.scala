@@ -29,6 +29,12 @@ object Dedup {
     * the decision — a silent hint-drop is a plan change that would
     * otherwise be invisible in a wall-clock number (the round-3
     * x10_q65 post-mortem's ask).
+    *
+    * DIAGNOSTICS ONLY (r22): no control flow reads this global any
+    * more — callers that need the candidate count (the
+    * connectedComponents driver-collect gate) take it by value from
+    * [[minhashDupPairsCounted]], so a concurrent query in the same
+    * JVM can no longer race a stale smaller count into a safety gate.
     */
   final case class MinhashDiag(nPairs: Long, verifyJoin: String,
       candidateSec: Double = -1.0)
@@ -353,10 +359,6 @@ object Dedup {
   def minhashErrorAudit(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, minJaccard: Double = 0.1,
       stagedPairs: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fam = hashFamily(k).zipWithIndex
-      .map { case ((a, b), j) => (j.toLong, a, b) }.toDF("j", "a", "b")
     // `stagedPairs`: an already-staged exactJaccardPairs frame at a
     // floor ≤ minJaccard (the truth-pair substrate is shared by the
     // audit/explain/sweep family, so callers that need several of them
@@ -366,32 +368,51 @@ object Dedup {
       .getOrElse(graft.Staging.checkpoint(
         exactJaccardPairs(docs, idCol, textCol, minJaccard), "mh-audit-pairs"))
     // signatures only for docs the audit will actually score: at
-    // corpus scale pairs ≪ docs, so the k-way component expansion
-    // prunes from O(corpus·k) to O(paired·k). The pair set is staged
-    // once (two consumers: the id prune and the final join).
+    // corpus scale pairs ≪ docs, so the k-component signature work
+    // prunes from O(corpus·k) to O(paired·k). No distinct on the
+    // exploded id list (r22): a left-semi probe side ignores
+    // duplicate build rows, so the distinct's exchange was pure
+    // latency.
     val pairedIds = pairs
       .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
-      .distinct()
-    // semi-prune BEFORE the distinct (r21): the per-doc id filter
-    // commutes with the (doc_id, s) distinct, and pruning first keeps
-    // the corpus-scale gram stream out of the distinct's exchange —
-    // only the paired docs' grams shuffle
+    // no (doc_id, s) distinct either (r22): `min` is
+    // duplicate-insensitive, so set semantics cost nothing to drop —
+    // and without the distinct the k-min aggregate below PARTIALLY
+    // AGGREGATES MAP-SIDE, so its one exchange carries k pre-collapsed
+    // minima per doc per partition instead of every distinct gram
+    // string (guide §2.3 "aggregate before you shuffle"). The exact
+    // Jaccard values come from `pairs`, never from this stream.
     val grams = explodedShingles(docs, idCol, textCol)
       .join(pairedIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("s")).distinct()
+      .select(col("doc_id"), col("s"))
     val h = grams.select(col("doc_id"),
       pmod(md5Hash60(col("s")), lit(P)).as("h"))
-    val comps = h.crossJoin(broadcast(fam))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(pmod(col("h") * col("a") + col("b"), lit(P))).as("comp"))
+    // k-column signature hash-aggregate (r22, guide §2.4/§1.2 — the
+    // same shape as [[minhashSignatures]]/[[simhashes]]): one exchange
+    // on doc_id with k codegen'd min columns, replacing the k-row
+    // family crossJoin (k× row inflation through a (doc, j)-keyed
+    // aggregate) + two (doc, j) joins + a final per-pair groupBy —
+    // four exchanges and their AQE stage barriers collapse into one.
+    // Component VALUES are bit-identical: the same seed-42 family
+    // constants fold in as literals into the same
+    // min(pmod(h*a + b, P)) arithmetic the fam-join computed, and the
+    // per-pair agreement Σ[ca_j = cb_j] is the same sum written as a
+    // 32-term expression instead of a count over k joined rows — the
+    // DuckDB oracle replays the estimator op-for-op and stays green.
+    val sigCols = hashFamily(k).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"c$j")
+    }
+    val sigs = h.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigA = sigs.toDF("doc_id_a" +: (0 until k).map(j => s"ca_$j"): _*)
+    val sigB = sigs.toDF("doc_id_b" +: (0 until k).map(j => s"cb_$j"): _*)
+    val matches = (0 until k).map(j =>
+      when(col(s"ca_$j") === col(s"cb_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
     pairs
-      .join(comps.select(col("doc_id").as("doc_id_a"), col("j"),
-        col("comp").as("ca")), Seq("doc_id_a"))
-      .join(comps.select(col("doc_id").as("doc_id_b"), col("j"),
-        col("comp").as("cb")), Seq("doc_id_b", "j"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
-      .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
-        .cast("bigint").as("sig_matches"))
+      .join(sigA, Seq("doc_id_a"))
+      .join(sigB, Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
+        matches.cast("bigint").as("sig_matches"))
       .withColumn("est_permille",
         expr(s"CAST(sig_matches * 1000 DIV $k AS BIGINT)"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
@@ -479,7 +500,24 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      broadcastPairLimit: Long = 4L << 20): DataFrame = {
+      broadcastPairLimit: Long = 4L << 20): DataFrame =
+    minhashDupPairsCounted(docs, idCol, textCol, k, bands, threshold,
+      maxBucket, broadcastPairLimit)._1
+
+  /** [[minhashDupPairs]] plus the staged CANDIDATE count, returned by
+    * value (r22, ADVICE item): callers that feed the pair frame into
+    * [[connectedComponents]]' driver-collect fast path must pass the
+    * bound explicitly — reading it back from the process-global
+    * [[lastMinhashDiag]] (now diagnostics-only again) could pick up a
+    * stale, smaller count from a concurrent query in the same JVM and
+    * admit an unbounded collect. Candidates ≥ verified pairs, so the
+    * count is a safe upper bound for the collect cutoff.
+    */
+  def minhashDupPairsCounted(docs: DataFrame, idCol: String,
+      textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      broadcastPairLimit: Long = 4L << 20): (DataFrame, Long) = {
     // fail fast on a non-dividing banding: bands > k makes every band
     // slice EMPTY (all docs collide, every bucket overflows maxBucket,
     // the operator silently returns zero pairs); a non-dividing k
@@ -531,7 +569,7 @@ object Dedup {
     val sides = candidates.select(col("doc_id_a"), col("doc_id_b"),
       explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
     val hintedSides = if (nPairs <= broadcastPairLimit) broadcast(sides) else sides
-    base.join(hintedSides, Seq("doc_id"))
+    (base.join(hintedSides, Seq("doc_id"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(
         min(when(col("doc_id") === col("doc_id_a"), col("text"))).as("text_a"),
@@ -539,7 +577,8 @@ object Dedup {
       .withColumn("jaccard_sim",
         round(jaccardTexts(col("text_a"), col("text_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim")),
+      nPairs)
   }
 
   /** LSH band-key index of a corpus: (doc_id, band_id, band_hash) —
@@ -766,11 +805,15 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashDupPairs(docs, idCol, textCol, threshold = threshold)
-    // candidate count (≥ true pair count) from the call just made —
-    // lets the clustering collect the verified pairs directly when
-    // they provably fit the driver cutoff (see connectedComponents)
-    connectedComponents(pairs, pairBound = lastMinhashDiag.map(_.nPairs))
+    // candidate count (≥ true pair count) threaded BY VALUE from the
+    // counted variant (r22, ADVICE item — reading the shared
+    // lastMinhashDiag here could race a concurrent query's smaller
+    // count into the driver-collect safety gate): lets the clustering
+    // collect the verified pairs directly when they provably fit the
+    // driver cutoff (see connectedComponents)
+    val (pairs, nCand) =
+      minhashDupPairsCounted(docs, idCol, textCol, threshold = threshold)
+    connectedComponents(pairs, pairBound = Some(nCand))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col("doc_id")).as("keep_doc_id"),

@@ -335,9 +335,16 @@ case class JaccardShingles(left: Expression, right: Expression, n: Int)
     val it = small.iterator()
     while (it.hasNext) if (big.contains(it.next())) inter += 1
     val union = sa.size + sb.size - inter
-    // raw double division, exactly like size(...)/size(...): the
-    // empty∕empty case is 0.0/0.0 = NaN in both formulations
-    inter.toDouble / union.toDouble
+    // both-empty guard (r22, ADVICE item): the registered function is
+    // reachable by any caller with two sub-n texts, and a raw 0.0/0.0
+    // NaN would pass every `>= threshold` filter and win descending
+    // ranks under Spark's NaN-is-greatest ordering. Return 0.0 — the
+    // same convention as CosineSimilarity's zero-norm guard. (The
+    // legacy size/size formulation THROWS here under ANSI; the case is
+    // unreachable in the pipelines, where banding candidates always
+    // carry ≥ 1 shingle.)
+    if (union == 0) 0.0
+    else inter.toDouble / union.toDouble
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

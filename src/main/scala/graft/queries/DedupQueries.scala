@@ -122,13 +122,19 @@ object DedupQueries {
 
     QueryDef(
       "q65_minhash_dedup",
-      (s, dir) =>
-        // stagedSort, not a bare orderBy: the verify join would run
-        // twice under the range sampler (graft.Staging.stagedSort)
-        graft.Staging.stagedSort(Dedup.minhashDupPairs(
+      (s, dir) => {
+        // boundedSort, not a bare orderBy: the verify join would run
+        // twice under the range sampler. The candidate count (≥ the
+        // verified pair count) is known by value from the counted
+        // variant, so a small pair set sorts in one task with the
+        // verify join executed exactly once — no q65-pairs staging
+        // round-trip (r22; stagedSort remains the unbounded fallback).
+        val (pairs, nCand) = Dedup.minhashDupPairsCounted(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 64, bands = 16, threshold = 0.3), "q65-pairs")(
-          col("doc_id_a"), col("doc_id_b")),
+          k = 64, bands = 16, threshold = 0.3)
+        graft.Staging.boundedSort(pairs, nCand, "q65-pairs")(
+          col("doc_id_a"), col("doc_id_b"))
+      },
       // ORACLE = the exact-Jaccard truth set (inverted-index brute
       // force, LSH-free). The engine result equals it iff LSH recall
       // is exactly 1 at this threshold — which holds deterministically
@@ -840,9 +846,11 @@ object DedupQueries {
       val s0 = graft.Staging.checkpoint(
         kept.join(exactWinners, Seq("doc_id"), "left_semi"), "cur-s0")
       // 3. near-dup removal: keep each cluster's canonical (min) doc
-      val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
+      // (candidate bound threaded by value — see minhashDupPairsCounted)
+      val (pairs, nCand) =
+        Dedup.minhashDupPairsCounted(s0, "doc_id", "text", threshold = 0.3)
       val losers = Dedup.connectedComponents(pairs,
-          pairBound = Dedup.lastMinhashDiag.map(_.nPairs))
+          pairBound = Some(nCand))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val s1 = s0.join(losers, Seq("doc_id"), "left_anti")
@@ -906,9 +914,10 @@ object DedupQueries {
         .select(col("doc_id"))
       val s0 = graft.Staging.checkpoint(
         kept.join(exactWinners, Seq("doc_id"), "left_semi"), "fun-s0")
-      val pairs = Dedup.minhashDupPairs(s0, "doc_id", "text", threshold = 0.3)
+      val (pairs, nCand) =
+        Dedup.minhashDupPairsCounted(s0, "doc_id", "text", threshold = 0.3)
       val losers = Dedup.connectedComponents(pairs,
-          pairBound = Dedup.lastMinhashDiag.map(_.nPairs))
+          pairBound = Some(nCand))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val s1 = s0.join(losers, Seq("doc_id"), "left_anti")

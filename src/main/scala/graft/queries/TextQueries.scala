@@ -841,9 +841,9 @@ object TextQueries {
         // string ever built corpus-wide), so the count-distinct's two
         // exchanges carry 8-byte longs instead of ~70-byte phrases.
         // The phrase strings the top-15 DISPLAYS are recovered
-        // afterwards from a digest-pruned second pass: positions of
-        // the winning digests broadcast against the corpus scan, the
-        // gram text sliced only for those hits. Identical output —
+        // afterwards from ONE digest-pruned second pass: the winning
+        // digest set (≤15 + ties) broadcasts against a re-scan that
+        // slices the gram text in place (r22). Identical output —
         // the winner threshold is the EXACT 15th-largest n_total over
         // the staged digest counts (ties included, final ordering
         // re-applied on the recovered strings), digest grouping ≡
@@ -872,14 +872,25 @@ object TextQueries {
           .agg(min(col("nt")).as("thr"))
         val cand = counts.join(broadcast(thr), col("n_total") >= col("thr"))
           .select(col("d"), col("n_total"), col("n_docs"))
-        // recover the winning digests' phrase text: their positions
-        // (tiny) broadcast onto a pruned re-scan; min() collapses the
-        // identical occurrences of one digest
-        val hits = toks.select(col("doc_id"),
+        // recover the winning digests' phrase text in the SAME pass
+        // that finds their positions (r22; guide §2.4/§3): carry the
+        // token array through the posexplode so the 8-token slice is
+        // cut right where a digest matches the broadcast winner set —
+        // generate → broadcast-probe → slice → partial min() all fuse
+        // into one codegen stage, so non-matching positions never
+        // materialize the array. min(ngram) aggregates the identical
+        // multiset of occurrence strings the r21 two-join shape fed it
+        // (bit-identical result, collisions included). The r21 shape
+        // instead broadcast `hits` = every OCCURRENCE of a winning
+        // digest and re-joined the corpus a third time — at 100 TB the
+        // boilerplate digests this query exists to find occur millions
+        // of times, so that broadcast grew with duplication (r21
+        // VERDICT/ADVICE item); this shape has no occurrence-scale
+        // broadcast and one fewer corpus scan.
+        val names = toks.select(col("toks"),
             posexplode(call_function("graft_gram_hashes",
               col("toks"), lit(8))).as(Seq("pos", "d")))
           .join(broadcast(cand.select(col("d"))), Seq("d"))
-        val names = toks.join(broadcast(hits), Seq("doc_id"))
           .select(col("d"),
             array_join(slice(col("toks"), col("pos") + 1, lit(8)), " ")
               .as("ngram"))

@@ -18,16 +18,41 @@ object ProfileScaled {
     val runDir =
       if (copies <= 1) dir
       else graft.Bench.buildScaledCorpus(spark, dir, copies)
+    // task-sec + task-count per run (r22): same listener shape as the
+    // bench diag's, so the probe can attribute wall movement to CPU
+    // work vs latency without a full bench run
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val taskN = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+            taskN.incrementAndGet(): Unit
+          }
+      })
+    def settled(): (Long, Long) = {
+      var prev = -1L; var v = taskMs.get(); var waited = 0
+      while (v != prev && waited < 1000) {
+        prev = v; Thread.sleep(50); waited += 50; v = taskMs.get()
+      }
+      (v, taskN.get())
+    }
     // warmup outside timing
     spark.read.parquet(s"$dir/nation.parquet").count()
     names.foreach { name =>
       (1 to repeat).foreach { i =>
         spark.catalog.clearCache()
         System.gc()
+        val (ms0, n0) = settled()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, runDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[x$copies%d] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (ms1, n1) = settled()
+        println(f"[x$copies%d] $name run $i: $wall%.2f s  " +
+          f"task ${(ms1 - ms0) / 1e3}%.1f s  tasks ${n1 - n0}%d")
       }
     }
     spark.stop()

@@ -141,11 +141,13 @@ class TextHashSpec extends SparkSpec {
     assert(diff === 0)
     // both-empty gram sets: the legacy 0/0 THROWS under ANSI (and is
     // unreachable in the pipelines — banding candidates always carry
-    // ≥ 1 shingle); the native form yields NaN. Pin the NaN so the
-    // divergence stays a documented property, not an accident.
-    val nan = Seq(("", "")).toDF("ta", "tb")
+    // ≥ 1 shingle); the native form guards union == 0 to 0.0 (r22 —
+    // a NaN here would pass every >= threshold filter and win desc
+    // ranks for external callers). Pin the 0.0 so the divergence
+    // stays a documented property, not an accident.
+    val zero = Seq(("", "")).toDF("ta", "tb")
       .select(Dedup.jaccardTexts(col("ta"), col("tb"))).head().getDouble(0)
-    assert(nan.isNaN)
+    assert(zero === 0.0)
   }
 
   test("substringDupSpans digest swap: same spans as the md5 formulation") {
