@@ -464,6 +464,10 @@ object Bench {
       * [[settledTaskMs]], which waits for the counter to stop moving.
       */
     val taskMsAcc = new java.util.concurrent.atomic.AtomicLong()
+    // task COUNT (r22): per-run deltas land in the diag's task_n rows —
+    // the row the r21 scaling probe lacked (it could not tell "entry
+    // launches 3 tasks" from "entry ignores the core knob")
+    val taskNAcc = new java.util.concurrent.atomic.AtomicLong()
     // spill (cumulative; per-run delta) and peak per-task execution
     // memory (max over the run; reset before each) — the r7 verdict's
     // ask #3 witness pair for x10_q122: its slow runs carried 4.7–11.6 s
@@ -479,6 +483,7 @@ object Bench {
           if (e.taskMetrics != null) {
             val m = e.taskMetrics
             taskMsAcc.addAndGet(m.executorRunTime): Unit
+            taskNAcc.incrementAndGet(): Unit
             spillBytesAcc.addAndGet(
               m.memoryBytesSpilled + m.diskBytesSpilled): Unit
             peakExecAcc.getAndAccumulate(m.peakExecutionMemory,
@@ -719,6 +724,9 @@ object Bench {
       // deliberate hygiene, not part of the run being attributed
       val gc0 = gcMsTotal(); val jit0 = jitMsTotal()
       val task0 = settledTaskMs(); val jan0 = janinoCompiles()
+      // read AFTER settledTaskMs drained the listener bus, so the
+      // count is settled at the same instant as the time
+      val taskN0 = taskNAcc.get()
       // settledTaskMs above already waited for the listener bus to
       // drain, so the spill counter is settled too; peak resets here
       val spill0 = spillBytesAcc.get(); peakExecAcc.set(0)
@@ -741,6 +749,7 @@ object Bench {
         jitMs = e.jitMs :+ (if (jit0 < 0) -1L else jitMsTotal() - jit0),
         taskSec = e.taskSec :+
           math.rint((settledTaskMs() - task0) / 100.0) / 10,
+        taskN = e.taskN :+ (taskNAcc.get() - taskN0),
         janino = e.janino :+ (janinoCompiles() - jan0),
         canaryAfterMs = e.canaryAfterMs :+
           math.rint(canaryMsNow() * 10) / 10,
@@ -1225,7 +1234,9 @@ object Bench {
     val diag = BenchReport.diagJson(rawRuns, heapMb, minhashDiag, lshDiag,
       corpusBuild10, corpusBuild30, runId, startedAt, entryEnv,
       nominalParMs, sfDir, stormed = discounted.size >= 2,
-      startGate = startGateJson, cooldowns = cooldowns)
+      startGate = startGateJson, cooldowns = cooldowns,
+      cpus = cpus.toInt,
+      defaultParallelism = spark.sparkContext.defaultParallelism)
     // canonical latest-run file PLUS an accumulating per-run-id copy:
     // r6's official diag was lost when a rerun overwrote the canonical
     // file; the per-run file makes every run's evidence permanent and
@@ -1256,7 +1267,7 @@ object Bench {
       System.err.println(s"[bench] entries needing environment " +
         s"discount: ${discounted.mkString(", ")}")
     val line = BenchReport.contractLine(results, sfDir, runId,
-      loadStart, loadavg1(), discounted)
+      loadStart, loadavg1(), discounted, cpus = cpus.toInt)
     // self-adjudication (r8 verdict ask #4): every official-scale run
     // writes ADJUDICATION_r{N}.md itself, so each round ships its own
     // classification without being asked. Runs BEFORE the contract

@@ -73,7 +73,8 @@ object BenchReport {
   def contractLine(results: Seq[(String, Double)], sfDir: String,
                    runId: Long = 0L,
                    loadStart: Double = -1.0, loadEnd: Double = -1.0,
-                   discounted: Seq[String] = Nil): String = {
+                   discounted: Seq[String] = Nil,
+                   cpus: Int = -1): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val disc = discounted.take(8).map(jstr).mkString("[", ",", "]")
@@ -82,7 +83,14 @@ object BenchReport {
     // one file holds the raw runs / host_env / task_floor rows and how
     // to adjudicate it (r7's rerun evidence lived in an unreferenced
     // side file; this closes that gap going forward)
-    s"""{"metric":"total","value":${num3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"run_id":$runId,"diag":${jstr(s"bench_diag/run_$runId.json")},"load1":[${num3(loadStart)},${num3(loadEnd)}],"discounted":$disc,"discounted_n":${discounted.size}}"""
+    // "cpus" (r22, addition-only — existing keys bit-stable): the
+    // SPARK_GRAFT_CPUS value the run executed under, echoed so the
+    // driver's low-core scaling probe can attribute its two runs from
+    // the contract lines alone (the r21 PERF scaling block read ≈1
+    // everywhere and had to flag suspect_cpus_ignored because nothing
+    // in the artifact proved which core count each run used; per-entry
+    // task counts live in the diag's host_env.task_n rows)
+    s"""{"metric":"total","value":${num3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"run_id":$runId,"diag":${jstr(s"bench_diag/run_$runId.json")},"load1":[${num3(loadStart)},${num3(loadEnd)}],"discounted":$disc,"discounted_n":${discounted.size},"cpus":$cpus}"""
   }
 
   /** Best usable summed-task-time row of one entry (≥ 1 s — below
@@ -298,6 +306,7 @@ object BenchReport {
                             psiIo: Seq[Double], tOffsetSec: Seq[Double],
                             gcMs: Seq[Long] = Nil, jitMs: Seq[Long] = Nil,
                             taskSec: Seq[Double] = Nil,
+                            taskN: Seq[Long] = Nil,
                             janino: Seq[Long] = Nil,
                             canaryMs: Seq[Double] = Nil,
                             canaryAfterMs: Seq[Double] = Nil,
@@ -351,7 +360,9 @@ object BenchReport {
                stormed: Boolean = false,
                startGate: String = "",
                cooldowns: collection.Map[String, String] =
-                 collection.Map.empty[String, String]): String = {
+                 collection.Map.empty[String, String],
+               cpus: Int = -1,
+               defaultParallelism: Int = -1): String = {
     // Locale.ROOT (in dArr): the default-locale f"" interpolator
     // renders 0.9 as "0,900" under comma-decimal locales — still
     // JSON, but four ints where two doubles belong, silently
@@ -387,6 +398,13 @@ object BenchReport {
         // DELIVERED-CPU-SPEED evidence no guest-visible counter —
         // steal, PSI, loadavg — captured during the r5–r7 stalls)
         ",\"task_sec\":" + dArr(e.taskSec) +
+        // task_n (r22): how many tasks the run actually launched — the
+        // scaling-evidence row the r21 PERF probe lacked. A CPU-bound
+        // probe shows task_n ≫ cores with task_sec ≫ wall; a 1× entry
+        // whose 8-core/32-core walls tie shows a handful of tasks and
+        // ~1 task-sec — "small", not "serial", distinguishable from
+        // this file alone.
+        ",\"task_n\":" + lArr(e.taskN) +
         ",\"janino_compiles\":" + lArr(e.janino) +
         // sampled before/after each run: a stretch episode short
         // enough to start and end INSIDE the run still shows in
@@ -438,8 +456,14 @@ object BenchReport {
     // basis so storm evidence can't drift the medians upward.
     // "start_gate" / "cooldowns": the quiet-window waits' evidence
     // (see gateJson) — empty start gate renders as waited 0 / no rows.
+    // "cpus"/"default_parallelism" (r22): the run's actual core
+    // budget, on record beside the per-entry task_n rows so the
+    // driver's low-core scaling probe can verify from the artifact
+    // that the knob was honored (the r21 suspect_cpus_ignored flag
+    // was unfalsifiable from the JSON alone)
     s"""{"run_id":$runId,"started_at":${jstr(startedAt)},""" +
       s""""sf":${jstr(sfDir)},""" +
+      s""""cpus":$cpus,"default_parallelism":$defaultParallelism,""" +
       s""""stormed":$stormed,""" +
       s""""nominal_par_ms":${num(nominalParMs)},""" +
       s""""start_gate":${if (startGate.isEmpty) gateJson(0, -1.0, Nil)

@@ -25,7 +25,8 @@ class BenchReportSpec extends AnyFunSuite {
 
   test("contract line: valid single-line JSON with the driver's fields") {
     val line = BenchReport.contractLine(results, "/root/testdata/sf0.1",
-      runId = 1755192000123L, loadStart = 0.07, loadEnd = 1.25)
+      runId = 1755192000123L, loadStart = 0.07, loadEnd = 1.25,
+      cpus = 32)
     assert(!line.contains("\n"))
     val j = parse(line)
     assert(j.get("metric").asText() === "total")
@@ -44,6 +45,9 @@ class BenchReportSpec extends AnyFunSuite {
     // a clean run ships an empty list
     assert(j.get("discounted").isArray && j.get("discounted").size() === 0)
     assert(j.get("discounted_n").asInt() === 0)
+    // round-22: the core budget echoed so the driver's low-core
+    // scaling probe is attributable from the contract line alone
+    assert(j.get("cpus").asInt() === 32)
   }
 
   test("contract line: discounted entries listed, capped at 8, exact count") {
@@ -364,11 +368,13 @@ class BenchReportSpec extends AnyFunSuite {
       cooldowns = scala.collection.mutable.LinkedHashMap(
         "x10" -> BenchReport.gateJson(0, 54.2, Seq(55.0)),
         "x30" -> BenchReport.gateJson(15, 54.2, Seq(140.0, 53.0))),
+      cpus = 32, defaultParallelism = 32,
       env = scala.collection.mutable.LinkedHashMap(
         "q01" -> BenchReport.EntryEnv(
           Seq(0.07, 8.15), Seq(0.0, 42.5), Seq(0.0, 1.1), Seq(1.2, 2.4),
           gcMs = Seq(12L, 4804L), jitMs = Seq(931L, -1L),
-          taskSec = Seq(3.1, 18.4), janino = Seq(92L, 0L),
+          taskSec = Seq(3.1, 18.4), taskN = Seq(120L, 118L),
+          janino = Seq(92L, 0L),
           canaryMs = Seq(41.2, 388.0), canaryAfterMs = Seq(40.9, 42.0),
           canaryParMs = Seq(55.0, 2140.5), stealPct = Seq(0.3, 71.25),
           codeCacheMb = Seq(88L, 237L), spillMb = Seq(0L, 1536L),
@@ -377,6 +383,10 @@ class BenchReportSpec extends AnyFunSuite {
     val j = parse(diag)
     assert(j.get("run_id").asLong() === 1755192000123L)
     assert(j.get("started_at").asText() === "2026-08-14T17:20:00.123Z")
+    // r22 scaling evidence: the run's core budget is self-described,
+    // and absent values read -1 (see `bare` below)
+    assert(j.get("cpus").asInt() === 32)
+    assert(j.get("default_parallelism").asInt() === 32)
     assert(j.get("nominal_par_ms").asDouble() === 54.2)
     // round-8 scale stamp: taskFloors keys its history filter on this
     assert(j.get("sf").asText() === "/root/testdata/sf0.1")
@@ -412,6 +422,9 @@ class BenchReportSpec extends AnyFunSuite {
     assert(e.get("gc_ms").get(1).asLong() === 4804L)
     assert(e.get("jit_ms").get(0).asLong() === 931L)
     assert(e.get("jit_ms").get(1).asLong() === -1L)
+    // r22 scaling evidence: per-run task counts beside task_sec
+    assert(e.get("task_n").get(0).asLong() === 120L)
+    assert(e.get("task_n").get(1).asLong() === 118L)
     // r7 host-stretch adjudicators: work done, cache misses, and
     // delivered-cpu-speed canary, one value per run
     assert(e.get("task_sec").get(1).asDouble() === 18.4)
