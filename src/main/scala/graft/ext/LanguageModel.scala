@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Shape at 100 TB: tokens are aggregated to (doc, token, tf) FIRST
   * (map-side partial aggregation shrinks the shuffle to per-doc
-  * distinct tokens, not every token occurrence), the vocabulary is a
-  * second hash aggregate over that, the corpus total is a 1-row
-  * scalar crossJoin (broadcast), and the scoring join is a shuffle
-  * equi-join on the token key — vocabulary-scale, not corpus-scale.
-  * No UDFs, no driver state.
+  * distinct tokens, not every token occurrence), the corpus term
+  * frequency is a tok-partitioned window over that one stream (r22 —
+  * no vocab-scale build side, no second corpus pass), the corpus
+  * total is a 1-row scalar crossJoin (broadcast). No UDFs, no driver
+  * state.
   */
 object LanguageModel {
 
@@ -49,9 +49,32 @@ object LanguageModel {
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val docTf = docTermFreq(docs, idCol, textCol)
-    val vocab = vocabFreq(docTf)
-    val total = vocab.agg(sum(col("tf")).as("n_total"))
-    docTf.join(vocab, Seq("tok"))
+    // r22 (guide §2): the corpus term frequency is a tok-partitioned
+    // window SUM over docTf instead of a vocab aggregate joined back —
+    // the join formulation planned the docTf subtree TWICE (once as
+    // the probe side, once under the vocab aggregate: two corpus
+    // scans + explodes) and repartitioned the token stream a second
+    // time for the join; the window computes the identical tf (same
+    // integer sum over the same dtf rows) in the one tok-keyed
+    // exchange. At 100 TB this also drops the implicit bet that the
+    // vocabulary fits a broadcast/SMJ build — the window never
+    // materializes a vocab-scale side. Honest trade-off: a window
+    // cannot split a hot key the way AQE splits join skew, so a
+    // stop-word's group (≤ n_docs rows of ~24 B, docTf is per-doc
+    // DISTINCT) lands in one task's spillable buffer; if vocabulary
+    // skew ever makes that the straggler, the revert is the vocab
+    // aggregate + tok join this replaced (AQE-splittable), paying the
+    // second corpus scan back.
+    // n_total = Σ tf over the vocab = Σ dtf over docTf = Σ per-doc
+    // token-array sizes — computed from a column-pruned map-side pass
+    // over the corpus (no explode, no aggregate chain): size(tokens)
+    // is null exactly when explode drops the doc (null text), so the
+    // long totals are equal by construction.
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"))
+    val total = docs.agg(
+      sum(size(Dedup.tokens(col(textCol)))).as("n_total"))
+    docTf.withColumn("tf", sum(col("dtf")).over(wTok))
       .crossJoin(broadcast(total))
       .withColumn("sp_fp",
         floor(-log(col("tf").cast("double") / col("n_total").cast("double"))

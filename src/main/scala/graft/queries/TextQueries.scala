@@ -418,13 +418,23 @@ object TextQueries {
       "q94_tfidf_topk",
       (s, dir) => {
         // TF-IDF term ranking: top-3 distinguishing terms per document
-        // (smoothed idf = ln((N+1)/(df+1)) + 1). Shape at scale: two
-        // map-side-combinable hash aggregates (tf on (doc,tok), df on
-        // tok), one shuffle join on the token, a 1-row N crossJoin
-        // (scalar broadcast, same pattern as the robust-z stats), and
-        // a per-doc window for the top-k — no driver loops, no UDFs.
-        // Ordering ties on the ROUNDED score break on the token, so
-        // the oracle replays the ranking deterministically.
+        // (smoothed idf = ln((N+1)/(df+1)) + 1). Shape at scale: one
+        // map-side-combinable hash aggregate (tf on (doc,tok)), the
+        // document frequency as a tok-partitioned window COUNT over
+        // that same stream (r22, guide §2 — the df-aggregate-joined-
+        // back formulation planned the tf subtree twice: two corpus
+        // scans + explodes, plus a second token-keyed repartition for
+        // the join; the window computes the identical df, a count of
+        // the same tf rows per token, in its one tok exchange and
+        // never materializes a vocab-scale join side; skew note: a
+        // window can't split a hot key like AQE join-skew can, but the
+        // group is ≤ n_docs per-doc-DISTINCT ~24 B rows in a spillable
+        // buffer — see unigramSurprisal for the revert shape if that
+        // ever straggles), a 1-row N crossJoin (scalar broadcast, same
+        // pattern as the robust-z stats), and a per-doc window for the
+        // top-k — no driver loops, no UDFs. Ordering ties on the
+        // ROUNDED score break on the token, so the oracle replays the
+        // ranking deterministically.
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         val tf = docs
@@ -432,9 +442,10 @@ object TextQueries {
             explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dfreq, Seq("tok"))
+        val scored = tf
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("tok"))))
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             round(col("tf")
