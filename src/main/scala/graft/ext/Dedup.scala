@@ -356,9 +356,18 @@ object Dedup {
     * audit runs on a shard sample — the estimator's error is
     * distribution-free, so a sample suffices.
     */
+  /** @param pairBound upper bound on the scored pair count, known by
+    *        value to the caller (e.g. the staged truth-pair footer
+    *        count — the audit output is 1:1 with the pairs it scores).
+    *        When present and small, the final total order runs as one
+    *        single-partition sort ([[graft.Staging.boundedSort]])
+    *        instead of a range `orderBy` whose boundary sampling
+    *        re-executes the signature joins (r22, guide §2.4).
+    */
   def minhashErrorAudit(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, minJaccard: Double = 0.1,
-      stagedPairs: Option[DataFrame] = None): DataFrame = {
+      stagedPairs: Option[DataFrame] = None,
+      pairBound: Option[Long] = None): DataFrame = {
     // `stagedPairs`: an already-staged exactJaccardPairs frame at a
     // floor ≤ minJaccard (the truth-pair substrate is shared by the
     // audit/explain/sweep family, so callers that need several of them
@@ -408,14 +417,19 @@ object Dedup {
     val matches = (0 until k).map(j =>
       when(col(s"ca_$j") === col(s"cb_$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    pairs
+    val scored = pairs
       .join(sigA, Seq("doc_id_a"))
       .join(sigB, Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
         matches.cast("bigint").as("sig_matches"))
       .withColumn("est_permille",
         expr(s"CAST(sig_matches * 1000 DIV $k AS BIGINT)"))
-      .orderBy(col("doc_id_a"), col("doc_id_b"))
+    pairBound match {
+      case Some(n) =>
+        graft.Staging.boundedSort(scored, n, "mh-audit-sorted")(
+          col("doc_id_a"), col("doc_id_b"))
+      case None => scored.orderBy(col("doc_id_a"), col("doc_id_b"))
+    }
   }
 
   /** Exact 3-gram Jaccard pairs ≥ `minJaccard` via the inverted-index
@@ -539,7 +553,14 @@ object Dedup {
     // SPLIT on record — candidate build vs verify join — so a
     // recurrence names its phase instead of restarting the hunt
     val tCand0 = System.nanoTime()
-    // staged + footer-counted in one pass (no count() job — r21)
+    // staged + footer-counted in one pass (no count() job — r21).
+    // (A/B'd r22: rebuilding the pair SIDES on the driver from the
+    // staged footers' files and broadcasting a LocalRelation did NOT
+    // remove the broadcast-build job — BroadcastExchange materializes
+    // through SparkPlan.executeCollectIterator, which LocalTableScan
+    // does not override, so the "job-free" build still collected a
+    // defaultParallelism-wide parallelize. Same job count, no wall
+    // change; reverted to the staged read.)
     val (candidates, nPairs) = graft.Staging.checkpointCounted(bandRows
       .groupBy(col("band_id"), col("band_hash"))
       .agg(graft.functions.BoundedCollect

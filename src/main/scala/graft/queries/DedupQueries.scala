@@ -28,12 +28,15 @@ object DedupQueries {
     * context share the staged file safely.
     */
   private val truthPairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.DataFrame, Long)]()
   private def truthPairs(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
+      : (org.apache.spark.sql.DataFrame, Long) =
     truthPairCache.computeIfAbsent(
       s.sparkContext.applicationId + "|" + dir,
-      _ => graft.Staging.checkpoint(
+      // footer-counted (r22): the staged row count is a by-value sort
+      // bound for the audit's output-scale orderBy (boundedSort — the
+      // audit result is 1:1 with the staged pairs it scores)
+      _ => graft.Staging.checkpointCounted(
         Dedup.exactJaccardPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.1),
@@ -571,11 +574,16 @@ object DedupQueries {
 
     QueryDef(
       "q161_minhash_error_audit",
-      (s, dir) =>
+      (s, dir) => {
+        val (pairs, nPairs) = truthPairs(s, dir)
         Dedup.minhashErrorAudit(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           k = 32, minJaccard = 0.1,
-          stagedPairs = Some(truthPairs(s, dir))),
+          stagedPairs = Some(pairs),
+          // staged floor count ≥ scored pairs (the 0.1 filter is ≥ the
+          // staged floor): single-partition total order, no resample
+          pairBound = Some(nPairs))
+      },
       // the oracle replays the ENTIRE estimator — md5-based base hash,
       // the seeded 32-permutation family (embedded as VALUES), per-pair
       // signature agreement — next to the exact inverted-index Jaccard
@@ -625,7 +633,7 @@ object DedupQueries {
         Dedup.neardupExplain(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           threshold = 0.3,
-          stagedPairs = Some(truthPairs(s, dir))),
+          stagedPairs = Some(truthPairs(s, dir)._1)),
       // oracle replays the whole explanation: exact truth pairs
       // (shared TruthPairsBody), positioned 3-grams, the diagonal
       // gaps-and-islands, and the run→token conversion
@@ -668,7 +676,7 @@ object DedupQueries {
         // OUTPUT-SCALE pair set (never the corpus), so the sweep
         // costs one pair scan, not nine. Flagged docs are the
         // DISTINCT union of both pair sides per threshold.
-        val pairs = truthPairs(s, dir)
+        val pairs = truthPairs(s, dir)._1
         val swept = pairs
           .select(col("doc_id_a"), col("doc_id_b"), col("jaccard_sim"),
             explode(expr("sequence(100L, 900L, 100L)")).as("thr_permille"))
@@ -733,7 +741,7 @@ object DedupQueries {
         // output-scale agg. Mean similarity 4dp-rounded.
         val docs = Tables.load(s, dir, "documents")
         val src = docs.select(col("doc_id"), col("source"))
-        truthPairs(s, dir).filter(col("jaccard_sim") >= 0.3)
+        truthPairs(s, dir)._1.filter(col("jaccard_sim") >= 0.3)
           .join(src.toDF("doc_id_a", "source_a"), Seq("doc_id_a"))
           .join(src.toDF("doc_id_b", "source_b"), Seq("doc_id_b"))
           .select(
@@ -836,15 +844,26 @@ object DedupQueries {
       // 1. rule-based quality filter
       val kept = docs.filter(TextAnalysis.qualityFilter(col("text"),
         minTokens = 20, maxTokens = 150, maxPunctRatio = 0.05) === "keep")
-      // 2. exact dedup: first writer (min doc_id) per content digest
-      val exactWinners = kept
-        .groupBy(md5(col("text")).as("hsh"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+      // 2. exact dedup: first writer (min doc_id) per content digest,
+      // as ONE digest-partitioned window over the filtered stream
+      // (r22, guide §2.4). The groupBy(md5)+min + left-semi-join-back
+      // shape shuffled three times (digest agg, then BOTH join sides
+      // by doc_id — the winner set is ~every distinct doc, far past
+      // any broadcast bet at corpus scale); the window keeps the row
+      // whose doc_id IS its group's min in the digest exchange the
+      // dedup fundamentally needs. Identical rows: doc_id is unique,
+      // so "doc_id ∈ {min per group}" ≡ "doc_id = min over own group".
+      // (Window skew note: a group = one exact text's copies, the mass
+      // duplication exact dedup exists to remove — the buffer is
+      // spillable and the alternative shapes shuffle the same rows.)
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
       // disk-staged: the survivor set feeds BOTH the LSH pair pipeline
       // and the final packing pass (no cross-branch plan reuse)
       val s0 = graft.Staging.checkpoint(
-        kept.join(exactWinners, Seq("doc_id"), "left_semi"), "cur-s0")
+        kept.withColumn("min_id", min(col("doc_id")).over(exactW))
+          .filter(col("doc_id") === col("min_id")).drop("min_id"),
+        "cur-s0")
       // 3. near-dup removal: keep each cluster's canonical (min) doc
       // (candidate bound threaded by value — see minhashDupPairsCounted)
       val (pairs, nCand) =
@@ -908,12 +927,13 @@ object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.qualityFilter(col("text"),
         minTokens = 20, maxTokens = 150, maxPunctRatio = 0.05) === "keep")
-      val exactWinners = kept
-        .groupBy(md5(col("text")).as("hsh"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+      // same digest-window winner selection as q86 (r22) — see the
+      // equivalence note there
+      val exactW = Window.partitionBy(md5(col("text")))
       val s0 = graft.Staging.checkpoint(
-        kept.join(exactWinners, Seq("doc_id"), "left_semi"), "fun-s0")
+        kept.withColumn("min_id", min(col("doc_id")).over(exactW))
+          .filter(col("doc_id") === col("min_id")).drop("min_id"),
+        "fun-s0")
       val (pairs, nCand) =
         Dedup.minhashDupPairsCounted(s0, "doc_id", "text", threshold = 0.3)
       val losers = Dedup.connectedComponents(pairs,

@@ -26,10 +26,11 @@ object ProfileJobs {
             s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val d = Option(s.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .getOrElse("")
+            .filter(_.nonEmpty)
+            .getOrElse(s.stageInfos.map(_.name.takeWhile(_ != '+')).mkString("|"))
           jobs.put(s.jobId,
             J(s.jobId, s.time, -1L, s.stageInfos.map(_.numTasks).sum,
-              d.take(40))): Unit
+              d.take(70))): Unit
           order.add(s.jobId): Unit
         }
         override def onJobEnd(

@@ -38,4 +38,5 @@ class StagingSpec extends SparkSpec {
     assert(p.contains("graft-stage-spec-plan"), p)
     assert(!p.contains("HashAggregate"), p) // the expensive plan already ran
   }
+
 }
